@@ -1,0 +1,185 @@
+"""Deterministic synthetic interleaved-document tables (FIXTURES.md §1).
+
+Two generators:
+
+* ``interleaved_docs`` — fully DISTRIBUTED and seed-deterministic: every
+  value is column arithmetic over ``spark.range`` + xxhash64, so the same
+  (n_docs, seed) yields identical rows at any partitioning / parallelism.
+  Includes the media-heavy skew cluster (0.1% of docs get ~100x spans,
+  >=90% media) and fixed-id edge docs.  Used by bench.py and property
+  tests; scales to any n_docs without driver memory.
+
+* ``derive_spans_from_documents`` — the SQL-mirrorable interleaver that
+  turns the driver's flat ``documents`` parquet into the engine's input
+  shape (doc_id, spans).  Kept simple enough to express identically in
+  DuckDB SQL (__spark_entry__.oracle_sql) so the driver can cross-check
+  the whole flagship pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_ocr_summarizer_spark import config
+from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
+
+# Small fixed vocabulary; some entries carry nasty whitespace to exercise
+# the assembly semantics (trim points, vision_processor.py:176,325,363).
+_VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "  padded", "trailing  ", "two  spaces", "line\nbreak", "tab\there",
+    "x", "the", "a", "and", "of",
+]
+
+
+def _h(*cols: Column | str | int) -> Column:
+    """Stable 64-bit hash of the arguments (xxhash64: fixed seed, no RNG)."""
+    lits = [c if isinstance(c, Column) else F.lit(c) for c in cols]
+    return F.xxhash64(*lits)
+
+
+def _pick(word_idx: Column) -> Column:
+    """vocab[word_idx % len] as a Column expression."""
+    arr = F.array(*[F.lit(w) for w in _VOCAB])
+    return F.element_at(arr, (F.pmod(word_idx, F.lit(len(_VOCAB))) + 1).cast("int"))
+
+
+def interleaved_docs(
+    spark: SparkSession,
+    n_docs: int,
+    *,
+    seed: int = 42,
+    with_confidence: bool = False,
+    skew: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id string, spans array<struct<kind,text,media_ref,offset[,confidence]>>).
+
+    Span order within the array is scrambled (offset defines reading order,
+    not position).  Edge docs at fixed indices: 0 = empty spans, 1 = single
+    span, 2 = all-media, 3 = duplicate offsets.
+    """
+    rng = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    d = F.col("id")
+
+    base_n = (F.pmod(_h(d, seed, "n"), F.lit(12)) + 1).cast("int")
+    is_skew = F.lit(skew) & (F.pmod(d, F.lit(1000)) == 7)
+    n_spans = (
+        F.when(d == 0, 0)
+        .when(d == 1, 1)
+        .when(is_skew, base_n * 100)  # media-heavy skew cluster
+        .otherwise(base_n)
+    )
+
+    def make_span(i: Column) -> Column:
+        # media iff hash bucket hits: 25% normally, ~92% for skew docs,
+        # 100% for the all-media edge doc (id 2).
+        bucket = F.pmod(_h(d, i, seed, "m"), F.lit(12))
+        is_media = (
+            F.when(d == 2, F.lit(True))
+            .when(is_skew, bucket < 11)
+            .otherwise(bucket < 3)
+        )
+        n_words = (F.pmod(_h(d, i, seed, "w"), F.lit(9)) + 2).cast("int")
+        words = F.transform(
+            F.sequence(F.lit(0), n_words - 1), lambda j: _pick(_h(d, i, j, seed, "v"))
+        )
+        text = F.when(~is_media, F.array_join(words, " "))
+        media_ref = F.when(
+            is_media,
+            F.concat(
+                F.lit(config.MEDIA_REF_PREFIX),
+                d.cast("string"),
+                F.lit("/"),
+                i.cast("string"),
+                F.lit(".png"),
+            ),
+        )
+        kind = (
+            F.when(is_media, F.lit(config.KIND_PICTURE))
+            .when(F.pmod(_h(d, i, seed, "k"), F.lit(10)) == 0, F.lit(config.KIND_TABLE))
+            .otherwise(F.lit(config.KIND_TEXT))
+        )
+        # duplicate-offsets edge doc (id 3): all spans share offset 0
+        offset = F.when(d == 3, F.lit(0)).otherwise(i.cast("int"))
+        fields = [
+            kind.alias("kind"),
+            text.alias("text"),
+            media_ref.alias("media_ref"),
+            offset.alias("offset"),
+        ]
+        if with_confidence:
+            conf = 0.4 + (F.pmod(_h(d, i, seed, "c"), F.lit(600)) / F.lit(1000.0))
+            fields.append(conf.cast("float").alias("confidence"))
+        return F.struct(*fields)
+
+    spans = F.when(n_spans == 0, F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int"
+        + (",confidence:float>>" if with_confidence else ">>")
+    )).otherwise(F.transform(F.sequence(F.lit(0), n_spans - 1), make_span))
+
+    # Scramble array order deterministically: sort by a per-span hash, so
+    # offset (not array position) carries reading order.
+    scrambled = F.transform(
+        F.sort_array(
+            F.transform(
+                spans, lambda s: F.struct(_h(d, s["offset"], s["kind"], seed, "shuf").alias("k"), s.alias("s"))
+            )
+        ),
+        lambda x: x["s"],
+    )
+
+    return rng.select(
+        F.format_string("doc_%012d", d).alias("doc_id"), scrambled.alias("spans")
+    )
+
+
+def derive_spans_from_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) -> (doc_id, spans) interleaved table.
+
+    Deterministic word-chunk interleaver (config: SPAN_WORDS_PER_CHUNK words
+    per span, every MEDIA_EVERY-th span of doc d — phase d*31 — is media).
+    Mirrored 1:1 by the DuckDB SQL in __spark_entry__.oracle_sql, so keep
+    the two in lockstep when editing.
+    """
+    k = config.SPAN_WORDS_PER_CHUNK
+    words = whitespace_tokens_col(F.col("text"))
+    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    d = F.col("doc_id")
+
+    def make_span(i: Column) -> Column:
+        is_media = F.pmod(d * 31 + i, F.lit(config.MEDIA_EVERY)) == 0
+        chunk = F.array_join(F.slice(words, i.cast("int") * k + 1, k), " ")
+        # rotate media extensions so mime dispatch (P1) sees all branches,
+        # including the octet-stream default (.bin)
+        ext = F.element_at(
+            F.array(F.lit(".png"), F.lit(".jpg"), F.lit(".bin")),
+            (F.pmod(i, F.lit(3)) + 1).cast("int"),
+        )
+        return F.struct(
+            F.when(is_media, F.lit(config.KIND_PICTURE))
+            .otherwise(F.lit(config.KIND_TEXT))
+            .alias("kind"),
+            F.when(~is_media, chunk).alias("text"),
+            F.when(
+                is_media,
+                F.concat(
+                    F.lit(config.MEDIA_REF_PREFIX),
+                    d.cast("string"),
+                    F.lit("/"),
+                    i.cast("string"),
+                    ext,
+                ),
+            ).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    spans = F.when(n_spans > 0, F.transform(
+        F.sequence(F.lit(0).cast("int"), n_spans - 1), make_span
+    )).otherwise(empty)
+    return docs.select(d.alias("doc_id"), spans.alias("spans"))

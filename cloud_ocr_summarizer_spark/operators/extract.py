@@ -1,0 +1,205 @@
+"""Flagship extraction: interleaved spans -> ordered, classified sequences.
+
+Two physical strategies for the same logical operator (SURVEY.md §2.3):
+
+* ``extract_spans`` — ROW-LOCAL.  Spans never leave their row; filtering,
+  classification, text assembly and offset-ordering happen with higher-order
+  functions (filter/transform/sort_array) entirely inside WholeStageCodegen.
+  ZERO shuffles — at 100 TB this is a pure map stage whose cost scales
+  linearly with input splits, so it is the default.
+
+* ``extract_spans_exploded`` — EXPLODE + WINDOW.  posexplode -> per-span
+  ops -> deterministic reassembly via row_number over an offset-ordered
+  window + collect_list (the north-rule form; SURVEY.md §4.3(2)).  One
+  shuffle on doc_id.  Needed when per-span work must cross rows (e.g. a
+  batched pandas classifier that rebalances skewed media-heavy docs).
+
+Both implement the same contract as oracle.extract_document; golden tests
+assert all three agree span-for-span.
+
+Reference semantics: nested-loop flatten + bottom-up text assembly,
+src/processors/vision_processor.py:146-208 (simple) / :210-402 (detailed);
+positional ordering :182,:241; confidence gate :261-264; size gate :43-48.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cloud_ocr_summarizer_spark import config
+from cloud_ocr_summarizer_spark.functions.text import (
+    classify_kind_col,
+    normalize_block_text_col,
+    token_count_col,
+)
+
+# Output span struct: the span-sequence-equality contract fields.
+SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+def _has_confidence(df: DataFrame, spans_col: str) -> bool:
+    element = df.schema[spans_col].dataType.elementType
+    return "confidence" in element.fieldNames()
+
+
+def _canonical_struct(s: Column) -> Column:
+    """Classify + assemble one span, keyed for deterministic ordering.
+
+    The leading fields (offset, kind, sk_text, sk_media) are the sort key —
+    matching oracle.extract_document's (offset, kind, text or '', media or
+    '') tie-break; the trailing fields carry the real (nullable) values.
+    """
+    kind = classify_kind_col(s["kind"])
+    is_media = kind.isin(*config.MEDIA_KINDS)
+    is_text = kind.isin(*config.TEXT_KINDS)
+    text = F.when(is_media, F.lit(None).cast("string")).otherwise(
+        normalize_block_text_col(s["text"])
+    )
+    media_ref = F.when(is_text, F.lit(None).cast("string")).otherwise(s["media_ref"])
+    offset = s["offset"].cast("int")
+    return F.struct(
+        offset.alias("offset"),
+        kind.alias("kind"),
+        F.coalesce(text, F.lit("")).alias("sk_text"),
+        F.coalesce(media_ref, F.lit("")).alias("sk_media"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+    )
+
+
+def _project_out(s: Column) -> Column:
+    return F.struct(
+        s["kind"].alias("kind"),
+        s["text"].alias("text"),
+        s["media_ref"].alias("media_ref"),
+        s["offset"].alias("offset"),
+    )
+
+
+def _confidence_filtered(df: DataFrame, spans_col: str, min_confidence: float) -> Column:
+    spans = F.col(spans_col)
+    if _has_confidence(df, spans_col):
+        # detailed-mode gate, vision_processor.py:261-264; null passes
+        # (simple mode carries confidence=None, :177)
+        spans = F.filter(
+            spans,
+            lambda s: s["confidence"].isNull()
+            | (s["confidence"] >= F.lit(min_confidence)),
+        )
+    return spans
+
+
+def _doc_text_bytes(spans_col: str) -> Column:
+    """Total raw text bytes per doc — size-gate input (settings.py:66)."""
+    return F.aggregate(
+        F.col(spans_col),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.octet_length(s["text"]), F.lit(0)),
+    )
+
+
+def extract_spans(
+    df: DataFrame,
+    *,
+    spans_col: str = "spans",
+    min_confidence: float = config.MIN_CONFIDENCE_THRESHOLD,
+    max_text_bytes: int = config.MAX_DOC_TEXT_BYTES,
+    with_stats: bool = True,
+) -> DataFrame:
+    """Row-local flagship extraction (zero shuffles).
+
+    Input : doc_id, spans array<struct<kind,text,media_ref,offset[,confidence]>>
+    Output: doc_id, spans_out (ordered canonical spans) [+ n_spans, n_tokens]
+    Oversize docs (raw text > ``max_text_bytes``) are rejected, mirroring
+    the reference's 10 MB gate (vision_processor.py:43-48).
+    """
+    gated = df.filter(_doc_text_bytes(spans_col) <= F.lit(max_text_bytes))
+    spans = _confidence_filtered(gated, spans_col, min_confidence)
+    ordered = F.sort_array(F.transform(spans, _canonical_struct))
+    out = gated.withColumn("spans_out", F.transform(ordered, _project_out))
+    cols = [F.col("doc_id"), F.col("spans_out")]
+    if with_stats:
+        cols += [
+            F.size("spans_out").alias("n_spans"),
+            F.aggregate(
+                F.filter(F.col("spans_out"), lambda s: s["text"].isNotNull()),
+                F.lit(0),
+                lambda acc, s: acc + token_count_col(s["text"]),
+            ).alias("n_tokens"),
+        ]
+    return out.select(*cols)
+
+
+def extract_spans_exploded(
+    df: DataFrame,
+    *,
+    spans_col: str = "spans",
+    min_confidence: float = config.MIN_CONFIDENCE_THRESHOLD,
+    max_text_bytes: int = config.MAX_DOC_TEXT_BYTES,
+) -> DataFrame:
+    """Explode/window variant: same contract, one shuffle on doc_id.
+
+    Deterministic reassembly: row_number over (offset, kind, text, media)
+    window, then collect_list of (seq, span) sorted by seq inside the array
+    (naive groupBy+collect_list is nondeterministic post-shuffle — SURVEY.md
+    §4.3(2)).  Docs whose every span was filtered — and empty docs — still
+    emit a row with an empty spans_out (explode_outer keeps them).
+    """
+    gated = df.filter(_doc_text_bytes(spans_col) <= F.lit(max_text_bytes))
+    spans = _confidence_filtered(gated, spans_col, min_confidence)
+    exploded = gated.select(
+        "doc_id", F.explode_outer(F.transform(spans, _canonical_struct)).alias("s")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("s.offset").asc_nulls_first(),
+        F.col("s.kind"),
+        F.col("s.sk_text"),
+        F.col("s.sk_media"),
+    )
+    seqd = exploded.withColumn("seq", F.row_number().over(w))
+    return (
+        seqd.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("s").isNotNull(),
+                        F.struct(F.col("seq"), _project_out(F.col("s")).alias("span")),
+                    )
+                )
+            ).alias("seq_spans")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("seq_spans"), lambda x: x["span"]).alias("spans_out"),
+        )
+    )
+
+
+def extract_span_rows(
+    df: DataFrame,
+    *,
+    spans_col: str = "spans",
+    min_confidence: float = config.MIN_CONFIDENCE_THRESHOLD,
+) -> DataFrame:
+    """Flat per-span output: (doc_id, seq, kind, text, media_ref, offset).
+
+    ``seq`` is the 1-based reading-order position (positional numbering,
+    vision_processor.py:182) — this row shape is what the driver's DuckDB
+    oracle cross-checks, and what downstream per-span operators consume.
+    Row-local sort then posexplode: still zero shuffles.
+    """
+    extracted = extract_spans(
+        df, spans_col=spans_col, min_confidence=min_confidence, with_stats=False
+    )
+    return extracted.select(
+        "doc_id", F.posexplode("spans_out").alias("pos", "s")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("seq"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )

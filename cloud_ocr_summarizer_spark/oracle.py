@@ -1,0 +1,222 @@
+"""Pure-Python single-document oracle — the executable spec.
+
+Re-derives the reference's per-document extraction semantics exactly, from
+the reference source (file:line cited per rule), with NO Spark involved.
+Golden tests run the distributed engine and compare span sequences against
+this module (SURVEY.md §5.2.1).  Write/extend THIS first, from the
+reference, never from the Spark code.
+
+Rules encoded
+-------------
+* text assembly  : symbols join ''  -> word   (vision_processor.py:170-172,
+                   393-400); words join ' ' then strip -> paragraph
+                   (:173, :356-363); paragraphs join '\\n' then strip
+                   -> block (:316-325).  On our flat span text this is:
+                   per-newline-paragraph whitespace collapse, then a
+                   newline join, then a full strip.
+* kind tagging   : block-type enum -> {UNKNOWN,TEXT,TABLE,PICTURE,RULER,
+                   BARCODE} (vision_processor.py:289-296); raw ingest kinds
+                   (html/pdf/png/jpg) via the extension map analogue
+                   (config/settings.py:84-89).
+* confidence gate: drop spans with confidence < threshold
+                   (vision_processor.py:261-264; default 0.0,
+                   config/settings.py:109).
+* ordering       : positional / arrival order == `offset`
+                   (vision_processor.py:182,241); duplicate offsets break
+                   ties deterministically on (kind, text, media_ref).
+* size gate      : total raw text bytes per doc <= 10 MB
+                   (vision_processor.py:43-48, config/settings.py:66).
+* token counting : whitespace split, len(s.split())
+                   (src/utils/token_counter.py:71-72); recursive structure
+                   rules (:60-82) in count_structure().
+* language top-1 : stable sort desc by confidence, first language_code;
+                   divergent defaults 'en' (gemini.py:113) vs 'ja'
+                   (claude.py:190).
+* rollup         : '\\n'.join of per-unit texts in order, only when more
+                   than one contributes (gemini.py:76-83, claude.py:67-74).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from cloud_ocr_summarizer_spark import config
+
+
+# --------------------------------------------------------------------------
+# text assembly (E2-E4)
+# --------------------------------------------------------------------------
+def normalize_block_text(text: str | None) -> str | None:
+    """Assemble span text with the reference's concat/strip semantics.
+
+    Within each newline-delimited paragraph, words are whatever
+    ``str.split()`` yields (any whitespace run separates) and are re-joined
+    with single spaces (words+' ' then strip, vision_processor.py:361-363).
+    Paragraphs are re-joined with '\\n' and the whole block stripped
+    (vision_processor.py:323-325).  Interior empty paragraphs survive as
+    empty lines (the reference appends para_text + '\\n' unconditionally).
+    """
+    if text is None:
+        return None
+    paragraphs = [" ".join(p.split()) for p in text.split("\n")]
+    return "\n".join(paragraphs).strip()
+
+
+# --------------------------------------------------------------------------
+# kind classification (P1/P2)
+# --------------------------------------------------------------------------
+_CANONICAL_KINDS = frozenset(config.BLOCK_TYPES.values())
+
+
+def classify_kind(raw: Any) -> str:
+    """Map a raw kind tag to the canonical vocabulary.
+
+    Accepts the reference's integer block-type enum
+    (vision_processor.py:289-300: ``block_types.get(int, 'UNKNOWN')``),
+    canonical strings, or raw ingest-format strings (html/pdf/png/jpg —
+    the extension-map analogue, config/settings.py:84-89).
+    """
+    if raw is None:
+        return config.KIND_UNKNOWN
+    if isinstance(raw, bool):
+        return config.KIND_UNKNOWN
+    if isinstance(raw, int):
+        return config.BLOCK_TYPES.get(raw, config.KIND_UNKNOWN)
+    s = str(raw)
+    if s in _CANONICAL_KINDS:
+        return s
+    if s.isdigit():
+        # enum arriving as a string — int(str(block_type)) path,
+        # vision_processor.py:300
+        return config.BLOCK_TYPES.get(int(s), config.KIND_UNKNOWN)
+    return config.RAW_KIND_MAP.get(s.lower(), config.KIND_UNKNOWN)
+
+
+def mime_for_name(name: str) -> str:
+    """Extension -> mime with default (vision_processor.py:99-105)."""
+    dot = name.rfind(".")
+    ext = name[dot:].lower() if dot >= 0 else ""
+    return config.MIME_MAP.get(ext, config.MIME_DEFAULT)
+
+
+# --------------------------------------------------------------------------
+# per-document extraction (the flagship contract)
+# --------------------------------------------------------------------------
+def doc_text_bytes(spans: list[dict[str, Any]]) -> int:
+    """Total raw text payload in bytes (size-gate input, settings.py:66)."""
+    return sum(len(s.get("text", "").encode("utf-8")) for s in spans if s.get("text"))
+
+
+def extract_document(
+    spans: list[dict[str, Any]],
+    min_confidence: float = config.MIN_CONFIDENCE_THRESHOLD,
+) -> list[tuple[str, str | None, str | None, int]]:
+    """Extract the ordered span sequence for one document.
+
+    Input spans are dicts with keys kind, text, media_ref, offset and an
+    optional confidence.  Returns tuples (kind, text, media_ref, offset)
+    sorted by (offset, kind, text, media_ref) — the span-sequence-equality
+    contract (BASELINE.json north_rule).
+    """
+    out: list[tuple[str, str | None, str | None, int]] = []
+    for s in spans:
+        conf = s.get("confidence")
+        if conf is not None and conf < min_confidence:
+            # detailed-mode confidence gate, vision_processor.py:261-264
+            continue
+        kind = classify_kind(s.get("kind"))
+        text = s.get("text")
+        media_ref = s.get("media_ref")
+        if kind in config.MEDIA_KINDS:
+            # media spans carry only the reference URI (gcp_utils.py:100)
+            text = None
+        else:
+            text = normalize_block_text(text)
+        if kind in config.TEXT_KINDS:
+            media_ref = None
+        out.append((kind, text, media_ref, int(s.get("offset", 0))))
+    out.sort(key=lambda t: (t[3], t[0], t[1] or "", t[2] or ""))
+    return out
+
+
+# --------------------------------------------------------------------------
+# token counting (A2) — token_counter.py:60-82
+# --------------------------------------------------------------------------
+def token_count_text(text: str | None) -> int:
+    """Whitespace-model token count (token_counter.py:71-72)."""
+    if text is None:
+        return 1  # None counts as one token (:67-68)
+    return len(text.split())
+
+
+def count_structure(obj: Any, depth: int = 0) -> int:
+    """Recursive structure token count — faithful to token_counter.py:60-82.
+
+    None/bool/number -> 1; string -> len(split()); dict -> sum over items of
+    1 + count(value); list/tuple -> sum of counts; depth capped at 100.
+    """
+    if depth > 100:
+        return 0
+    if obj is None:
+        return 1
+    if isinstance(obj, (bool, int, float)):
+        return 1
+    if isinstance(obj, str):
+        return len(obj.split())
+    if isinstance(obj, dict):
+        return sum(1 + count_structure(v, depth + 1) for _, v in obj.items())
+    if isinstance(obj, (list, tuple)):
+        return sum(count_structure(item, depth + 1) for item in obj)
+    return 1
+
+
+# --------------------------------------------------------------------------
+# language top-1 (T1) — gemini.py:98-116 / claude.py:178-194
+# --------------------------------------------------------------------------
+def primary_language(
+    detected_languages_per_unit: list[list[dict[str, Any]]],
+    default: str = config.DEFAULT_LANGUAGE_EN,
+) -> str:
+    """First unit (page/span) with any detected languages wins; within it,
+    stable sort desc by confidence (Python ``sorted`` is stable — ties keep
+    arrival order, matching gemini.py:104-108) and take the top code.
+    """
+    for langs in detected_languages_per_unit:
+        if langs:
+            top = sorted(langs, key=lambda x: x.get("confidence", 0), reverse=True)
+            return top[0]["language_code"]
+    return default
+
+
+# --------------------------------------------------------------------------
+# rollup (A6) — gemini.py:76-83 / claude.py:67-74
+# --------------------------------------------------------------------------
+def rollup_text(unit_texts_in_order: list[str | None]) -> str | None:
+    """'\\n'-join of non-empty unit texts in order, only when more than one
+    contributes (the ``len(summaries) > 1`` branch, gemini.py:76-79)."""
+    contributing = [t for t in unit_texts_in_order if t]
+    if len(contributing) > 1:
+        return "\n".join(contributing)
+    return None
+
+
+# --------------------------------------------------------------------------
+# structure stats (A1/A3/A4/A5) — token_counter.py:85-128
+# --------------------------------------------------------------------------
+def structure_stats(spans: list[dict[str, Any]]) -> dict[str, Any]:
+    n_spans = len(spans)
+    n_text = sum(1 for s in spans if classify_kind(s.get("kind")) in config.TEXT_KINDS)
+    n_media = sum(1 for s in spans if classify_kind(s.get("kind")) in config.MEDIA_KINDS)
+    confidences = [s["confidence"] for s in spans if s.get("confidence") is not None]
+    langs: set[str] = set()
+    for s in spans:
+        for li in s.get("detected_languages") or []:
+            langs.add(li.get("language_code"))
+    return {
+        "n_spans": n_spans,
+        "n_text_spans": n_text,
+        "n_media_spans": n_media,
+        "n_tokens": sum(token_count_text(s.get("text")) for s in spans if s.get("text")),
+        "avg_confidence": (sum(confidences) / len(confidences)) if confidences else 0.0,
+        "languages": sorted(langs),
+    }

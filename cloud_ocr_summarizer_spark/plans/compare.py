@@ -40,7 +40,8 @@ def _norm(v: Any) -> Any:
 
 def _normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # key=repr: rows may mix None with values (e.g. ROLLUP group keys)
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
 def compare_query(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict[str, Any]:

@@ -131,6 +131,122 @@ FROM (SELECT *, row_number() OVER (PARTITION BY source
 WHERE rn = 1
 """
 
+ORACLES["pricing_summary"] = r"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["revenue_by_nation"] = r"""
+SELECT n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+ORACLES["topk_orders_per_segment"] = r"""
+SELECT c_mktsegment, CAST(rk AS INT) AS rank_in_segment, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rk <= 3
+"""
+
+ORACLES["orders_without_lineitems"] = r"""
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+ORACLES["urgent_customers"] = r"""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+ORACLES["events_running_sum"] = r"""
+SELECT user_id, event_id,
+       round(sum(value) OVER w, 2) AS running_value,
+       CAST(row_number() OVER w AS INT) AS event_seq,
+       round(coalesce(lag(value) OVER w, 0.0), 2) AS prev_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["events_sessionize"] = r"""
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+ORACLES["event_type_pivot"] = r"""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+ORACLES["grouping_rollup"] = r"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLES["value_quantiles"] = r"""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+ORACLES["union_kind_branches"] = SPANS_CTE + (
+    r"""
+SELECT kind, count(*) AS n_spans,
+       CAST(sum(payload) AS BIGINT) AS total_payload
+FROM (
+  SELECT kind, doc_id, """
+    + _TOKENS.format(col="text")
+    + r""" AS payload FROM __spans WHERE NOT is_media
+  UNION ALL
+  SELECT kind, doc_id, strlen(media_ref) AS payload FROM __spans WHERE is_media
+)
+GROUP BY kind
+"""
+)
+
 ORACLES["latest_event_per_user"] = r"""
 SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -170,6 +170,188 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# relational layer: aggregations / joins / top-k / windows (A*, J*, T*)
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A5 at scale (TPC-H Q1 shape): map-side partial agg + final agg,
+    no joins — the canonical partial+final hash aggregation pattern."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 broadcast-join pattern: small dims (nation, customer) broadcast
+    against the fact table; Catalyst keeps it shuffle-free on the dims."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 top-k per group: window rank <= 3 with a total deterministic order."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rk").alias("rank_in_segment"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume/checkpoint anti-join shape (SURVEY.md §2.10): left_anti on the
+    key = NOT EXISTS — the exact plan the incremental resume path uses."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def q_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS: customers holding at least one urgent order."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window running aggregate + lag (E5/E6 analogues over a time axis)."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_value"
+        ),
+        F.row_number().over(w).alias("event_seq"),
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("prev_value"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when the gap from the previous event
+    exceeds 30 minutes (lag + conditional cumsum)."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond gap: second-granularity diffs truncate differently
+    # across engines around the threshold
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user counts by event type (fixed value list)."""
+    events = _read(spark, sf_dir, "events")
+    agg = events.groupBy("user_id")
+    exprs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return agg.agg(*exprs)
+
+
+def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over (returnflag, linestatus): subtotal + grand total
+    rows (multi-level aggregation, A-family)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (interpolated), matching DuckDB's
+    quantile_cont — A-family order statistics."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def q_union_kind_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 union: text-span and media-span branches processed separately,
+    recombined with unionByName before aggregation."""
+    rows = extract_span_rows(_documents_spans(spark, sf_dir))
+    text_branch = rows.filter(F.col("kind").isin(*config.TEXT_KINDS)).select(
+        "doc_id", F.col("kind"), token_count_col(F.col("text")).alias("payload")
+    )
+    media_branch = rows.filter(F.col("kind").isin(*config.MEDIA_KINDS)).select(
+        "doc_id", F.col("kind"), F.length("media_ref").alias("payload")
+    )
+    return (
+        text_branch.unionByName(media_branch)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_spans"), F.sum("payload").alias("total_payload"))
+    )
+
+
+BATCH_2 = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "topk_orders_per_segment": q_topk_orders_per_segment,
+    "orders_without_lineitems": q_orders_without_lineitems,
+    "urgent_customers": q_urgent_customers,
+    "events_running_sum": q_events_running_sum,
+    "events_sessionize": q_events_sessionize,
+    "event_type_pivot": q_event_type_pivot,
+    "grouping_rollup": q_grouping_rollup,
+    "value_quantiles": q_value_quantiles,
+    "union_kind_branches": q_union_kind_branches,
+}
+
+
 BATCH_1 = {
     "extract_flagship": q_extract_flagship,
     "assemble_normalize": q_assemble_normalize,

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``        — brute-force top-k: broadcast the (small) query
+                           side, row-local dot products, window rank.  The
+                           exactness baseline.
+* ``ivf_topk``           — IVF-style ANN: corpus vectors assigned to their
+                           nearest centroid (broadcast centroid join, no
+                           driver collect); queries probe the ``n_probe``
+                           nearest centroids and scan only those lists.
+                           At 100 TB this turns a full scan per query into
+                           a (n_probe / n_centroids) fraction scan.
+* ``embedding_near_dup_pairs`` — near-duplicate pairs by cosine within a
+                           blocking column.
+
+All arithmetic is promoted to double with a fixed accumulation order so
+results are bit-stable across engines/partitionings; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Deterministic rank key: (rounded similarity desc, neighbor id asc) —
+    rounding first makes the cutoff stable across fp noise.
+    Output: (query_id, rank, neighbor_id, cosine).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
+    )
+    sims = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+def assign_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    emb_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (cosine).
+
+    Centroid side is broadcast; assignment is a rank-1..n_probe window —
+    no driver-side collect, so the centroid set can come straight off a
+    distributed sample/k-means result.
+    Output: (id, cluster, probe_rank).
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    cen = centroids.select(
+        F.col("cluster").alias("cluster"), F.col("c_emb").alias("c_emb")
+    )
+    sims = v.join(F.broadcast(cen)).select(
+        "id",
+        "cluster",
+        F.round(cosine_col(F.col("emb"), F.col("c_emb")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cluster").asc())
+    return (
+        sims.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("id", "cluster", "probe_rank")
+    )
+
+
+def derive_centroids(
+    corpus: DataFrame, *, id_col: str, emb_col: str, stride: int = 50
+) -> DataFrame:
+    """Deterministic centroid seed set: every ``stride``-th corpus vector.
+    (A k-means refinement can swap in here; the IVF plumbing is identical.)"""
+    return corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0).select(
+        F.col(id_col).alias("cluster"), F.col(emb_col).alias("c_emb")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    stride: int = 50,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: exact search restricted to the probed inverted lists.
+
+    corpus assign (1 shuffle) -> query probe (broadcast) -> equi-join on
+    cluster -> exact cosine + window top-k.  Recall grows with n_probe.
+    """
+    centroids = derive_centroids(corpus, id_col=id_col, emb_col=emb_col, stride=stride)
+    corpus_asg = assign_centroids(
+        corpus, centroids, id_col=id_col, emb_col=emb_col, n_probe=1
+    ).select(F.col("id").alias("neighbor_id"), "cluster")
+    query_probes = assign_centroids(
+        queries, centroids, id_col=id_col, emb_col=emb_col, n_probe=n_probe
+    ).select(F.col("id").alias("query_id"), "cluster")
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    lists = corpus_asg.join(c, "neighbor_id")
+    cand = (
+        F.broadcast(query_probes.join(q, "query_id"))
+        .join(lists, "cluster")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 4).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking column."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("emb_a"),
+        F.col(block_col).alias("blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("emb_b"),
+        F.col(block_col).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

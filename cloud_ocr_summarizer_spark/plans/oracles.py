@@ -40,6 +40,15 @@ WITH __base AS (
 
 _TOKENS = r"len(list_filter(regexp_split_to_array({col}, '\s+'), w -> w <> ''))"
 
+# normalized text (mirrors functions.text.normalize_block_text_col)
+_NORM = (
+    r"regexp_replace(regexp_replace("
+    r"array_to_string(list_transform(string_split({col}, chr(10)),"
+    r" p -> array_to_string(list_filter(regexp_split_to_array(p, '\s+'),"
+    r" w -> w <> ''), ' ')), chr(10)),"
+    r" '^\s+', ''), '\s+$', '')"
+)
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["extract_flagship"] = SPANS_CTE + r"""
@@ -244,6 +253,128 @@ FROM (
   SELECT kind, doc_id, strlen(media_ref) AS payload FROM __spans WHERE is_media
 )
 GROUP BY kind
+"""
+)
+
+ORACLES["dedup_exact"] = (
+    r"""
+SELECT md5("""
+    + _NORM.format(col="text")
+    + r""") AS text_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+)
+
+ORACLES["dedup_ngram_jaccard"] = r"""
+WITH base AS (
+  SELECT doc_id AS id, source AS blk,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), grams AS (
+  SELECT id, blk,
+         unnest(list_distinct(list_transform(range(greatest(len(words) - 2, 0)),
+             i -> array_to_string(words[i+1 : i+3], ' ')))) AS gram
+  FROM base
+), sizes AS (
+  SELECT id, count(*) AS n_grams FROM grams GROUP BY id
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.blk = b.blk AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (sa.n_grams + sb.n_grams - inter), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(inter / (sa.n_grams + sb.n_grams - inter), 4) >= 0.5
+"""
+
+_STOPWORDS_SQL = "['the','a','an','and','of','to','in','is','it','that']"
+
+ORACLES["text_profile"] = (
+    r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS lwords
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CAST(len(words) AS INT) AS n_tokens,
+         CASE WHEN len(lwords) > 0
+              THEN round(len(list_filter(lwords, w -> list_contains("""
+    + _STOPWORDS_SQL
+    + r""", w))) / len(lwords), 4)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, w -> length(w))) / len(words)
+              ELSE 0.0 END AS avg_word_len,
+         len(words) AS nt,
+         md5("""
+    + _NORM.format(col="text")
+    + r""")[1:16] AS fingerprint
+  FROM base
+)
+SELECT doc_id, n_tokens, stopword_ratio,
+       stopword_ratio >= 0.05 AS looks_english,
+       CAST(floor((0.4 * least(nt / 100.0, 1.0) + 0.3 * (1 - punct_ratio)
+             + 0.3 * least(avg_word_len / 8.0, 1.0)) * 10000) AS INT) AS quality_score,
+       fingerprint
+FROM scored
+"""
+)
+
+ORACLES["token_stats_by_source"] = (
+    r"""
+SELECT source,
+       CAST(sum("""
+    + _TOKENS.format(col="text")
+    + r""") AS BIGINT) AS total_tokens,
+       round(avg("""
+    + _TOKENS.format(col="text")
+    + r""") , 4) AS avg_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+)
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+ORACLES["knn_bruteforce"] = (
+    r"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id >= 10),
+     sims AS (SELECT query_id, neighbor_id, """
+    + _COS.format(a="qe", b="ce")
+    + r""" AS cosine FROM q, c)
+SELECT query_id, CAST(rk AS INT) AS "rank", neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM sims)
+WHERE rk <= 5
+"""
+)
+
+ORACLES["embedding_neardup"] = (
+    r"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, """
+    + _COS.format(a="a.e", b="b.e")
+    + r""" AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE """
+    + _COS.format(a="a.e", b="b.e")
+    + r""" >= 0.3
 """
 )
 

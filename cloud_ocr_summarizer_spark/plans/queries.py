@@ -337,6 +337,117 @@ def q_union_kind_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# corpus curation: dedup + text analysis
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(normalized text) -> count + keeper."""
+    from cloud_ocr_summarizer_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (>=0.5) blocked by source."""
+    from cloud_ocr_summarizer_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), block_col="source", n=3, threshold=0.5
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only check;
+    semantics pinned against brute force in tests/test_dedup.py)."""
+    from cloud_ocr_summarizer_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within prefix buckets (rows-only check)."""
+    from cloud_ocr_summarizer_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_read(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language-ID heuristic, quality score, fingerprint, tokens."""
+    from cloud_ocr_summarizer_spark.operators.textstats import text_profile
+
+    return text_profile(_read(spark, sf_dir, "documents"))
+
+
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 at corpus scale: token totals per source."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(whitespace_tokens_col(F.col("text")))).alias("total_tokens"),
+        F.round(F.avg(F.size(whitespace_tokens_col(F.col("text")))), 4).alias(
+            "avg_tokens"
+        ),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query (vec_id<10) over the rest of the corpus."""
+    from cloud_ocr_summarizer_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (probed inverted lists; rows-only check — recall vs
+    brute force pinned in tests/test_similarity.py)."""
+    from cloud_ocr_summarizer_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5,
+        stride=50,
+        n_probe=4,
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (cos >= 0.3)."""
+    from cloud_ocr_summarizer_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+BATCH_4 = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf": q_knn_ivf,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+
+BATCH_3 = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_profile": q_text_profile,
+    "token_stats_by_source": q_token_stats_by_source,
+}
+
+
 BATCH_2 = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,

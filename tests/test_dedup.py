@@ -1,0 +1,97 @@
+"""Dedup operator semantics, pinned against brute-force Python on a small
+fixed corpus (xxhash64 is seed-stable, so results are fully deterministic).
+"""
+
+import pytest
+
+from cloud_ocr_summarizer_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees today"
+)
+NEAR = BASE.replace("lazy dog", "lazy cat")  # one-word perturbation
+FAR = (
+    "completely different subject matter about distributed query engines "
+    "and columnar storage formats with vectorized execution pipelines here"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                       # exact dup of 1
+        (3, "  " + BASE.replace("  ", " ") + "  \n"),  # whitespace-only dup
+        (4, NEAR),                       # near dup of 1
+        (5, FAR),
+        (6, "tiny"),                     # shorter than the shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def python_ngrams(text, n=3):
+    w = text.split()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def python_jaccard(a, b, n=3):
+    ga, gb = python_ngrams(a, n), python_ngrams(b, n)
+    return len(ga & gb) / len(ga | gb) if ga | gb else 0.0
+
+
+def test_exact_duplicates_whitespace_insensitive(spark, corpus):
+    groups = {r["keeper"]: r["n_docs"] for r in exact_duplicates(corpus).collect()}
+    # docs 1,2,3 normalize to identical text -> one group of 3, keeper=1
+    assert groups[1] == 3
+    assert groups[4] == 1 and groups[5] == 1 and groups[6] == 1
+
+
+def test_ngram_jaccard_matches_python(spark, corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    # brute force over all pairs
+    texts = {1: BASE, 2: BASE, 3: BASE, 4: NEAR, 5: FAR, 6: "tiny"}
+    want = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = python_jaccard(texts[i], texts[j])
+                if jac >= 0.3 and python_ngrams(texts[i]) & python_ngrams(texts[j]):
+                    want[(i, j)] = round(jac, 4)
+    assert got == pytest.approx(want)
+
+
+def test_minhash_lsh_finds_near_dups_with_exact_jaccard(spark, corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(corpus, threshold=0.3).collect()
+    }
+    # exact and whitespace dups MUST collide in every band (identical sigs)
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 1.0
+    assert got[(2, 3)] == 1.0
+    # near dup found with its true jaccard (verification step is exact)
+    assert (1, 4) in got
+    assert got[(1, 4)] == pytest.approx(round(python_jaccard(BASE, NEAR), 4))
+    # far doc never passes exact verification at 0.3
+    assert not any(5 in p for p in got)
+
+
+def test_simhash_near_pairs(spark, corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(corpus, max_hamming=10).collect()
+    }
+    assert got[(1, 2)] == 0  # identical text -> identical fingerprint
+    assert got[(1, 3)] == 0  # whitespace dup: token stream identical
+    assert (1, 4) in got  # near dup within hamming budget
+    assert (1, 5) not in got and (4, 5) not in got

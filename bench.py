@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at SPARK_GRAFT_SF_DIR on
+local[SPARK_GRAFT_CPUS].  Prints exactly ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+The flagship extraction runs over a pre-materialized deterministic
+interleaved-docs table (SPARK_GRAFT_BENCH_DOCS docs, default 120k) —
+the driver's `documents` table is fixed at 500 rows and too small to
+measure.  Generation happens once per size outside the timed region.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cloud_ocr_summarizer_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> None:
+    """Force full computation without a real sink."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def materialize_bench_docs(spark, n_docs: int, base: str) -> str:
+    from cloud_ocr_summarizer_spark.datagen import interleaved_docs
+
+    path = os.path.join(base, f"bench_docs_{n_docs}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        interleaved_docs(spark, n_docs, seed=42).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+    cache_base = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+    os.makedirs(cache_base, exist_ok=True)
+
+    spark = get_spark(app_name="bench", cores=cpus)
+
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.classify import main_content_rows
+    from cloud_ocr_summarizer_spark.operators.extract import (
+        extract_span_rows,
+        extract_spans,
+    )
+    from cloud_ocr_summarizer_spark.plans import queries as Q
+
+    docs_path = materialize_bench_docs(spark, n_docs, cache_base)
+    bench_docs = spark.read.parquet(docs_path)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # q1: flagship row-local extraction over n_docs interleaved docs
+    timed("q1_extract_flagship", lambda: _force(extract_spans(bench_docs)))
+    # q2: extraction + vectorized pandas classification (Arrow boundary)
+    timed(
+        "q2_main_content_detailed",
+        lambda: _force(
+            main_content_rows(extract_span_rows(bench_docs), detailed=True)
+        ),
+    )
+    # q3: TPC-H Q1-shape aggregation on lineitem (sf tier)
+    timed("q3_pricing_summary", lambda: _force(Q.q_pricing_summary(spark, sf_dir)))
+    # q4: broadcast join + agg
+    timed("q4_revenue_by_nation", lambda: _force(Q.q_revenue_by_nation(spark, sf_dir)))
+    # q5: window sessionization on events
+    timed("q5_events_sessionize", lambda: _force(Q.q_events_sessionize(spark, sf_dir)))
+    # q6: MinHash LSH dedup on the documents table
+    timed("q6_dedup_minhash", lambda: _force(Q.q_dedup_minhash_lsh(spark, sf_dir)))
+    # q7: brute-force kNN over embeddings
+    timed("q7_knn_bruteforce", lambda: _force(Q.q_knn_bruteforce(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "bench_docs": n_docs,
+        "cpus": cpus,
+        "docs_per_sec_extraction": docs_per_sec,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -95,18 +95,16 @@ def classify_spans_simple(span_rows: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # detailed mode: vectorized pandas over Arrow batches
 # ---------------------------------------------------------------------------
-_CLASSIFIED_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("seq", T.IntegerType()),
-        T.StructField("kind", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("media_ref", T.StringType()),
-        T.StructField("offset", T.IntegerType()),
-        T.StructField("content_score", T.IntegerType()),
-        T.StructField("is_content", T.BooleanType()),
-    ]
-)
+def _classified_schema(input_schema: T.StructType) -> T.StructType:
+    """Input columns passed through + the two score columns appended —
+    works for any doc_id type (string at corpus scale, long in testdata)."""
+    return T.StructType(
+        list(input_schema.fields)
+        + [
+            T.StructField("content_score", T.IntegerType()),
+            T.StructField("is_content", T.BooleanType()),
+        ]
+    )
 
 
 def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -114,13 +112,10 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
     text = pdf["text"].fillna("")
-    tokens = text.str.split()
-    n_tokens = tokens.str.len().fillna(0).astype("int64")
-    link_tokens = tokens.map(
-        lambda ws: sum(1 for w in ws if "://" in w or w.startswith("http"))
-        if isinstance(ws, list)
-        else 0
-    )
+    n_tokens = text.str.count(r"\S+").astype("int64")
+    # one match per token starting-position: token starts with 'http' OR
+    # contains '://' — same predicate as the JVM/SQL twins, fully vectorized
+    link_tokens = text.str.count(r"(?<!\S)(?:http|\S*://)").astype("int64")
     n_chars = text.str.len().astype("int64")
     n_punct = text.str.count(r"[^A-Za-z0-9\s]").astype("int64")
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -158,7 +153,7 @@ def classify_spans_detailed(span_rows: DataFrame) -> DataFrame:
         for pdf in batches:
             yield _score_batch(pdf)
 
-    return span_rows.mapInPandas(run, schema=_CLASSIFIED_SCHEMA)
+    return span_rows.mapInPandas(run, schema=_classified_schema(span_rows.schema))
 
 
 def main_content_rows(span_rows: DataFrame, *, detailed: bool = False) -> DataFrame:

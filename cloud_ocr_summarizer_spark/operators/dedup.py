@@ -20,7 +20,10 @@ deterministic across runs/partitionings; no Python in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from cloud_ocr_summarizer_spark.functions.text import (
     normalize_block_text_col,
@@ -106,14 +109,68 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature_col(text: Column, *, n: int, num_hashes: int) -> Column:
-    """Row-local MinHash signature: for hash seed h, min over grams of
-    xxhash64(h, gram).  array<long> of length num_hashes."""
-    grams = word_ngrams_col(text, n)
+def gram_hashes_col(text: Column, n: int) -> Column:
+    """Distinct word n-grams hashed ONCE to 64-bit (dedup-by-hash is exact
+    modulo ~1e-19 collision odds; hashing the string once and deriving the
+    signature family arithmetically is ~10x cheaper than re-hashing the
+    string per signature row)."""
+    return F.transform(word_ngrams_col(text, n), lambda g: F.xxhash64(g))
+
+
+def _sig_from_hashes(ghashes: Column, num_hashes: int) -> Column:
+    """JVM-expression MinHash signature: sig[i] = min over grams of
+    xxhash64(gram_hash, i).  Exact but falls back to interpreted eval for
+    large num_hashes (the nested HOF tree exceeds codegen limits) — prefer
+    ``_sig_pandas`` in pipelines."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda h: F.array_min(F.transform(grams, lambda g: F.xxhash64(h, g))),
+        lambda h: F.array_min(F.transform(ghashes, lambda x: F.xxhash64(x, h))),
     )
+
+
+def minhash_signature_col(text: Column, *, n: int, num_hashes: int) -> Column:
+    """Row-local MinHash signature: array<long> of length num_hashes."""
+    return _sig_from_hashes(gram_hashes_col(text, n), num_hashes)
+
+
+# Fixed odd multipliers/offsets (golden-ratio sequence) for the affine
+# signature family used on the vectorized path; wraparound uint64 arithmetic.
+_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def _sig_pandas(num_hashes: int):
+    """Series[array<long>] -> Series[array<long>] pandas_udf: MinHash
+    signatures via one numpy matrix min-reduce per Arrow batch.
+
+    sig[i] = min over gram hashes g of (a_i * g + b_i) mod 2^64 — a
+    deterministic universal-hash family, fully vectorized: the whole batch
+    flattens to one (total_grams x num_hashes) uint64 matrix reduced with
+    minimum.reduceat.  ~100x the throughput of the interpreted HOF tree.
+    """
+    a = (np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(_GOLDEN)) | np.uint64(1)
+    b = np.arange(num_hashes, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+
+    @pandas_udf("array<bigint>")
+    def sig(ghashes: pd.Series) -> pd.Series:
+        lengths = ghashes.map(len).to_numpy()
+        out = [[0] * num_hashes] * len(ghashes)
+        nz = np.flatnonzero(lengths > 0)
+        if len(nz) == 0:
+            return pd.Series(out)
+        nz_lens = lengths[nz]
+        flat = np.concatenate(
+            [np.asarray(ghashes.iat[i], dtype=np.int64) for i in nz]
+        ).view(np.uint64)
+        with np.errstate(over="ignore"):
+            mat = flat[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
+        starts = np.zeros(len(nz_lens), dtype=np.int64)
+        np.cumsum(nz_lens[:-1], out=starts[1:])
+        mins = np.minimum.reduceat(mat, starts, axis=0).view(np.int64)
+        for row_i, m in zip(nz, mins):
+            out[row_i] = m
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_lsh_pairs(
@@ -125,34 +182,33 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
 
     Pipeline shape (scale-first):
-      1. row-local: grams -> signature (num_hashes mins) -> band hashes;
-      2. explode band index (xB rows), shuffle ONCE on (band, band_hash);
-      3. pairs within buckets only (self-join inside tiny groups);
-      4. exact-Jaccard verification re-using the gram arrays, only for
-         candidate pairs (broadcast-friendly at bucket scale).
+      1. row-local: gram hashes -> signature (computed ONCE — no self-join
+         recompute) -> per-band bucket keys;
+      2. groupBy (band, bucket): buckets holding >1 doc expand to candidate
+         id pairs row-locally (buckets are near-dup groups, so tiny);
+      3. distinct pairs join gram sets back by id; exact Jaccard only for
+         candidates.
 
-    Signatures with empty gram sets (docs shorter than n words) are dropped.
+    ``parallelism`` repartitions the input first — a single-file parquet
+    scan otherwise runs the (CPU-heavy) signature stage on one core.
+    Docs shorter than n words are dropped.
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    grams = word_ngrams_col(F.col(text_col), n)
-    base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
-        F.size("grams") > 0
-    )
-    sig = base.withColumn(
-        "sig",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda h: F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(h, g))),
-        ),
-    )
+    src = df.repartition(parallelism) if parallelism else df
+    base = src.select(
+        F.col(id_col).alias("id"),
+        gram_hashes_col(F.col(text_col), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+    sig = base.select("id", _sig_pandas(num_hashes)(F.col("grams")).alias("sig"))
     banded = sig.select(
         "id",
-        "grams",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -164,29 +220,40 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "grams", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.grams").alias("grams_a"),
-            F.col("b.grams").alias("grams_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    k = F.size(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, k - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i.cast("int") + 1).alias("id_a"),
+                    F.element_at(F.col("ids"), j.cast("int") + 1).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
     return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.round(inter / union, 4).alias("jaccard"),
-        )
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -214,12 +281,47 @@ def simhash_col(text: Column, *, bits: int = 64) -> Column:
     return F.array(*[bit_col(b) for b in range(bits)])
 
 
+def _simhash_pandas(bits: int = 64):
+    """Series[array<long>] (word hashes) -> Series[array<int>] (sign bits),
+    vectorized: one (total_words x bits) matrix + add.reduceat per batch."""
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("array<int>")
+    def sim(whashes: pd.Series) -> pd.Series:
+        lengths = whashes.map(len).to_numpy()
+        out = [[0] * bits] * len(whashes)
+        nz = np.flatnonzero(lengths > 0)
+        if len(nz) == 0:
+            return pd.Series(out)
+        nz_lens = lengths[nz]
+        flat = np.concatenate(
+            [np.asarray(whashes.iat[i], dtype=np.int64) for i in nz]
+        ).view(np.uint64)
+        signs = (((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1)
+        starts = np.zeros(len(nz_lens), dtype=np.int64)
+        np.cumsum(nz_lens[:-1], out=starts[1:])
+        sums = np.add.reduceat(signs, starts, axis=0)
+        bit_rows = (sums > 0).astype(np.int32)
+        for row_i, r in zip(nz, bit_rows):
+            out[row_i] = r
+        return pd.Series(out)
+
+    return sim
+
+
 def simhash_fingerprints(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash bit array).  Near-dup pairs = small Hamming distance."""
-    bits = simhash_col(F.col(text_col))
-    return df.select(F.col(id_col).alias("id"), bits.alias("bits"))
+    """(id, simhash bit array).  Near-dup pairs = small Hamming distance.
+    Word hashing stays JVM-side (one cheap transform); the 64-bit sign
+    reduction runs on the vectorized pandas path."""
+    whashes = F.transform(
+        whitespace_tokens_col(F.col(text_col)), lambda w: F.xxhash64(w)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        _simhash_pandas(64)(whashes).alias("bits"),
+    )
 
 
 def simhash_near_pairs(

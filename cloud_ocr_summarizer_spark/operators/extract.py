@@ -44,11 +44,13 @@ def _has_confidence(df: DataFrame, spans_col: str) -> bool:
 
 
 def _canonical_struct(s: Column) -> Column:
-    """Classify + assemble one span, keyed for deterministic ordering.
+    """Classify + assemble one span, field-ordered for deterministic
+    struct sorting.
 
-    The leading fields (offset, kind, sk_text, sk_media) are the sort key —
-    matching oracle.extract_document's (offset, kind, text or '', media or
-    '') tie-break; the trailing fields carry the real (nullable) values.
+    Struct comparison is field-by-field with nulls first, so sorting on
+    (offset, kind, text, media_ref) matches oracle.extract_document's
+    tie-break exactly — no duplicated sort-key strings (halves the
+    string allocations on the hot path vs a separate-key design).
     """
     kind = classify_kind_col(s["kind"])
     is_media = kind.isin(*config.MEDIA_KINDS)
@@ -61,8 +63,6 @@ def _canonical_struct(s: Column) -> Column:
     return F.struct(
         offset.alias("offset"),
         kind.alias("kind"),
-        F.coalesce(text, F.lit("")).alias("sk_text"),
-        F.coalesce(media_ref, F.lit("")).alias("sk_media"),
         text.alias("text"),
         media_ref.alias("media_ref"),
     )
@@ -154,8 +154,8 @@ def extract_spans_exploded(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("s.offset").asc_nulls_first(),
         F.col("s.kind"),
-        F.col("s.sk_text"),
-        F.col("s.sk_media"),
+        F.col("s.text").asc_nulls_first(),
+        F.col("s.media_ref").asc_nulls_first(),
     )
     seqd = exploded.withColumn("seq", F.row_number().over(w))
     return (
@@ -193,9 +193,12 @@ def extract_span_rows(
     extracted = extract_spans(
         df, spans_col=spans_col, min_confidence=min_confidence, with_stats=False
     )
+    # posexplode_outer: plain posexplode makes Catalyst inject a
+    # size(...)>0 pre-filter that re-evaluates the whole spans expression;
+    # outer + a post-generate null filter evaluates it once.
     return extracted.select(
-        "doc_id", F.posexplode("spans_out").alias("pos", "s")
-    ).select(
+        "doc_id", F.posexplode_outer("spans_out").alias("pos", "s")
+    ).filter(F.col("pos").isNotNull()).select(
         "doc_id",
         (F.col("pos") + 1).alias("seq"),
         F.col("s.kind").alias("kind"),

@@ -1,0 +1,85 @@
+"""Multimodal column plumbing: media decode / feature-extract over Arrow
+batches.
+
+Images/audio/video are opaque ``binary`` payloads (or ``media_ref`` URIs)
+plus typed metadata.  The decode step itself is STUBBED — the sandbox has
+no imaging libraries — behind an import gate; what IS real and tested is
+everything Spark-side: the batch iterator shape, the output schema, the
+vectorized pandas transform, and the deterministic fallback used by tests
+and the driver's cross-check.
+
+Fallback semantics (pure arithmetic on the ref string, SQL-expressible):
+    width  = 64 + (7 * strlen(ref)) % 512
+    height = 64 + (11 * strlen(ref)) % 512
+    n_frames = 1 for images (.png/.jpg), 16 + strlen(ref) % 48 otherwise
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _decode_real(payload: bytes) -> tuple[int, int]:  # pragma: no cover
+    """Real decode path — plugs in when an imaging lib is present."""
+    raise NotImplementedError(
+        "real media decode requires an imaging library not present in this "
+        "environment; the deterministic fallback below exercises the same "
+        "Spark plumbing"
+    )
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    refs = pdf["media_ref"].fillna("")
+    n = refs.str.len().astype("int64")
+    ext = refs.str.extract(r"(\.[^./]+)$", expand=False).fillna("")
+    is_image = ext.isin([".png", ".jpg", ".jpeg"])
+    out = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "media_ref": pdf["media_ref"],
+            "media_kind": is_image.map({True: "image", False: "other"}),
+            "width": (64 + (7 * n) % 512).astype("int32"),
+            "height": (64 + (11 * n) % 512).astype("int32"),
+            "n_frames": (is_image.map({True: 1, False: 0}) * 1
+                         + (~is_image) * (16 + n % 48)).astype("int32"),
+        }
+    )
+    return out
+
+
+def media_features(span_rows: DataFrame) -> DataFrame:
+    """Feature-extract every media span (mapInPandas over Arrow batches).
+
+    Input: flat span rows with (doc_id, media_ref, ...); only rows with a
+    media_ref are processed.  Output: MEDIA_FEATURE_SCHEMA.
+    """
+    media = span_rows.filter("media_ref IS NOT NULL").select("doc_id", "media_ref")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_batch(pdf)
+
+    return media.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)

@@ -135,7 +135,16 @@ def extract_document(
         if kind in config.TEXT_KINDS:
             media_ref = None
         out.append((kind, text, media_ref, int(s.get("offset", 0))))
-    out.sort(key=lambda t: (t[3], t[0], t[1] or "", t[2] or ""))
+    # nulls-first tie-break — matches Spark struct ordering on
+    # (offset, kind, text, media_ref)
+    out.sort(
+        key=lambda t: (
+            t[3],
+            t[0],
+            (t[1] is not None, t[1] or ""),
+            (t[2] is not None, t[2] or ""),
+        )
+    )
     return out
 
 

@@ -1,0 +1,69 @@
+"""The flagship job: resumable, lineage-emitting, skew-aware extraction.
+
+Physical shape (SURVEY.md §4.4):
+
+    scan(docs)                          [column-pruned, filters pushed]
+    -> pending_docs (left_anti)         [resume; no-op on first run]
+    -> size gate                        [10 MB analogue]
+    -> [salted repartition]             [only before batch-UDF stages]
+    -> extract_spans (row-local)        [0 shuffles]
+    -> [classify detailed via rows]     [Arrow batches]
+    -> sink.append(extracted)           [snapshot commit]
+    -> sink.append(lineage)             [metrics table]
+
+Run it twice and the second run writes nothing new (idempotent resume).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cloud_ocr_summarizer_spark.lineage import timed_partition_metrics
+from cloud_ocr_summarizer_spark.operators.extract import extract_spans
+from cloud_ocr_summarizer_spark.operators.skew import salted_repartition
+from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink, pending_docs
+
+
+@dataclass
+class FlagshipResult:
+    run_id: str
+    snapshot_id: int | None
+    docs_written: int
+
+
+def run_flagship(
+    spark: SparkSession,
+    input_df: DataFrame,
+    *,
+    output_root: str,
+    lineage_root: str | None = None,
+    repartition_to: int | None = None,
+    min_confidence: float = 0.0,
+) -> FlagshipResult:
+    """Extract all pending documents, commit one snapshot + lineage rows."""
+    run_id = uuid.uuid4().hex
+    sink = SnapshotSink(output_root)
+    todo = pending_docs(input_df, sink, spark)
+    if repartition_to:
+        todo = salted_repartition(todo, repartition_to)
+    extracted = extract_spans(todo, min_confidence=min_confidence)
+
+    # Spark DataFrames recompute per action; persist so the count, the
+    # output write and the lineage pass share one execution.
+    extracted = extracted.persist()
+    docs = extracted.count()
+    if docs == 0:
+        extracted.unpersist()
+        return FlagshipResult(run_id=run_id, snapshot_id=None, docs_written=0)
+
+    snapshot_id = sink.append(extracted, run_id=run_id)
+    if lineage_root:
+        metrics = timed_partition_metrics(
+            extracted, run_id=run_id, snapshot_id=snapshot_id
+        )
+        SnapshotSink(lineage_root).append(metrics, run_id=run_id)
+    extracted.unpersist()
+    return FlagshipResult(run_id=run_id, snapshot_id=snapshot_id, docs_written=docs)

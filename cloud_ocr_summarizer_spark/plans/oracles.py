@@ -378,6 +378,58 @@ WHERE """
 """
 )
 
+# flagship rows re-used as a CTE for UDF-stage twins
+_FLAGSHIP_ROWS = r"""
+, __rows AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) AS INT) AS seq,
+         kind, text, media_ref, off AS "offset"
+  FROM __spans
+)
+"""
+
+ORACLES["main_content"] = SPANS_CTE + _FLAGSHIP_ROWS + r"""
+, scored AS (
+  SELECT doc_id, seq, kind, text, media_ref, "offset",
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                         w -> w <> '')) AS nt,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                         w -> w <> '' AND (contains(w, '://') OR starts_with(w, 'http'))))
+             AS links,
+         length(coalesce(text, '')) AS nc,
+         length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9\s]', '', 'g')) AS np
+  FROM __rows
+), bp AS (
+  SELECT *,
+         CASE WHEN media_ref IS NOT NULL THEN 10000
+              ELSE CAST(floor((
+                   0.5 * least(nt / 40.0, 1.0)
+                 + 0.3 * (1 - CASE WHEN nt > 0 THEN links / CAST(nt AS DOUBLE) ELSE 0.0 END)
+                 + 0.2 * (1 - CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE) ELSE 0.0 END)
+               ) * 10000) AS INT)
+         END AS content_score
+  FROM scored
+)
+SELECT doc_id, seq, kind, text, media_ref, "offset", content_score,
+       (media_ref IS NOT NULL OR (content_score >= 5000 AND nt >= 3)) AS is_content
+FROM bp
+WHERE media_ref IS NOT NULL OR (content_score >= 5000 AND nt >= 3)
+"""
+
+ORACLES["media_features"] = SPANS_CTE + r"""
+SELECT doc_id, media_ref,
+       CASE WHEN lower(regexp_extract(media_ref, '(\.[^./]+)$', 1))
+                 IN ('.png', '.jpg', '.jpeg')
+            THEN 'image' ELSE 'other' END AS media_kind,
+       CAST(64 + (7 * strlen(media_ref)) % 512 AS INT) AS width,
+       CAST(64 + (11 * strlen(media_ref)) % 512 AS INT) AS height,
+       CAST(CASE WHEN lower(regexp_extract(media_ref, '(\.[^./]+)$', 1))
+                 IN ('.png', '.jpg', '.jpeg')
+            THEN 1 ELSE 16 + strlen(media_ref) % 48 END AS INT) AS n_frames
+FROM __spans
+WHERE media_ref IS NOT NULL
+"""
+
 ORACLES["latest_event_per_user"] = r"""
 SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -362,7 +362,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloud_ocr_summarizer_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.5
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -435,6 +440,45 @@ BATCH_4 = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
     "embedding_neardup": q_embedding_neardup,
+}
+
+
+# ---------------------------------------------------------------------------
+# UDF-stage operators: pandas classifier, multimodal, lineage
+# ---------------------------------------------------------------------------
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 boilerplate classification via the DETAILED (mapInPandas) path:
+    the driver cross-check exercises the vectorized pandas UDF itself."""
+    from cloud_ocr_summarizer_spark.operators.classify import main_content_rows
+
+    rows = extract_span_rows(_documents_spans(spark, sf_dir))
+    return main_content_rows(rows, detailed=True)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: feature-extract media spans over Arrow batches
+    (deterministic fallback decode — SQL-mirrorable)."""
+    from cloud_ocr_summarizer_spark.operators.multimodal import media_features
+
+    rows = extract_span_rows(_documents_spans(spark, sf_dir))
+    return media_features(rows)
+
+
+def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 lineage: per-partition metrics over a deterministic repartition
+    (rows-only check; totals pinned in tests/test_pipeline.py)."""
+    from cloud_ocr_summarizer_spark.lineage import partition_metrics
+
+    extracted = extract_spans(_documents_spans(spark, sf_dir), with_stats=False)
+    return partition_metrics(
+        extracted.repartition(8, "doc_id"), run_id="driver-check", snapshot_id=0
+    )
+
+
+BATCH_UDF = {
+    "main_content": q_main_content,
+    "media_features": q_media_features,
+    "lineage_metrics": q_lineage_metrics,
 }
 
 

@@ -1,0 +1,96 @@
+"""Batch-incremental checkpoint/resume (SURVEY.md §2.10, §4.3(4)).
+
+The reference's "resumability" is delete-after-processing + rerun
+(vision_processor.py:89-91); at 10^12 docs that becomes: every committed
+batch is a SNAPSHOT, and a restarted job processes only doc_ids absent
+from committed output (left_anti).
+
+On an Iceberg deployment the snapshot IS the table snapshot
+(``df.writeTo(tbl).append()`` + snapshot id); this module provides the
+jar-free stand-in used in the sandbox: an append-only parquet directory
+per snapshot + a manifest JSON, with the SAME resume semantics.  The sink
+API is what the flagship plan codes against, so swapping Iceberg in is a
+one-class change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class SnapshotSink:
+    """Append-only snapshotted parquet sink with a manifest.
+
+    Layout:  <root>/manifest.json
+             <root>/snap=<snapshot_id>/part-*.parquet
+    A snapshot is visible iff it is listed in the manifest (commit point),
+    so a job killed mid-write never exposes partial output — same
+    visibility rule as an Iceberg snapshot commit.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._manifest_path = os.path.join(root, "manifest.json")
+
+    # -- manifest ----------------------------------------------------------
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"snapshots": []}
+        with open(self._manifest_path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        return self._read_manifest()["snapshots"]
+
+    # -- write/commit -------------------------------------------------------
+    def append(self, df: DataFrame, *, run_id: str | None = None) -> int:
+        """Write df as a new snapshot; returns the snapshot id.  The write
+        lands fully before the manifest commit makes it visible."""
+        snapshot_id = int(time.time() * 1000)
+        path = os.path.join(self.root, f"snap={snapshot_id}")
+        df.write.mode("overwrite").parquet(path)
+        manifest = self._read_manifest()
+        manifest["snapshots"].append(
+            {
+                "snapshot_id": snapshot_id,
+                "run_id": run_id or uuid.uuid4().hex,
+                "path": path,
+                "committed_at": time.time(),
+            }
+        )
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+        return snapshot_id
+
+    # -- read ----------------------------------------------------------------
+    def read_committed(self, spark: SparkSession) -> DataFrame | None:
+        """Union of all committed snapshots (None if nothing committed)."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        return spark.read.parquet(*[s["path"] for s in snaps])
+
+    def read_since(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
+        """Incremental read: snapshots strictly after ``snapshot_id``."""
+        snaps = [s for s in self.snapshots() if s["snapshot_id"] > snapshot_id]
+        if not snaps:
+            return None
+        return spark.read.parquet(*[s["path"] for s in snaps])
+
+
+def pending_docs(
+    input_df: DataFrame, sink: SnapshotSink, spark: SparkSession, key: str = "doc_id"
+) -> DataFrame:
+    """Docs not yet in committed output: the left_anti resume filter."""
+    done = sink.read_committed(spark)
+    if done is None:
+        return input_df
+    return input_df.join(done.select(key).distinct(), on=key, how="left_anti")

@@ -1,0 +1,110 @@
+"""End-to-end flagship plan: resume idempotence, lineage completeness,
+skew split round-trip, classifier mode parity.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_ocr_summarizer_spark.datagen import (
+    derive_spans_from_documents,
+    interleaved_docs,
+)
+from cloud_ocr_summarizer_spark.operators.classify import (
+    classify_spans_detailed,
+    classify_spans_simple,
+)
+from cloud_ocr_summarizer_spark.operators.extract import extract_span_rows, extract_spans
+from cloud_ocr_summarizer_spark.operators.skew import (
+    reassemble_chunks,
+    split_heavy_docs,
+)
+from cloud_ocr_summarizer_spark.plans.flagship import run_flagship
+from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink, pending_docs
+
+
+def test_resume_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "out")
+    docs = interleaved_docs(spark, 60, seed=42)
+
+    # first run: everything
+    r1 = run_flagship(spark, docs, output_root=out, lineage_root=str(tmp_path / "lin"))
+    assert r1.docs_written == 60
+
+    # second run over the same input: nothing pending
+    r2 = run_flagship(spark, docs, output_root=out)
+    assert r2.docs_written == 0 and r2.snapshot_id is None
+
+    committed = SnapshotSink(out).read_committed(spark)
+    assert committed.count() == 60
+    assert committed.select("doc_id").distinct().count() == 60  # no dupes
+
+
+def test_resume_after_partial_run(spark, tmp_path):
+    out = str(tmp_path / "out")
+    docs = interleaved_docs(spark, 50, seed=42)
+    first_half = docs.filter(F.col("doc_id") < "doc_000000000025")
+
+    r1 = run_flagship(spark, first_half, output_root=out)
+    assert r1.docs_written == 25
+
+    # "restart" with the full input: only the other 25 are pending
+    pend = pending_docs(docs, SnapshotSink(out), spark)
+    assert pend.count() == 25
+    r2 = run_flagship(spark, docs, output_root=out)
+    assert r2.docs_written == 25
+
+    committed = SnapshotSink(out).read_committed(spark)
+    assert committed.select("doc_id").distinct().count() == 50
+    assert committed.count() == 50
+
+
+def test_lineage_covers_all_docs_and_spans(spark, tmp_path):
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+    docs = interleaved_docs(spark, 80, seed=42)
+    run_flagship(spark, docs, output_root=out, lineage_root=lin, repartition_to=6)
+
+    lineage = SnapshotSink(lin).read_committed(spark)
+    rows = lineage.collect()
+    assert all(r["wall_time_s"] >= 0 for r in rows)
+    committed = SnapshotSink(out).read_committed(spark)
+    total_spans = committed.select(F.sum(F.size("spans_out"))).first()[0]
+    assert sum(r["doc_count"] for r in rows) == 80
+    assert sum(r["span_count"] for r in rows) == total_spans
+    assert sum(r["bytes"] for r in rows) > 0
+
+
+def test_split_heavy_docs_round_trip(spark):
+    docs = interleaved_docs(spark, 20, seed=7).filter(F.size("spans") > 0)
+    chunked = split_heavy_docs(docs, max_spans_per_chunk=3)
+    # all chunks bounded
+    assert chunked.select(F.max(F.size("spans"))).first()[0] <= 3
+    # reassemble raw chunks and re-extract: must equal direct extraction
+    merged = reassemble_chunks(
+        chunked.withColumnRenamed("spans", "spans_out"), spans_col="spans_out"
+    ).withColumnRenamed("spans_out", "spans")
+    direct = {
+        r["doc_id"]: [tuple(s) for s in r["spans_out"]]
+        for r in extract_spans(docs, with_stats=False).collect()
+    }
+    via_chunks = {
+        r["doc_id"]: [tuple(s) for s in r["spans_out"]]
+        for r in extract_spans(merged, with_stats=False).collect()
+    }
+    assert via_chunks == direct
+
+
+def test_classifier_modes_agree(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = extract_span_rows(derive_spans_from_documents(docs)).limit(500)
+    simple = {
+        (r["doc_id"], r["seq"]): (r["content_score"], r["is_content"])
+        for r in classify_spans_simple(rows).collect()
+    }
+    detailed = {
+        (r["doc_id"], r["seq"]): (r["content_score"], r["is_content"])
+        for r in classify_spans_detailed(rows).collect()
+    }
+    assert simple == detailed
+    assert any(v[1] for v in simple.values())  # some content
+    scores = [v[0] for v in simple.values()]
+    assert min(scores) >= 0 and max(scores) <= 10000

@@ -1,0 +1,164 @@
+"""Arrow-vectorized extraction: the mapInPandas twin of operators/extract.
+
+Same contract as extract_span_rows (golden-tested equal), but the whole
+per-batch pipeline — explode, confidence gate, kind classification, text
+assembly, offset-order sort, seq numbering — runs as numpy/pandas array
+ops over Arrow batches with zero per-row Python.  This is the slot where
+heavier parsing (real DOM/byte-stream tokenization) scales: Python cost is
+O(batches), not O(rows).
+
+Flat row output (doc_id, seq, kind, text, media_ref, offset): producing
+array<struct> back would force per-span dict building (per-row Python);
+the flat shape keeps both directions vectorized.  Reassembly to arrays,
+when needed, is the downstream window/groupBy step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from cloud_ocr_summarizer_spark import config
+
+_CANON = {str(k): v for k, v in config.BLOCK_TYPES.items()}
+_CANON.update({v: v for v in config.BLOCK_TYPES.values()})
+for _k, _v in config.RAW_KIND_MAP.items():
+    _CANON.setdefault(_k, _v)
+
+_TEXT_KINDS = set(config.TEXT_KINDS)
+_MEDIA_KINDS = set(config.MEDIA_KINDS)
+
+
+def _normalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized reference text assembly (oracle.normalize_block_text):
+    collapse whitespace within newline-paragraphs, rejoin, strip."""
+    # collapse runs of non-newline whitespace to single spaces
+    collapsed = s.str.replace(r"[^\S\n]+", " ", regex=True)
+    # strip spaces around newlines (paragraph-level strip)
+    collapsed = collapsed.str.replace(r" ?\n ?", "\n", regex=True)
+    # full strip of leading/trailing whitespace (incl. newlines)
+    return collapsed.str.replace(r"^\s+|\s+$", "", regex=True)
+
+
+def _extract_batch(
+    pdf: pd.DataFrame, min_confidence: float, max_text_bytes: int
+) -> pd.DataFrame:
+    spans = pdf["spans"]
+    n_spans = spans.map(len).to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy()
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=pdf["doc_id"].dtype),
+                "seq": pd.Series([], dtype="int32"),
+                "kind": pd.Series([], dtype="object"),
+                "text": pd.Series([], dtype="object"),
+                "media_ref": pd.Series([], dtype="object"),
+                "offset": pd.Series([], dtype="int32"),
+            }
+        )
+
+    # ---- explode to flat arrays (one pass over the nested column) -------
+    doc_idx = np.repeat(np.arange(len(pdf)), n_spans)
+    flat = [s for arr in spans for s in arr]  # struct -> dict per span
+    if not flat:
+        return empty()
+    fdf = pd.DataFrame(flat)
+    fdf["doc_idx"] = doc_idx
+
+    # ---- size gate (whole doc dropped, vision_processor.py:43-48) -------
+    tbytes = fdf["text"].fillna("").str.encode("utf-8").str.len()
+    doc_bytes = np.zeros(len(pdf), dtype=np.int64)
+    np.add.at(doc_bytes, fdf["doc_idx"].to_numpy(), tbytes.to_numpy())
+    keep_doc = doc_bytes <= max_text_bytes
+    fdf = fdf[keep_doc[fdf["doc_idx"].to_numpy()]]
+
+    # ---- confidence gate (detailed mode, :261-264) -----------------------
+    if "confidence" in fdf.columns:
+        conf = fdf["confidence"]
+        fdf = fdf[conf.isna() | (conf >= min_confidence)]
+    if len(fdf) == 0:
+        return empty()
+
+    # ---- classify + route -------------------------------------------------
+    kind = fdf["kind"].astype("string").str.lower().map(
+        {k.lower(): v for k, v in _CANON.items()}
+    )
+    # exact-case canonical/enum takes precedence over lowercase fallback
+    exact = fdf["kind"].astype("string").map(_CANON)
+    kind = exact.fillna(kind).fillna(config.KIND_UNKNOWN)
+    is_media = kind.isin(_MEDIA_KINDS)
+    is_text = kind.isin(_TEXT_KINDS)
+    text = _normalize_series(fdf["text"].astype("string"))
+    text = text.mask(is_media.to_numpy(), other=None)
+    media = fdf["media_ref"].astype("string").mask(is_text.to_numpy(), other=None)
+
+    out = pd.DataFrame(
+        {
+            "doc_idx": fdf["doc_idx"].to_numpy(),
+            "kind": kind.to_numpy(dtype=object),
+            "text": text.to_numpy(dtype=object),
+            "media_ref": media.to_numpy(dtype=object),
+            "offset": fdf["offset"].fillna(0).to_numpy(dtype="int32"),
+        }
+    )
+
+    # ---- deterministic order + seq (oracle tie-break: nulls first) -------
+    t_isnull = pd.isna(out["text"].to_numpy())
+    m_isnull = pd.isna(out["media_ref"].to_numpy())
+    order = np.lexsort(
+        (
+            np.where(m_isnull, "", out["media_ref"].to_numpy(dtype=object)),
+            ~m_isnull,
+            np.where(t_isnull, "", out["text"].to_numpy(dtype=object)),
+            ~t_isnull,
+            out["kind"].to_numpy(dtype=object),
+            out["offset"].to_numpy(),
+            out["doc_idx"].to_numpy(),
+        )
+    )
+    out = out.iloc[order].reset_index(drop=True)
+    # pd.NA -> None so Arrow serialization of object columns stays clean
+    for c in ("kind", "text", "media_ref"):
+        col = out[c]
+        out[c] = col.where(pd.notna(col), None)
+    # seq: 1-based rank within doc (positional numbering, :182)
+    d = out["doc_idx"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    seq = np.arange(len(out), dtype=np.int64)
+    seq -= np.repeat(seq[starts], np.diff(np.r_[starts, len(out)]))
+    out["seq"] = (seq + 1).astype("int32")
+    out["doc_id"] = doc_ids[d]
+    return out[["doc_id", "seq", "kind", "text", "media_ref", "offset"]]
+
+
+def extract_span_rows_arrow(
+    df: DataFrame,
+    *,
+    min_confidence: float = config.MIN_CONFIDENCE_THRESHOLD,
+    max_text_bytes: int = config.MAX_DOC_TEXT_BYTES,
+) -> DataFrame:
+    """mapInPandas extraction: (doc_id, spans) -> flat ordered span rows."""
+    id_type = df.schema["doc_id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_batch(pdf, min_confidence, max_text_bytes)
+
+    return df.mapInPandas(run, schema=schema)

@@ -378,6 +378,9 @@ WHERE """
 """
 )
 
+# the Arrow extraction twin shares the flagship's contract and oracle
+ORACLES["extract_flagship_arrow"] = ORACLES["extract_flagship"]
+
 # flagship rows re-used as a CTE for UDF-stage twins
 _FLAGSHIP_ROWS = r"""
 , __rows AS (
@@ -428,6 +431,86 @@ SELECT doc_id, media_ref,
             THEN 1 ELSE 16 + strlen(media_ref) % 48 END AS INT) AS n_frames
 FROM __spans
 WHERE media_ref IS NOT NULL
+"""
+
+ORACLES["structure_token_count"] = SPANS_CTE + (
+    r"""
+SELECT doc_id,
+       CAST(sum(4 + 1
+           + CASE WHEN kind IS NULL THEN 1 ELSE """
+    + _TOKENS.format(col="kind")
+    + r""" END
+           + CASE WHEN text IS NULL THEN 1 ELSE """
+    + _TOKENS.format(col="text")
+    + r""" END
+           + CASE WHEN media_ref IS NULL THEN 1 ELSE """
+    + _TOKENS.format(col="media_ref")
+    + r""" END) AS BIGINT) AS structure_tokens,
+       count(*) AS n_spans
+FROM __spans GROUP BY doc_id
+"""
+)
+
+_LANG_PICK = r"""
+  SELECT doc_id, lang,
+         (51 + (doc_id * 7) % 47) / 100.0 AS c1,
+         0.6049 AS c2,
+         (30 + (doc_id * 11) % 29) / 100.0 AS c3,
+         (doc_id % 20 = 0) AS no_langs
+  FROM documents
+"""
+
+
+def _lang_oracle(default: str) -> str:
+    return (
+        "WITH l AS ("
+        + _LANG_PICK
+        + f""")
+SELECT doc_id,
+       CASE WHEN no_langs THEN '{default}'
+            WHEN c1 >= c2 AND c1 >= c3 THEN lang
+            WHEN c2 >= c3 THEN 'en'
+            ELSE 'fr' END AS primary_lang,
+       no_langs AS used_default
+FROM l
+"""
+    )
+
+
+ORACLES["primary_language_default_en"] = _lang_oracle("en")
+ORACLES["primary_language_default_ja"] = _lang_oracle("ja")
+
+ORACLES["token_count_bpe"] = (
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+           AS n_bpe_tokens,
+       CAST("""
+    + _TOKENS.format(col="text")
+    + r""" AS INT) AS n_ws_tokens
+FROM documents
+"""
+)
+
+ORACLES["rolling_fingerprint"] = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''),
+             w -> ('0x' || substr(md5(w), 1, 14))::BIGINT % 2147483647)),
+         (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp
+FROM documents
+"""
+
+ORACLES["events_daily"] = r"""
+SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
 """
 
 ORACLES["latest_event_per_user"] = r"""

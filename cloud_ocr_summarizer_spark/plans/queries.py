@@ -464,6 +464,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(rows)
 
 
+def q_extract_flagship_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 detailed-mode extraction: the mapInPandas/Arrow twin of the
+    flagship (same output contract, numpy-vectorized batch pipeline)."""
+    from cloud_ocr_summarizer_spark.operators.extract_arrow import (
+        extract_span_rows_arrow,
+    )
+
+    return extract_span_rows_arrow(_documents_spans(spark, sf_dir))
+
+
 def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 lineage: per-partition metrics over a deterministic repartition
     (rows-only check; totals pinned in tests/test_pipeline.py)."""
@@ -475,7 +485,120 @@ def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# reference-fidelity extras: recursive token rules, T1 defaults, date ops
+# ---------------------------------------------------------------------------
+def q_structure_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 recursive structure rules (token_counter.py:60-82) applied to the
+    span tree: dict -> sum(1 + count(v)); string -> len(split); null/int
+    -> 1.  Per doc: sum over spans of (4 + tok(kind)+tok(text)+tok(media)+1)."""
+    rows = extract_span_rows(_documents_spans(spark, sf_dir))
+    tok = token_count_col  # null -> 1, string -> whitespace tokens
+    span_tokens = (
+        F.lit(4)  # one per struct key (dict rule, token_counter.py:73-74)
+        + tok(F.col("kind"))
+        + tok(F.col("text"))
+        + tok(F.col("media_ref"))
+        + F.lit(1)  # offset scalar
+    )
+    return rows.groupBy("doc_id").agg(
+        F.sum(span_tokens).alias("structure_tokens"),
+        F.count("*").alias("n_spans"),
+    )
+
+
+def _derived_langs_cols():
+    """Deterministic detected-languages triple per doc (no ties)."""
+    d = F.col("doc_id")
+    c1 = (51 + F.pmod(d * 7, F.lit(47))) / 100.0
+    c2 = F.lit(0.6049)
+    c3 = (30 + F.pmod(d * 11, F.lit(29))) / 100.0
+    return c1, c2, c3
+
+
+def _q_primary_language(default: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _read(spark, sf_dir, "documents")
+        c1, c2, c3 = _derived_langs_cols()
+        no_langs = F.pmod(F.col("doc_id"), F.lit(20)) == 0
+        pick = (
+            F.when((c1 >= c2) & (c1 >= c3), F.col("lang"))
+            .when(c2 >= c3, F.lit("en"))
+            .otherwise(F.lit("fr"))
+        )
+        return docs.select(
+            "doc_id",
+            F.when(no_langs, F.lit(default)).otherwise(pick).alias("primary_lang"),
+            F.when(no_langs, F.lit(True)).otherwise(F.lit(False)).alias("used_default"),
+        )
+
+    return q
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: alpha runs / digit runs / single punct."""
+    docs = _read(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(whitespace_tokens_col(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
+_ROLL_M = 2147483647
+_ROLL_B = 131
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over word hashes (order-sensitive document
+    fingerprint; md5-derived word hashes so DuckDB reproduces it)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = whitespace_tokens_col(F.col("text"))
+    wh = lambda w: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(w.cast("binary")), 1, 14), 16, 10).cast("bigint"),
+        F.lit(_ROLL_M),
+    )
+    rolled = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * _ROLL_B + wh(w), F.lit(_ROLL_M)),
+    )
+    return docs.select("doc_id", rolled.alias("rolling_fp"))
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing + multi-agg: per (day, type) counts and value stats.
+    Day index = epoch days (TZ-proof for NTZ timestamps)."""
+    events = _read(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    return (
+        events.withColumn("day_idx", F.floor(ts_us / F.lit(86400000000)).cast("int"))
+        .groupBy("day_idx", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+BATCH_5 = {
+    "structure_token_count": q_structure_token_count,
+    "primary_language_default_en": _q_primary_language(config.DEFAULT_LANGUAGE_EN),
+    "primary_language_default_ja": _q_primary_language(config.DEFAULT_LANGUAGE_JA),
+    "token_count_bpe": q_token_count_bpe,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "events_daily": q_events_daily,
+}
+
+
 BATCH_UDF = {
+    "extract_flagship_arrow": q_extract_flagship_arrow,
     "main_content": q_main_content,
     "media_features": q_media_features,
     "lineage_metrics": q_lineage_metrics,

@@ -1,0 +1,61 @@
+"""Arrow-vectorized extraction must match the expression path row-for-row
+(and therefore the oracle, by transitivity with test_extract)."""
+
+from pyspark.sql import functions as F
+
+from cloud_ocr_summarizer_spark.datagen import interleaved_docs
+from cloud_ocr_summarizer_spark.operators.extract import extract_span_rows
+from cloud_ocr_summarizer_spark.operators.extract_arrow import (
+    extract_span_rows_arrow,
+)
+from tests.test_extract import EDGE_DOCS, SPAN_SCHEMA, docs_schema, to_rows
+
+
+def rows_key(collected):
+    return sorted(
+        (r["doc_id"], r["seq"], r["kind"], r["text"], r["media_ref"], r["offset"])
+        for r in collected
+    )
+
+
+def test_arrow_matches_expression_on_edge_docs(spark):
+    df = spark.createDataFrame(to_rows(EDGE_DOCS), docs_schema(SPAN_SCHEMA))
+    assert rows_key(extract_span_rows_arrow(df).collect()) == rows_key(
+        extract_span_rows(df).collect()
+    )
+
+
+def test_arrow_matches_expression_on_generated(spark):
+    df = interleaved_docs(spark, 300, seed=42).cache()
+    got = rows_key(extract_span_rows_arrow(df).collect())
+    want = rows_key(extract_span_rows(df).collect())
+    assert got == want
+    df.unpersist()
+
+
+def test_arrow_size_gate(spark):
+    rows = [
+        ("small", [{"kind": "TEXT", "text": "ok", "media_ref": None, "offset": 0}]),
+        ("big", [{"kind": "TEXT", "text": "x" * 2000, "media_ref": None, "offset": 0}]),
+    ]
+    df = spark.createDataFrame(rows, docs_schema(SPAN_SCHEMA))
+    out = extract_span_rows_arrow(df, max_text_bytes=1000).collect()
+    assert {r["doc_id"] for r in out} == {"small"}
+
+
+def test_arrow_confidence_gate(spark):
+    from tests.test_extract import SPAN_CONF_SCHEMA
+
+    rows = [
+        (
+            "c",
+            [
+                {"kind": "TEXT", "text": "hi", "media_ref": None, "offset": 0, "confidence": 0.9},
+                {"kind": "TEXT", "text": "lo", "media_ref": None, "offset": 1, "confidence": 0.3},
+                {"kind": "TEXT", "text": "nul", "media_ref": None, "offset": 2, "confidence": None},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, docs_schema(SPAN_CONF_SCHEMA))
+    out = extract_span_rows_arrow(df, min_confidence=0.7).collect()
+    assert [r["text"] for r in sorted(out, key=lambda r: r["seq"])] == ["hi", "nul"]

@@ -49,10 +49,9 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from cloud_ocr_summarizer_spark.operators.classify import main_content_rows
-    from cloud_ocr_summarizer_spark.operators.extract import (
-        extract_span_rows,
-        extract_spans,
+    from cloud_ocr_summarizer_spark.operators.extract import extract_spans
+    from cloud_ocr_summarizer_spark.operators.extract_arrow import (
+        extract_and_classify_arrow,
     )
     from cloud_ocr_summarizer_spark.plans import queries as Q
 
@@ -68,12 +67,10 @@ def main() -> int:
 
     # q1: flagship row-local extraction over n_docs interleaved docs
     timed("q1_extract_flagship", lambda: _force(extract_spans(bench_docs)))
-    # q2: extraction + vectorized pandas classification (Arrow boundary)
+    # q2: fused extraction + vectorized pandas classification (one Arrow pass)
     timed(
         "q2_main_content_detailed",
-        lambda: _force(
-            main_content_rows(extract_span_rows(bench_docs), detailed=True)
-        ),
+        lambda: _force(extract_and_classify_arrow(bench_docs, content_only=True)),
     )
     # q3: TPC-H Q1-shape aggregation on lineitem (sf tier)
     timed("q3_pricing_summary", lambda: _force(Q.q_pricing_summary(spark, sf_dir)))

@@ -137,6 +137,17 @@ def _extract_batch(
     return out[["doc_id", "seq", "kind", "text", "media_ref", "offset"]]
 
 
+def _row_schema(df: DataFrame) -> list[T.StructField]:
+    return [
+        T.StructField("doc_id", df.schema["doc_id"].dataType),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+
+
 def extract_span_rows_arrow(
     df: DataFrame,
     *,
@@ -144,21 +155,45 @@ def extract_span_rows_arrow(
     max_text_bytes: int = config.MAX_DOC_TEXT_BYTES,
 ) -> DataFrame:
     """mapInPandas extraction: (doc_id, spans) -> flat ordered span rows."""
-    id_type = df.schema["doc_id"].dataType
+    schema = T.StructType(_row_schema(df))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_batch(pdf, min_confidence, max_text_bytes)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def extract_and_classify_arrow(
+    df: DataFrame,
+    *,
+    min_confidence: float = config.MIN_CONFIDENCE_THRESHOLD,
+    max_text_bytes: int = config.MAX_DOC_TEXT_BYTES,
+    content_only: bool = False,
+) -> DataFrame:
+    """Fused extraction + boilerplate classification in ONE Arrow pass.
+
+    Crossing the JVM/Python boundary once (instead of extract -> classify
+    as two mapInPandas stages) halves the Arrow serialization volume — the
+    dominant cost of the detailed path at scale.  Output = flat span rows
+    + (content_score, is_content), identical to
+    classify_spans_detailed(extract_span_rows_arrow(df)).
+    """
+    from cloud_ocr_summarizer_spark.operators.classify import _score_batch
+
     schema = T.StructType(
-        [
-            T.StructField("doc_id", id_type),
-            T.StructField("seq", T.IntegerType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("media_ref", T.StringType()),
-            T.StructField("offset", T.IntegerType()),
+        _row_schema(df)
+        + [
+            T.StructField("content_score", T.IntegerType()),
+            T.StructField("is_content", T.BooleanType()),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch(pdf, min_confidence, max_text_bytes)
+                scored = _score_batch(_extract_batch(pdf, min_confidence, max_text_bytes))
+                yield scored[scored["is_content"]] if content_only else scored
 
     return df.mapInPandas(run, schema=schema)

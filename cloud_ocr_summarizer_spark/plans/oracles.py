@@ -380,6 +380,7 @@ WHERE """
 
 # the Arrow extraction twin shares the flagship's contract and oracle
 ORACLES["extract_flagship_arrow"] = ORACLES["extract_flagship"]
+# ... and the fused extract+classify shares main_content's (set below)
 
 # flagship rows re-used as a CTE for UDF-stage twins
 _FLAGSHIP_ROWS = r"""
@@ -519,3 +520,6 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
           ORDER BY ts DESC, event_id DESC) AS rn FROM events)
 WHERE rn = 1
 """
+
+# fused extract+classify: identical contract to main_content
+ORACLES["main_content_fused"] = ORACLES["main_content"]

@@ -474,6 +474,18 @@ def q_extract_flagship_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_span_rows_arrow(_documents_spans(spark, sf_dir))
 
 
+def q_main_content_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-Arrow-pass extract+classify (same contract/oracle as
+    main_content)."""
+    from cloud_ocr_summarizer_spark.operators.extract_arrow import (
+        extract_and_classify_arrow,
+    )
+
+    return extract_and_classify_arrow(
+        _documents_spans(spark, sf_dir), content_only=True
+    )
+
+
 def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 lineage: per-partition metrics over a deterministic repartition
     (rows-only check; totals pinned in tests/test_pipeline.py)."""
@@ -600,6 +612,7 @@ BATCH_5 = {
 BATCH_UDF = {
     "extract_flagship_arrow": q_extract_flagship_arrow,
     "main_content": q_main_content,
+    "main_content_fused": q_main_content_fused,
     "media_features": q_media_features,
     "lineage_metrics": q_lineage_metrics,
 }

@@ -59,3 +59,23 @@ def test_arrow_confidence_gate(spark):
     df = spark.createDataFrame(rows, docs_schema(SPAN_CONF_SCHEMA))
     out = extract_span_rows_arrow(df, min_confidence=0.7).collect()
     assert [r["text"] for r in sorted(out, key=lambda r: r["seq"])] == ["hi", "nul"]
+
+def test_fused_matches_two_stage(spark):
+    from cloud_ocr_summarizer_spark.operators.classify import classify_spans_detailed
+    from cloud_ocr_summarizer_spark.operators.extract_arrow import (
+        extract_and_classify_arrow,
+    )
+
+    df = interleaved_docs(spark, 150, seed=42).cache()
+    fused = {
+        (r["doc_id"], r["seq"]): (r["kind"], r["text"], r["media_ref"], r["offset"],
+                                  r["content_score"], r["is_content"])
+        for r in extract_and_classify_arrow(df).collect()
+    }
+    staged = {
+        (r["doc_id"], r["seq"]): (r["kind"], r["text"], r["media_ref"], r["offset"],
+                                  r["content_score"], r["is_content"])
+        for r in classify_spans_detailed(extract_span_rows_arrow(df)).collect()
+    }
+    assert fused == staged
+    df.unpersist()

@@ -76,7 +76,7 @@ def main() -> int:
         return min(reps, key=lambda r: r["sec"])
 
     lows, highs = [], []
-    for _ in range(2):
+    for _ in range(3):
         lows.append(child(2, n_docs, path))
         highs.append(child(8, n_docs, path))
     low = best_of(2, lows)

@@ -111,6 +111,56 @@ def derive_centroids(
     )
 
 
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    emb_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """Lloyd's iterations to refine IVF centroids, pure DataFrame ops.
+
+    Each iteration: assign every vector to its nearest centroid (broadcast
+    join + rank-1 window) then recompute each centroid as the element-wise
+    mean of its members (posexplode -> groupBy(cluster, dim) -> avg ->
+    re-assemble).  Empty clusters keep their previous centroid.  All
+    shuffles are on (cluster[, dim]) — small keys; the corpus is scanned
+    ``iterations`` times, never collected.
+    """
+    current = centroids
+    for _ in range(iterations):
+        asg = assign_centroids(
+            corpus, current, id_col=id_col, emb_col=emb_col, n_probe=1
+        )
+        members = asg.join(
+            corpus.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb")),
+            "id",
+        )
+        dims = members.select(
+            "cluster", F.posexplode(F.col("emb")).alias("dim", "v")
+        )
+        means = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("new_emb")
+            )
+        )
+        current = (
+            current.join(means, "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce(F.col("new_emb"), F.col("c_emb")).alias("c_emb"),
+            )
+        )
+    return current
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -120,13 +170,24 @@ def ivf_topk(
     emb_col: str = "embedding",
     stride: int = 50,
     n_probe: int = 4,
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """IVF ANN: exact search restricted to the probed inverted lists.
 
     corpus assign (1 shuffle) -> query probe (broadcast) -> equi-join on
-    cluster -> exact cosine + window top-k.  Recall grows with n_probe.
+    cluster -> exact cosine + window top-k.  Recall grows with n_probe;
+    centroid quality (and thus recall at fixed n_probe) grows with
+    ``kmeans_iterations`` of Lloyd refinement.
     """
     centroids = derive_centroids(corpus, id_col=id_col, emb_col=emb_col, stride=stride)
+    if kmeans_iterations > 0:
+        centroids = kmeans_refine_centroids(
+            corpus,
+            centroids,
+            id_col=id_col,
+            emb_col=emb_col,
+            iterations=kmeans_iterations,
+        )
     corpus_asg = assign_centroids(
         corpus, centroids, id_col=id_col, emb_col=emb_col, n_probe=1
     ).select(F.col("id").alias("neighbor_id"), "cluster")

@@ -206,3 +206,28 @@ def test_extract_span_rows_shape_and_seq(spark):
         got = sorted(by_doc.get(doc_id, []), key=lambda r: r["seq"])
         assert [g["seq"] for g in got] == list(range(1, len(expected) + 1))
         assert [(g["kind"], g["text"], g["media_ref"], g["offset"]) for g in got] == expected
+
+
+def test_normalize_fuzz_engine_matches_oracle(spark):
+    """500 adversarial whitespace strings: column expression == pure
+    Python spec (oracle.normalize_block_text)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark import oracle
+    from cloud_ocr_summarizer_spark.functions.text import normalize_block_text_col
+
+    rng = random.Random(42)
+    pieces = ["a", "bb", "x y", " ", "  ", "\t", "\n", "\n\n", "\r", "w\tw", ""]
+    strings = [
+        "".join(rng.choice(pieces) for _ in range(rng.randint(0, 12)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i int, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_block_text_col(F.col("s")).alias("n")).collect()
+    }
+    for i, s in enumerate(strings):
+        assert got[i] == oracle.normalize_block_text(s), repr(s)

@@ -79,3 +79,23 @@ def test_fused_matches_two_stage(spark):
     }
     assert fused == staged
     df.unpersist()
+
+
+def test_arrow_normalize_fuzz_matches_oracle():
+    """The pandas regex normalization must equal the pure-Python spec."""
+    import random
+
+    import pandas as pd
+
+    from cloud_ocr_summarizer_spark import oracle
+    from cloud_ocr_summarizer_spark.operators.extract_arrow import _normalize_series
+
+    rng = random.Random(7)
+    pieces = ["a", "bb", "x y", " ", "  ", "\t", "\n", "\n\n", "\r", "w\tw", ""]
+    strings = [
+        "".join(rng.choice(pieces) for _ in range(rng.randint(0, 12)))
+        for _ in range(500)
+    ]
+    got = _normalize_series(pd.Series(strings, dtype="string"))
+    for s, g in zip(strings, got):
+        assert g == oracle.normalize_block_text(s), repr(s)

@@ -68,3 +68,34 @@ def test_embedding_near_dup_symmetric_threshold(spark, emb):
     pairs = embedding_near_dup_pairs(emb, threshold=0.3).collect()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     assert all(r["cosine"] >= 0.3 for r in pairs)
+
+
+def test_kmeans_refinement_improves_or_holds_recall(spark, emb):
+    from cloud_ocr_summarizer_spark.operators.similarity import (
+        kmeans_refine_centroids,
+        derive_centroids,
+    )
+
+    corpus = emb.filter("vec_id >= 10")
+    seeds = derive_centroids(corpus, id_col="vec_id", emb_col="embedding", stride=50)
+    refined = kmeans_refine_centroids(
+        corpus, seeds, id_col="vec_id", emb_col="embedding", iterations=2
+    )
+    s = {r["cluster"]: r["c_emb"] for r in seeds.collect()}
+    r = {r["cluster"]: r["c_emb"] for r in refined.collect()}
+    assert set(s) == set(r)  # cluster ids preserved
+    assert all(len(v) == 64 for v in r.values())  # dims preserved
+    assert any(tuple(s[c]) != tuple(r[c]) for c in r)  # something moved
+
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (x["query_id"], x["neighbor_id"])
+        for x in cosine_topk(queries, corpus, k=5).collect()
+    }
+    approx = {
+        (x["query_id"], x["neighbor_id"])
+        for x in ivf_topk(
+            queries, corpus, k=5, stride=50, n_probe=4, kmeans_iterations=2
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5

@@ -32,3 +32,41 @@ def test_available_now_incremental(spark, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 45
     assert got2.select("doc_id").distinct().count() == 45  # exactly-once
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from cloud_ocr_summarizer_spark.streaming.stateful import (
+        streaming_first_occurrence,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("fingerprint", T.StringType())]
+    )
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            streaming_first_occurrence(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([("d1", "fA"), ("d2", "fA"), ("d3", "fB")])
+    got1 = {(r["fingerprint"], r["doc_id"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("fA", "d1"), ("fB", "d3")}
+
+    # second batch: fA repeats (suppressed by state), fC is new
+    run_batch([("d4", "fA"), ("d5", "fC")])
+    got2 = {(r["fingerprint"], r["doc_id"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == {("fA", "d1"), ("fB", "d3"), ("fC", "d5")}

@@ -231,3 +231,29 @@ def test_normalize_fuzz_engine_matches_oracle(spark):
     }
     for i, s in enumerate(strings):
         assert got[i] == oracle.normalize_block_text(s), repr(s)
+
+
+def test_extra_span_metadata_tolerated(spark):
+    """Detailed-mode per-span metadata (confidence + bbox,
+    vision_processor.py:304-313) flows through extraction: gates apply,
+    extra fields don't leak into the canonical output."""
+    bbox_t = T.ArrayType(
+        T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+    )
+    span_t = T.StructType(
+        SPAN_CONF_SCHEMA.fields + [T.StructField("bbox", bbox_t)]
+    )
+    rows = [
+        (
+            "d",
+            [
+                {"kind": "TEXT", "text": "hello", "media_ref": None, "offset": 1,
+                 "confidence": 0.9, "bbox": [{"x": 0.1, "y": 0.2}]},
+                {"kind": "TEXT", "text": "dropped", "media_ref": None, "offset": 0,
+                 "confidence": 0.2, "bbox": None},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, docs_schema(span_t))
+    out = extract_spans(df, min_confidence=0.5).collect()
+    assert spans_out_as_tuples(out[0]["spans_out"]) == [("TEXT", "hello", None, 1)]

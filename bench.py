@@ -61,6 +61,7 @@ def main() -> int:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
+        fn()  # warm-up: codegen + JIT; report steady-state throughput
         t0 = time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -95,6 +96,17 @@ def main() -> int:
         "cpus": cpus,
         "docs_per_sec_extraction": docs_per_sec,
     }
+    # include the last recorded N->4N scaling run (tools/bench_scaling.py)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path, encoding="utf-8") as f:
+            s = json.load(f)
+        out["scaling_efficiency_N_to_4N"] = s.get("scaling_efficiency_N_to_4N")
+        out["scaling_detail"] = {
+            "localN": s.get("localN"),
+            "local4N": s.get("local4N"),
+        }
     print(json.dumps(out))
     return 0
 

@@ -200,7 +200,13 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    src = df.repartition(parallelism) if parallelism else df
+    # Repartition BEFORE the (CPU-heavy, interpreted-HOF) gram stage: a
+    # single-file input otherwise evaluates every gram on one core.  The
+    # gram pass is recomputed per consumer branch, but spread across cores
+    # it is far cheaper than serializing it behind one partition.
+    src = df.repartition(
+        parallelism or df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     base = src.select(
         F.col(id_col).alias("id"),
         gram_hashes_col(F.col(text_col), n).alias("grams"),

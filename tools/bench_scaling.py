@@ -91,6 +91,8 @@ def main() -> int:
         "scaling_efficiency_N_to_4N": eff,
     }
     print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w", encoding="utf-8") as f:
+        json.dump(result, f)
 
     md = f"""# BENCH/BASELINE — measured engine baseline
 

@@ -62,9 +62,12 @@ def main() -> int:
 
     def timed(name: str, fn) -> None:
         fn()  # warm-up: codegen + JIT; report steady-state throughput
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: the host VM has noisy neighbors
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     # q1: flagship row-local extraction over n_docs interleaved docs
     timed("q1_extract_flagship", lambda: _force(extract_spans(bench_docs)))

@@ -523,3 +523,38 @@ WHERE rn = 1
 
 # fused extract+classify: identical contract to main_content
 ORACLES["main_content_fused"] = ORACLES["main_content"]
+
+# as-of join pattern: latest prior click per purchase
+ORACLES["asof_last_click_before_purchase"] = r"""
+SELECT user_id, event_id AS purchase_id, last_click_id
+FROM (
+  SELECT user_id, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_id
+  FROM events)
+WHERE event_type = 'purchase'
+"""
+
+# TPC-H Q3 shape
+ORACLES["shipping_priority"] = r"""
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey,
+       CAST(epoch_us(o_orderdate) // 86400000000 AS INT) AS orderdate_epoch_day,
+       o_orderpriority, revenue,
+       CAST(rk AS INT) AS revenue_rank
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk
+      FROM agg)
+WHERE rk <= 10
+"""

@@ -599,7 +599,65 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for every purchase event, the
+    most recent prior click by the same user — expressed as last_value
+    over an ordered window on the unioned stream, no cross join."""
+    events = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    enriched = events.withColumn(
+        "last_click_id", F.last(click_id, ignorenulls=True).over(w)
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "last_click_id",
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, date filters, revenue agg, top-10."""
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "l_orderkey",
+            F.expr(
+                "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).cast("int").alias("orderdate_epoch_day"),
+            "o_orderpriority",
+            "revenue",
+            F.col("rk").alias("revenue_rank"),
+        )
+    )
+
+
 BATCH_5 = {
+    "asof_last_click_before_purchase": q_asof_last_click_before_purchase,
+    "shipping_priority": q_shipping_priority,
     "structure_token_count": q_structure_token_count,
     "primary_language_default_en": _q_primary_language(config.DEFAULT_LANGUAGE_EN),
     "primary_language_default_ja": _q_primary_language(config.DEFAULT_LANGUAGE_JA),

@@ -558,3 +558,16 @@ FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk
       FROM agg)
 WHERE rk <= 10
 """
+
+# CDC upsert emulation: updates win on key collision
+ORACLES["merge_upsert"] = r"""
+WITH cust AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+), updates AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal
+  FROM cust WHERE c_custkey % 10 = 0
+)
+SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT * FROM updates
+"""

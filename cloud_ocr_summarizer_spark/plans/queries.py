@@ -655,9 +655,26 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert emulation (anti-join + union): customers with
+    custkey % 10 == 0 receive a deterministic balance update."""
+    from cloud_ocr_summarizer_spark.operators.merge import merge_upsert
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    updates = cust.filter(F.pmod(F.col("c_custkey"), F.lit(10)) == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+    )
+    return merge_upsert(cust, updates, key="c_custkey")
+
+
 BATCH_5 = {
     "asof_last_click_before_purchase": q_asof_last_click_before_purchase,
     "shipping_priority": q_shipping_priority,
+    "merge_upsert": q_merge_upsert,
     "structure_token_count": q_structure_token_count,
     "primary_language_default_en": _q_primary_language(config.DEFAULT_LANGUAGE_EN),
     "primary_language_default_ja": _q_primary_language(config.DEFAULT_LANGUAGE_JA),

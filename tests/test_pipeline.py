@@ -108,3 +108,28 @@ def test_classifier_modes_agree(spark):
     assert any(v[1] for v in simple.values())  # some content
     scores = [v[0] for v in simple.values()]
     assert min(scores) >= 0 and max(scores) <= 10000
+
+
+def test_scd2_apply(spark):
+    from cloud_ocr_summarizer_spark.operators.merge import scd2_apply
+
+    history = spark.createDataFrame(
+        [
+            (1, "a-v1", 100, 200),
+            (1, "a-v2", 200, None),
+            (2, "b-v1", 100, None),
+            (3, "c-v1", 100, None),
+        ],
+        "k int, payload string, valid_from int, valid_to int",
+    )
+    changes = spark.createDataFrame(
+        [(1, "a-v3", 300), (4, "d-v1", 300)], "k int, payload string, change_ts int"
+    )
+    out = scd2_apply(history, changes, key="k", change_ts_col="change_ts")
+    rows = {(r["k"], r["payload"]): (r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert rows[(1, "a-v1")] == (100, 200)       # old history untouched
+    assert rows[(1, "a-v2")] == (200, 300)       # current row closed
+    assert rows[(1, "a-v3")] == (300, None)      # new version current
+    assert rows[(2, "b-v1")] == (100, None)      # untouched key stays current
+    assert rows[(4, "d-v1")] == (300, None)      # brand-new key inserted
+    assert len(rows) == 6

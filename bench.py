@@ -53,6 +53,9 @@ def main() -> int:
     from cloud_ocr_summarizer_spark.operators.extract_arrow import (
         extract_and_classify_arrow,
     )
+    from cloud_ocr_summarizer_spark.operators.extract_arrow_native import (
+        extract_span_rows_arrow_native,
+    )
     from cloud_ocr_summarizer_spark.plans import queries as Q
 
     docs_path = materialize_bench_docs(spark, n_docs, cache_base)
@@ -69,8 +72,13 @@ def main() -> int:
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
 
-    # q1: flagship row-local extraction over n_docs interleaved docs
-    timed("q1_extract_flagship", lambda: _force(extract_spans(bench_docs)))
+    # q1: flagship extraction (mapInArrow — fastest measured path)
+    timed(
+        "q1_extract_flagship",
+        lambda: _force(extract_span_rows_arrow_native(bench_docs)),
+    )
+    # q1b: the row-local expression twin (JVM-only reference point)
+    timed("q1b_extract_expression", lambda: _force(extract_spans(bench_docs)))
     # q2: fused extraction + vectorized pandas classification (one Arrow pass)
     timed(
         "q2_main_content_detailed",

@@ -571,3 +571,6 @@ SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
 UNION ALL
 SELECT * FROM updates
 """
+
+# the mapInArrow twin shares the flagship contract/oracle too
+ORACLES["extract_flagship_arrow_native"] = ORACLES["extract_flagship"]

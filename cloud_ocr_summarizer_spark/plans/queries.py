@@ -446,6 +446,16 @@ BATCH_4 = {
 # ---------------------------------------------------------------------------
 # UDF-stage operators: pandas classifier, multimodal, lineage
 # ---------------------------------------------------------------------------
+def q_extract_flagship_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow extraction: nested column never leaves Arrow (fastest
+    path measured: ~614k docs/s at 1M docs, local[32])."""
+    from cloud_ocr_summarizer_spark.operators.extract_arrow_native import (
+        extract_span_rows_arrow_native,
+    )
+
+    return extract_span_rows_arrow_native(_documents_spans(spark, sf_dir))
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 boilerplate classification via the DETAILED (mapInPandas) path:
     the driver cross-check exercises the vectorized pandas UDF itself."""
@@ -686,6 +696,7 @@ BATCH_5 = {
 
 BATCH_UDF = {
     "extract_flagship_arrow": q_extract_flagship_arrow,
+    "extract_flagship_arrow_native": q_extract_flagship_arrow_native,
     "main_content": q_main_content,
     "main_content_fused": q_main_content_fused,
     "media_features": q_media_features,

@@ -99,3 +99,42 @@ def test_arrow_normalize_fuzz_matches_oracle():
     got = _normalize_series(pd.Series(strings, dtype="string"))
     for s, g in zip(strings, got):
         assert g == oracle.normalize_block_text(s), repr(s)
+
+
+def test_arrow_native_matches_expression(spark):
+    from cloud_ocr_summarizer_spark.operators.extract_arrow_native import (
+        extract_span_rows_arrow_native,
+    )
+
+    df = spark.createDataFrame(to_rows(EDGE_DOCS), docs_schema(SPAN_SCHEMA))
+    assert rows_key(extract_span_rows_arrow_native(df).collect()) == rows_key(
+        extract_span_rows(df).collect()
+    )
+    gen = interleaved_docs(spark, 300, seed=42).cache()
+    assert rows_key(extract_span_rows_arrow_native(gen).collect()) == rows_key(
+        extract_span_rows(gen).collect()
+    )
+    gen.unpersist()
+
+
+def test_arrow_native_gates(spark):
+    from tests.test_extract import SPAN_CONF_SCHEMA
+    from cloud_ocr_summarizer_spark.operators.extract_arrow_native import (
+        extract_span_rows_arrow_native,
+    )
+
+    rows = [
+        ("big", [{"kind": "TEXT", "text": "x" * 2000, "media_ref": None, "offset": 0,
+                  "confidence": None}]),
+        ("ok", [
+            {"kind": "TEXT", "text": "keep me", "media_ref": None, "offset": 0,
+             "confidence": 0.9},
+            {"kind": "TEXT", "text": "drop me", "media_ref": None, "offset": 1,
+             "confidence": 0.1},
+        ]),
+    ]
+    df = spark.createDataFrame(rows, docs_schema(SPAN_CONF_SCHEMA))
+    out = extract_span_rows_arrow_native(
+        df, min_confidence=0.5, max_text_bytes=1000
+    ).collect()
+    assert [(r["doc_id"], r["text"]) for r in out] == [("ok", "keep me")]

@@ -23,7 +23,9 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from cloud_ocr_summarizer_spark.session import get_spark
-from cloud_ocr_summarizer_spark.operators.extract import extract_spans
+from cloud_ocr_summarizer_spark.operators.extract_arrow_native import (
+    extract_span_rows_arrow_native,
+)
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); path = sys.argv[3]
 spark = get_spark(app_name=f"scaling-{{cores}}", cores=cores)
@@ -31,7 +33,7 @@ docs = spark.read.parquet(path)
 
 def run():
     t0 = time.monotonic()
-    extract_spans(docs).write.format("noop").mode("overwrite").save()
+    extract_span_rows_arrow_native(docs).write.format("noop").mode("overwrite").save()
     return time.monotonic() - t0
 
 run()            # warm-up: JIT + codegen

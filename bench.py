@@ -79,6 +79,10 @@ def main() -> int:
     )
     # q1b: the row-local expression twin (JVM-only reference point)
     timed("q1b_extract_expression", lambda: _force(extract_spans(bench_docs)))
+    # q1c: explode+window reassembly variant (the 1-shuffle path)
+    from cloud_ocr_summarizer_spark.operators.extract import extract_spans_exploded
+
+    timed("q1c_extract_window", lambda: _force(extract_spans_exploded(bench_docs)))
     # q2: fused extraction + vectorized pandas classification (one Arrow pass)
     timed(
         "q2_main_content_detailed",

@@ -27,9 +27,15 @@ def salted_repartition(
     key: str = "doc_id",
     salt_buckets: int = config.DEFAULT_SALT_BUCKETS,
 ) -> DataFrame:
-    """repartition on xxhash64(key, salt): hot keys fan out over
-    ``salt_buckets`` partitions; distinct keys stay uniformly spread."""
-    salt = F.pmod(F.xxhash64(F.col(key), F.lit("salt")), F.lit(salt_buckets))
+    """repartition on (hash(key), salt): hot keys fan out over
+    ``salt_buckets`` partitions; distinct keys stay uniformly spread.
+
+    The salt MUST vary within a key (a key-derived salt is a no-op — every
+    row of the hot key would get the same salt); a row-sequence salt only
+    affects physical placement, never values, so downstream results stay
+    deterministic.
+    """
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     return df.repartition(num_partitions, F.xxhash64(F.col(key)), salt)
 
 

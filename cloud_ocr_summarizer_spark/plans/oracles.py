@@ -574,3 +574,6 @@ SELECT * FROM updates
 
 # the mapInArrow twin shares the flagship contract/oracle too
 ORACLES["extract_flagship_arrow_native"] = ORACLES["extract_flagship"]
+
+# the spark.sql front-door twin of revenue_by_nation
+ORACLES["sql_api_revenue"] = ORACLES["revenue_by_nation"]

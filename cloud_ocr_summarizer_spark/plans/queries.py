@@ -665,6 +665,25 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical query as revenue_by_nation but through the spark.sql
+    surface (temp views + ANSI SQL) — the engine's SQL front door."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _read(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC upsert emulation (anti-join + union): customers with
     custkey % 10 == 0 receive a deterministic balance update."""
@@ -685,6 +704,7 @@ BATCH_5 = {
     "asof_last_click_before_purchase": q_asof_last_click_before_purchase,
     "shipping_priority": q_shipping_priority,
     "merge_upsert": q_merge_upsert,
+    "sql_api_revenue": q_sql_api_revenue,
     "structure_token_count": q_structure_token_count,
     "primary_language_default_en": _q_primary_language(config.DEFAULT_LANGUAGE_EN),
     "primary_language_default_ja": _q_primary_language(config.DEFAULT_LANGUAGE_JA),

@@ -133,3 +133,19 @@ def test_scd2_apply(spark):
     assert rows[(2, "b-v1")] == (100, None)      # untouched key stays current
     assert rows[(4, "d-v1")] == (300, None)      # brand-new key inserted
     assert len(rows) == 6
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    from cloud_ocr_summarizer_spark.operators.skew import salted_repartition
+
+    hot = spark.range(0, 1000).select(
+        F.lit("hot-doc").alias("doc_id"), F.col("id").alias("payload")
+    )
+    plain = hot.repartition(8, "doc_id").select(
+        F.spark_partition_id().alias("p")
+    ).distinct().count()
+    salted = salted_repartition(hot, 8, key="doc_id", salt_buckets=8).select(
+        F.spark_partition_id().alias("p")
+    ).distinct().count()
+    assert plain == 1          # hash partitioning serializes the hot key
+    assert salted > 1          # salt fans it out

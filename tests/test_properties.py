@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) on the pure-Python oracle — the
+executable spec must itself be internally consistent.  No Spark here;
+engine parity with the oracle is covered by the golden/fuzz tests.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cloud_ocr_summarizer_spark import oracle
+
+text_st = st.text(
+    alphabet=st.sampled_from(list("ab xy\t\n\r.")), min_size=0, max_size=60
+)
+
+span_st = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(
+            ["TEXT", "TABLE", "PICTURE", "RULER", "BARCODE", "html", "jpg", "weird", "1", "3"]
+        ),
+        "text": st.one_of(st.none(), text_st),
+        "media_ref": st.one_of(st.none(), st.sampled_from(["gs://a/x.png", "gs://b/y.jpg"])),
+        "offset": st.integers(min_value=0, max_value=20),
+    }
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_st)
+def test_normalize_idempotent(s):
+    once = oracle.normalize_block_text(s)
+    assert oracle.normalize_block_text(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_st)
+def test_normalize_output_shape(s):
+    out = oracle.normalize_block_text(s)
+    # no leading/trailing whitespace, no double spaces, no tabs/CRs
+    assert out == out.strip()
+    assert "  " not in out
+    assert "\t" not in out and "\r" not in out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(span_st, max_size=12))
+def test_extract_permutation_invariant(spans):
+    base = oracle.extract_document(spans)
+    assert oracle.extract_document(list(reversed(spans))) == base
+    # sorted-by-offset output, media/text routing invariants
+    offsets = [t[3] for t in base]
+    assert offsets == sorted(offsets)
+    for kind, text, media, _ in base:
+        if kind in ("PICTURE", "BARCODE"):
+            assert text is None
+        if kind in ("TEXT", "TABLE"):
+            assert media is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(span_st, max_size=12), st.floats(min_value=0, max_value=1))
+def test_confidence_gate_monotone(spans, thr):
+    for s in spans:
+        s = dict(s)
+    with_conf = [dict(s, confidence=(s["offset"] % 10) / 10.0) for s in spans]
+    low = oracle.extract_document(with_conf, min_confidence=0.0)
+    high = oracle.extract_document(with_conf, min_confidence=thr)
+    # raising the threshold can only remove spans
+    assert len(high) <= len(low)
+    assert set(high) <= set(low)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(st.none(), text_st), max_size=8))
+def test_rollup_contract(texts):
+    out = oracle.rollup_text(texts)
+    contributing = [t for t in texts if t]
+    if len(contributing) > 1:
+        assert out == "\n".join(contributing)
+    else:
+        assert out is None

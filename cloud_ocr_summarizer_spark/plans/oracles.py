@@ -577,3 +577,47 @@ ORACLES["extract_flagship_arrow_native"] = ORACLES["extract_flagship"]
 
 # the spark.sql front-door twin of revenue_by_nation
 ORACLES["sql_api_revenue"] = ORACLES["revenue_by_nation"]
+
+# IVF ANN: centroid assignment + probes + exact rerank, all in SQL
+ORACLES["knn_ivf"] = r"""
+WITH q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id >= 10),
+     cen AS (SELECT id AS cluster, e AS ce FROM c WHERE id % 50 = 0),
+     casg AS (
+       SELECT id AS neighbor_id, cluster FROM (
+         SELECT c.id, cen.cluster,
+                row_number() OVER (PARTITION BY c.id ORDER BY
+                  round(list_dot_product(c.e, cen.ce) /
+                    (sqrt(list_dot_product(c.e, c.e)) *
+                     sqrt(list_dot_product(cen.ce, cen.ce))), 6) DESC,
+                  cen.cluster ASC) AS rk
+         FROM c, cen)
+       WHERE rk = 1),
+     qasg AS (
+       SELECT id AS query_id, cluster FROM (
+         SELECT q.id, cen.cluster,
+                row_number() OVER (PARTITION BY q.id ORDER BY
+                  round(list_dot_product(q.e, cen.ce) /
+                    (sqrt(list_dot_product(q.e, q.e)) *
+                     sqrt(list_dot_product(cen.ce, cen.ce))), 6) DESC,
+                  cen.cluster ASC) AS rk
+         FROM q, cen)
+       WHERE rk <= 4),
+     cand AS (
+       SELECT DISTINCT qasg.query_id, casg.neighbor_id
+       FROM qasg JOIN casg ON qasg.cluster = casg.cluster),
+     sims AS (
+       SELECT cand.query_id, cand.neighbor_id,
+              round(list_dot_product(q.e, c.e) /
+                (sqrt(list_dot_product(q.e, q.e)) *
+                 sqrt(list_dot_product(c.e, c.e))), 4) AS cosine
+       FROM cand
+       JOIN q ON q.id = cand.query_id
+       JOIN c ON c.id = cand.neighbor_id)
+SELECT query_id, CAST(rk AS INT) AS "rank", neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM sims)
+WHERE rk <= 5
+"""

@@ -197,47 +197,83 @@ def _sig_pandas(num_hashes: int):
     return sig
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-    parallelism: int | None = None,
-) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+# --- cross-engine (md5/affine) hash family for the CHECKED variant -------
+# All arithmetic stays below 2^62 so BIGINT (DuckDB) and int64/uint64
+# (numpy) agree exactly; see plans/oracles.py ORACLES["dedup_minhash_checked"].
+_CK_M = 2147483647  # 2^31 - 1
+_CK_MULT = 2654435761
+_CK_BOFF = 40503
+_CK_BAND_B = 131
 
-    Pipeline shape (scale-first):
-      1. row-local: gram hashes -> signature (computed ONCE — no self-join
-         recompute) -> per-band bucket keys;
-      2. groupBy (band, bucket): buckets holding >1 doc expand to candidate
-         id pairs row-locally (buckets are near-dup groups, so tiny);
-      3. distinct pairs join gram sets back by id; exact Jaccard only for
-         candidates.
 
-    ``parallelism`` repartitions the input first — a single-file parquet
-    scan otherwise runs the (CPU-heavy) signature stage on one core.
-    Docs shorter than n words are dropped.
-    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
-    """
-    rows_per_band = num_hashes // bands
-    # Repartition BEFORE the CPU-heavy gram stage (a single-file input
-    # otherwise runs it on one core).  String-gram hashing measured 3x
-    # faster than the word-hash-combine variant
-    # (gram_hashes_from_word_hashes) under identical conditions — keep A/B
-    # measuring before swapping this.
-    src = df.repartition(
-        parallelism or df.sparkSession.sparkContext.defaultParallelism, id_col
+def md5_gram_hashes_col(text: Column, n: int) -> Column:
+    """Word n-grams hashed with the md5-derived family DuckDB can
+    reproduce: ('0x' || md5(g)[:14])::BIGINT % (2^31-1)."""
+    return F.array_distinct(
+        F.transform(
+            word_ngrams_col(text, n),
+            lambda g: F.pmod(
+                F.conv(F.substring(F.md5(g.cast("binary")), 1, 14), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(_CK_M),
+            ),
+        )
     )
-    base = src.select(
-        F.col(id_col).alias("id"),
-        gram_hashes_col(F.col(text_col), n).alias("grams"),
-    ).filter(F.size("grams") > 0)
 
-    sig = base.select("id", _sig_pandas(num_hashes)(F.col("grams")).alias("sig"))
+
+def _sig_pandas_affine(num_hashes: int):
+    """Checked-variant signature: sig[i] = min over grams g of
+    (a_i*g + b_i) % M with a_i = ((MULT*(i+1)) % M) | 1, b_i =
+    (BOFF*(i+7)) % M — bit-identical to the DuckDB oracle SQL."""
+    a = (((_CK_MULT * (np.arange(num_hashes, dtype=np.uint64) + 1)) % _CK_M)
+         | np.uint64(1))
+    b = (_CK_BOFF * (np.arange(num_hashes, dtype=np.uint64) + 7)) % _CK_M
+
+    @pandas_udf("array<bigint>")
+    def sig(ghashes: pd.Series) -> pd.Series:
+        lengths = ghashes.map(len).to_numpy()
+        out = [[0] * num_hashes] * len(ghashes)
+        nz = np.flatnonzero(lengths > 0)
+        if len(nz) == 0:
+            return pd.Series(out)
+        nz_lens = lengths[nz]
+        flat = np.concatenate(
+            [np.asarray(ghashes.iat[i], dtype=np.int64) for i in nz]
+        ).astype(np.uint64)
+        mat = (flat[:, None] * a[None, :] + b[None, :]) % _CK_M  # < 2^62: exact
+        starts = np.zeros(len(nz_lens), dtype=np.int64)
+        np.cumsum(nz_lens[:-1], out=starts[1:])
+        mins = np.minimum.reduceat(mat, starts, axis=0).astype(np.int64)
+        for row_i, m in zip(nz, mins):
+            out[row_i] = m
+        return pd.Series(out)
+
+    return sig
+
+
+def _affine_band_bucket(sig: Column, band: Column, rows_per_band: int) -> Column:
+    """bucket = fold over the band slice of (acc*131 + x) % M."""
+    return F.aggregate(
+        F.slice(sig, band.cast("int") * rows_per_band + 1, rows_per_band),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * _CK_BAND_B + x, F.lit(_CK_M)),
+    )
+
+
+def _lsh_pairs_from_base(
+    base: DataFrame,
+    sig_udf,
+    bucket_fn,
+    *,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared LSH skeleton: base(id, grams) -> sig -> band buckets ->
+    in-bucket pair expansion -> exact-Jaccard verification."""
+    rows_per_band = num_hashes // bands
+    sig = base.select("id", sig_udf(F.col("grams")).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(
@@ -245,9 +281,7 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.cast("int").alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b.cast("int") * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
+                    bucket_fn(F.col("sig"), b, rows_per_band).alias("bucket"),
                 ),
             )
         ).alias("bb"),
@@ -276,7 +310,6 @@ def minhash_lsh_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-
     ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
@@ -286,6 +319,92 @@ def minhash_lsh_pairs(
         .join(gb, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_checked(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """MinHash LSH with the md5/affine hash family — every arithmetic step
+    reproducible in DuckDB, so the driver value-checks the full pipeline
+    (plans/oracles.py "dedup_minhash_checked").  Marginally slower than
+    minhash_lsh_pairs (md5 vs xxhash64 gram hashing); same semantics."""
+    src = df.repartition(
+        parallelism or df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    base = src.select(
+        F.col(id_col).alias("id"),
+        md5_gram_hashes_col(F.col(text_col), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    return _lsh_pairs_from_base(
+        base,
+        _sig_pandas_affine(num_hashes),
+        _affine_band_bucket,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+
+    Pipeline shape (scale-first):
+      1. row-local: gram hashes -> signature (computed ONCE — no self-join
+         recompute) -> per-band bucket keys;
+      2. groupBy (band, bucket): buckets holding >1 doc expand to candidate
+         id pairs row-locally (buckets are near-dup groups, so tiny);
+      3. distinct pairs join gram sets back by id; exact Jaccard only for
+         candidates.
+
+    ``parallelism`` repartitions the input first — a single-file parquet
+    scan otherwise runs the (CPU-heavy) signature stage on one core.
+    Docs shorter than n words are dropped.
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    # Repartition BEFORE the CPU-heavy gram stage (a single-file input
+    # otherwise runs it on one core).  String-gram hashing measured 3x
+    # faster than the word-hash-combine variant
+    # (gram_hashes_from_word_hashes) under identical conditions — keep A/B
+    # measuring before swapping this.
+    src = df.repartition(
+        parallelism or df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    base = src.select(
+        F.col(id_col).alias("id"),
+        gram_hashes_col(F.col(text_col), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+    def xxhash_bucket(sig: Column, band: Column, rows_per_band: int) -> Column:
+        return F.xxhash64(
+            F.slice(sig, band.cast("int") * rows_per_band + 1, rows_per_band)
+        )
+
+    return _lsh_pairs_from_base(
+        base,
+        _sig_pandas(num_hashes),
+        xxhash_bucket,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
     )
 
 

@@ -621,3 +621,53 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM sims)
 WHERE rk <= 5
 """
+
+# MinHash + banded LSH, md5/affine family — mirrors
+# operators/dedup.minhash_lsh_pairs_checked step for step.
+ORACLES["dedup_minhash_checked"] = r"""
+WITH wordsrc AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), base AS (
+  SELECT id, grams FROM (
+    SELECT id, list_distinct(list_transform(range(greatest(len(words) - 2, 0)),
+        i -> ('0x' || substr(md5(array_to_string(words[i+1 : i+3], ' ')), 1, 14))::BIGINT
+             % 2147483647)) AS grams
+    FROM wordsrc)
+  WHERE len(grams) > 0
+), sig AS (
+  SELECT id,
+         list_transform(range(32), h ->
+           list_min(list_transform(grams, g ->
+             ((((2654435761 * (h + 1)) % 2147483647) | 1) * g
+              + (40503 * (h + 7)) % 2147483647) % 2147483647))) AS sig
+  FROM base
+), banded AS (
+  SELECT id, unnest(list_transform(range(8), b -> struct_pack(
+      band := CAST(b AS INT),
+      bucket := list_reduce(
+        list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+        (acc, x) -> (acc * 131 + x) % 2147483647)))) AS bb
+  FROM sig
+), buckets AS (
+  SELECT bb.band AS band, bb.bucket AS bucket, list_sort(list(id)) AS ids
+  FROM banded GROUP BY 1, 2 HAVING count(*) > 1
+), pairs AS (
+  SELECT DISTINCT p.a AS id_a, p.b AS id_b FROM (
+    SELECT unnest(flatten(list_transform(range(len(ids) - 1),
+        i -> list_transform(range(i + 1, len(ids)),
+             j -> struct_pack(a := ids[i+1], b := ids[j+1]))))) AS p
+    FROM buckets)
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(ga.grams, gb.grams)) /
+             (len(ga.grams) + len(gb.grams)
+              - len(list_intersect(ga.grams, gb.grams))), 4) AS jaccard
+FROM pairs
+JOIN base ga ON ga.id = id_a
+JOIN base gb ON gb.id = id_b
+WHERE round(len(list_intersect(ga.grams, gb.grams)) /
+            (len(ga.grams) + len(gb.grams)
+             - len(list_intersect(ga.grams, gb.grams))), 4) >= 0.5
+"""

@@ -724,10 +724,27 @@ BATCH_UDF = {
 }
 
 
+def q_dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the cross-engine md5/affine hash family — the
+    driver value-checks the FULL LSH pipeline (signatures, banding,
+    bucket pair expansion, exact-Jaccard verification)."""
+    from cloud_ocr_summarizer_spark.operators.dedup import minhash_lsh_pairs_checked
+
+    return minhash_lsh_pairs_checked(
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 BATCH_3 = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_checked": q_dedup_minhash_checked,
     "dedup_simhash": q_dedup_simhash,
     "text_profile": q_text_profile,
     "token_stats_by_source": q_token_stats_by_source,

@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_queries.BATCH_1)
-    for extra in ("BATCH_2", "BATCH_3", "BATCH_4", "BATCH_5", "BATCH_UDF"):
+    for extra in ("BATCH_2", "BATCH_3", "BATCH_4", "BATCH_5", "BATCH_6", "BATCH_UDF"):
         out.update(getattr(_queries, extra, {}))
     return out
 

@@ -491,7 +491,15 @@ def simhash_near_pairs(
     Output: (id_a, id_b, hamming) with hamming <= max_hamming.
     """
     fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
-    block = 64 // bands
+    return _simhash_pairs_from_fp(fp, bits=64, bands=bands, max_hamming=max_hamming)
+
+
+def _simhash_pairs_from_fp(
+    fp: DataFrame, *, bits: int, bands: int, max_hamming: int
+) -> DataFrame:
+    """(id, bits) fingerprints -> (id_a, id_b, hamming) near pairs via
+    banded exact-block matching (one shuffle on (band, bucket))."""
+    block = bits // bands
     banded = fp.select(
         "id",
         "bits",
@@ -527,3 +535,43 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def md5_word_hashes_col(text: Column) -> Column:
+    """One hash per whitespace token with the md5-derived family DuckDB
+    reproduces exactly: ('0x' || md5(w)[:14])::BIGINT % (2^31-1)."""
+    return F.transform(
+        whitespace_tokens_col(text),
+        lambda w: F.pmod(
+            F.conv(F.substring(F.md5(w.cast("binary")), 1, 14), 16, 10).cast("bigint"),
+            F.lit(_CK_M),
+        ),
+    )
+
+
+def simhash_near_pairs_checked(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 24,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs with the cross-engine md5 hash family so a
+    DuckDB oracle can value-check the FULL pipeline (word hashing, per-bit
+    majority sign, banding, bucket join, exact Hamming filter).
+
+    ``bits`` must stay < 31 (md5-family hashes are 31-bit) and divisible
+    by ``bands``.  Same physical shape as ``simhash_near_pairs``: row-local
+    fingerprints on the vectorized pandas path, one shuffle on
+    (band, bucket), Hamming verified only inside buckets.
+    """
+    if bits % bands or bits >= 31:
+        raise ValueError("bits must be < 31 and divisible by bands")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        md5_word_hashes_col(F.col(text_col)).alias("wh"),
+    ).filter(F.size("wh") > 0)
+    fp = base.select("id", _simhash_pandas(bits)(F.col("wh")).alias("bits"))
+    return _simhash_pairs_from_fp(fp, bits=bits, bands=bands, max_hamming=max_hamming)

@@ -63,6 +63,82 @@ def fingerprint_col(text: Column) -> Column:
     return F.substring(F.md5(normalize_block_text_col(text).cast("binary")), 1, 16)
 
 
+# Char-trigram profiles per language (trigrams of common function words,
+# '_'-padded word boundaries).  Public frequency-table style; the oracle SQL
+# embeds the same literals, so classification is exactly reproducible.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("_th", "the", "he_", "_a_", "_an", "and", "nd_", "_of", "of_",
+           "_to", "to_", "_in", "in_", "ing", "ng_", "_is", "is_"),
+    "de": ("_de", "der", "er_", "die", "ie_", "_di", "und", "_un", "nd_",
+           "sch", "ein", "_ei", "ich", "ch_", "cht", "_da", "das"),
+    "fr": ("_le", "les", "es_", "_de", "de_", "des", "ent", "nt_", "_qu",
+           "que", "ue_", "_un", "une", "ne_", "_et", "et_", "ais"),
+}
+
+
+def char_trigrams_col(text: Column) -> Column:
+    """All char trigrams of '_'-padded lowercase tokens (with multiplicity):
+    'the cat' -> trigrams of '_the_' ++ trigrams of '_cat_'.  Padding keeps
+    every padded token >= 3 chars, so no empty-sequence edge case."""
+    padded = F.transform(
+        whitespace_tokens_col(F.lower(text)),
+        lambda w: F.concat(F.lit("_"), w, F.lit("_")),
+    )
+    return F.flatten(
+        F.transform(
+            padded,
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.length(w) - 2),
+                lambda i: w.substr(i.cast("int"), F.lit(3)),
+            ),
+        )
+    )
+
+
+def language_id_scores(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """N-gram language ID: per-language trigram-profile hit ratio + argmax.
+
+    score_L = floor(10000 * (# doc trigrams, with multiplicity, found in
+    L's profile) / (total doc trigrams)) as integer basis points (floor so
+    both engines agree bit-exactly; see quality_score_col); prediction is
+    the best score with the fixed preference order en > de > fr on ties.
+    Row-local (zero shuffles); mirrors the classic n-gram profile method
+    (Cavnar & Trenkle) reduced to a fixed-profile hit ratio.
+    """
+    tg = char_trigrams_col(F.col(text_col))
+    n = F.size(tg)
+
+    def score(lang: str) -> Column:
+        hits = F.size(
+            F.filter(tg, lambda t: t.isin(*LANG_TRIGRAM_PROFILES[lang]))
+        )
+        return (
+            F.when(n > 0, F.floor(F.lit(10000.0) * hits / n))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+
+    s_en, s_de, s_fr = score("en"), score("de"), score("fr")
+    out = df.select(
+        F.col(id_col),
+        s_en.alias("score_en"),
+        s_de.alias("score_de"),
+        s_fr.alias("score_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("score_de") >= F.col("score_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return out.withColumn("pred_lang", pred)
+
+
 def text_profile(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document text-analysis profile (one row-local projection)."""
     t = F.col(text_col)

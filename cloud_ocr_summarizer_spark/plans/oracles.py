@@ -671,3 +671,111 @@ WHERE round(len(list_intersect(ga.grams, gb.grams)) /
             (len(ga.grams) + len(gb.grams)
              - len(list_intersect(ga.grams, gb.grams))), 4) >= 0.5
 """
+
+
+# SimHash near-dup pairs, md5 word-hash family — mirrors
+# operators/dedup.simhash_near_pairs_checked (bits=24, bands=4, ham<=6).
+ORACLES["dedup_simhash_checked"] = r"""
+WITH wordsrc AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), base AS (
+  SELECT id, list_transform(words, w ->
+      ('0x' || substr(md5(w), 1, 14))::BIGINT % 2147483647) AS wh
+  FROM wordsrc WHERE len(words) > 0
+), fp AS (
+  SELECT id, list_transform(range(30), b ->
+      CASE WHEN list_sum(list_transform(wh, h ->
+          CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      THEN 1 ELSE 0 END) AS bits
+  FROM base
+), banded AS (
+  SELECT id, bits, unnest(list_transform(range(5), b -> struct_pack(
+      band := CAST(b AS INT),
+      bucket := list_reduce(
+        list_prepend(CAST(0 AS BIGINT), bits[b*6+1 : b*6+6]),
+        (acc, x) -> acc * 2 + x)))) AS bb
+  FROM fp
+), flat AS (
+  SELECT id, bits, bb.band AS band, bb.bucket AS bucket FROM banded
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.bits AS ba, b.bits AS bb2
+  FROM flat a JOIN flat b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(ham AS INT) AS hamming FROM (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(30), i ->
+           CASE WHEN ba[i+1] <> bb2[i+1] THEN 1 ELSE 0 END)) AS ham
+  FROM cand)
+WHERE ham <= 2
+"""
+
+# Char-trigram language ID — mirrors operators/textstats.language_id_scores
+# (same profile literals, '_'-padded lowercase tokens, basis-point floor).
+_LANG_PROFILE_SQL = {
+    "en": "['_th','the','he_','_a_','_an','and','nd_','_of','of_',"
+          "'_to','to_','_in','in_','ing','ng_','_is','is_']",
+    "de": "['_de','der','er_','die','ie_','_di','und','_un','nd_',"
+          "'sch','ein','_ei','ich','ch_','cht','_da','das']",
+    "fr": "['_le','les','es_','_de','de_','des','ent','nt_','_qu',"
+          "'que','ue_','_un','une','ne_','_et','et_','ais']",
+}
+ORACLES["language_id_ngram"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_transform(
+      list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> ''),
+      w -> '_' || w || '_') AS padded
+  FROM documents
+), tg AS (
+  SELECT doc_id, flatten(list_transform(padded, w ->
+      list_transform(range(length(w)-2), i -> substr(w, i+1, 3)))) AS tg
+  FROM toks
+), scored AS (
+  SELECT doc_id,
+    CASE WHEN len(tg) > 0 THEN CAST(floor(10000.0 *
+      len(list_filter(tg, t -> list_contains({en}, t))) / len(tg)) AS INT)
+      ELSE 0 END AS score_en,
+    CASE WHEN len(tg) > 0 THEN CAST(floor(10000.0 *
+      len(list_filter(tg, t -> list_contains({de}, t))) / len(tg)) AS INT)
+      ELSE 0 END AS score_de,
+    CASE WHEN len(tg) > 0 THEN CAST(floor(10000.0 *
+      len(list_filter(tg, t -> list_contains({fr}, t))) / len(tg)) AS INT)
+      ELSE 0 END AS score_fr
+  FROM tg)
+SELECT doc_id, score_en, score_de, score_fr,
+  CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+       WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS pred_lang
+FROM scored
+""".replace("{en}", _LANG_PROFILE_SQL["en"]) \
+   .replace("{de}", _LANG_PROFILE_SQL["de"]) \
+   .replace("{fr}", _LANG_PROFILE_SQL["fr"])
+
+# INTERSECT / EXCEPT cohorts over events.
+ORACLES["user_segments_setops"] = r"""
+SELECT user_id, 'click_and_purchase' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'click_only' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+# TPC-H Q17 shape: correlated scalar subquery, decorrelated.
+ORACLES["part_small_quantity"] = r"""
+WITH thr AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS thr
+  FROM lineitem GROUP BY 1)
+SELECT p_brand,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN thr USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < thr
+GROUP BY p_brand
+"""

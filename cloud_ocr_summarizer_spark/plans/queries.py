@@ -740,6 +740,62 @@ def q_dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the cross-engine md5 family — DuckDB
+    value-checks the full pipeline (per-bit majority, banding, Hamming)."""
+    from cloud_ocr_summarizer_spark.operators.dedup import simhash_near_pairs_checked
+
+    return simhash_near_pairs_checked(
+        _read(spark, sf_dir, "documents"), bits=30, bands=5, max_hamming=2
+    )
+
+
+def q_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (Cavnar-Trenkle-style hit ratio),
+    basis-point integer scores + argmax prediction."""
+    from cloud_ocr_summarizer_spark.operators.textstats import language_id_scores
+
+    return language_id_scores(_read(spark, sf_dir, "documents"))
+
+
+def q_user_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT) over event-type user cohorts."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(purchases).select(
+        "user_id", F.lit("click_and_purchase").alias("segment")
+    )
+    only = clicks.subtract(purchases).select(
+        "user_id", F.lit("click_only").alias("segment")
+    )
+    return both.unionByName(only)
+
+
+def q_part_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated into an
+    aggregate + join (per-part 0.2*avg(l_quantity) threshold)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    thr = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("thr"))
+    below = li.join(thr, "l_partkey").filter(F.col("l_quantity") < F.col("thr"))
+    joined = below.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+BATCH_6 = {
+    "dedup_simhash_checked": q_dedup_simhash_checked,
+    "language_id_ngram": q_language_id_ngram,
+    "user_segments_setops": q_user_segments_setops,
+    "part_small_quantity": q_part_small_quantity,
+}
+
+
 BATCH_3 = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

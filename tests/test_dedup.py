@@ -95,3 +95,59 @@ def test_simhash_near_pairs(spark, corpus):
     assert got[(1, 3)] == 0  # whitespace dup: token stream identical
     assert (1, 4) in got  # near dup within hamming budget
     assert (1, 5) not in got and (4, 5) not in got
+
+
+def test_simhash_checked_matches_bruteforce(spark, corpus):
+    """Checked (md5-family) variant: pairs must equal brute-force Hamming
+    over the same fingerprints, and the banding must not lose any pair
+    within the pigeonhole guarantee (ham <= bands-1)."""
+    import hashlib
+
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        simhash_near_pairs_checked,
+    )
+
+    bits, bands, max_h = 30, 5, 2
+
+    def py_fp(text):
+        words = [w for w in text.split() if w]
+        if not words:
+            return None
+        hs = [
+            int(hashlib.md5(w.encode()).hexdigest()[:14], 16) % 2147483647
+            for w in words
+        ]
+        return [
+            1 if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0 else 0
+            for b in range(bits)
+        ]
+
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    fps = {i: py_fp(t) for i, t in rows.items() if py_fp(t) is not None}
+    expected = {}
+    ids = sorted(fps)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                ham = sum(a != b for a, b in zip(fps[i], fps[j]))
+                if ham <= max_h:
+                    expected[(i, j)] = ham
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs_checked(
+            corpus, bits=bits, bands=bands, max_hamming=max_h
+        ).collect()
+    }
+    assert got == expected  # ham<=bands-1 pigeonhole => no recall loss
+
+
+def test_simhash_checked_rejects_bad_params(spark, corpus):
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        simhash_near_pairs_checked,
+    )
+
+    with pytest.raises(ValueError):
+        simhash_near_pairs_checked(corpus, bits=32, bands=4)
+    with pytest.raises(ValueError):
+        simhash_near_pairs_checked(corpus, bits=30, bands=4)

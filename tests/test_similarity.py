@@ -99,3 +99,22 @@ def test_kmeans_refinement_improves_or_holds_recall(spark, emb):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_language_id_scores_hand_computed(spark):
+    """'the the und' -> 9 trigrams; en hits 7 (incl. shared 'nd_'),
+    de hits 3, fr hits 1 ('_un'); floor basis points; argmax prefers en."""
+    from cloud_ocr_summarizer_spark.operators.textstats import language_id_scores
+
+    df = spark.createDataFrame(
+        [(1, "the the und"), (2, ""), (3, None)], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in language_id_scores(df).collect()}
+    assert rows[1]["score_en"] == 10000 * 7 // 9
+    assert rows[1]["score_de"] == 10000 * 3 // 9
+    assert rows[1]["score_fr"] == 10000 * 1 // 9
+    assert rows[1]["pred_lang"] == "en"
+    # empty / null text: zero scores, deterministic 'en' tie-break
+    for i in (2, 3):
+        assert rows[i]["score_en"] == rows[i]["score_de"] == rows[i]["score_fr"] == 0
+        assert rows[i]["pred_lang"] == "en"

@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 try:  # pragma: no cover - not present in this container
@@ -67,6 +68,43 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         }
     )
     return out
+
+
+def resize_plan(features: DataFrame, *, target: int = 224) -> DataFrame:
+    """Aspect-fit resize arithmetic: scale the longer side to ``target``.
+
+    out_w = floor(width  * target / max(width, height))
+    out_h = floor(height * target / max(width, height))
+    Pure column expressions (the actual pixel resample is the stubbed
+    decode step); deterministic, SQL-expressible.
+    """
+    g = F.greatest("width", "height")
+    return features.select(
+        "doc_id",
+        "media_ref",
+        "media_kind",
+        "width",
+        "height",
+        "n_frames",
+        F.floor(F.col("width") * target / g).cast("int").alias("out_w"),
+        F.floor(F.col("height") * target / g).cast("int").alias("out_h"),
+    )
+
+
+def frame_samples(features: DataFrame, *, k: int = 4) -> DataFrame:
+    """Evenly-spaced frame sampling: for each media row take
+    min(k, n_frames) frames at idx_j = floor(j * n_frames / k) — the
+    standard uniform-stride video sampler, one output row per frame.
+    Row-local explode; no shuffle."""
+    kk = F.least(F.lit(k), F.col("n_frames"))
+    idxs = F.when(
+        F.col("n_frames") > 0,
+        F.transform(
+            F.sequence(F.lit(0), kk - 1),
+            lambda j: F.floor(j * F.col("n_frames") / k).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return features.withColumn("frame_idx", F.explode(idxs))
 
 
 def media_features(span_rows: DataFrame) -> DataFrame:

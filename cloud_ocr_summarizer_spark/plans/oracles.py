@@ -779,3 +779,46 @@ JOIN part ON p_partkey = l_partkey
 WHERE l_quantity < thr
 GROUP BY p_brand
 """
+
+# Multimodal pipeline: stub-decode features -> aspect-fit resize ->
+# uniform-stride frame sampling (operators/multimodal.py fallback math).
+ORACLES["media_pipeline"] = SPANS_CTE + r"""
+, feats AS (
+  SELECT doc_id, media_ref,
+         CASE WHEN lower(regexp_extract(media_ref, '(\.[^./]+)$', 1))
+                   IN ('.png', '.jpg', '.jpeg')
+              THEN 'image' ELSE 'other' END AS media_kind,
+         CAST(64 + (7 * strlen(media_ref)) % 512 AS INT) AS width,
+         CAST(64 + (11 * strlen(media_ref)) % 512 AS INT) AS height,
+         CAST(CASE WHEN lower(regexp_extract(media_ref, '(\.[^./]+)$', 1))
+                   IN ('.png', '.jpg', '.jpeg')
+              THEN 1 ELSE 16 + strlen(media_ref) % 48 END AS INT) AS n_frames
+  FROM __spans
+  WHERE media_ref IS NOT NULL
+), rs AS (
+  SELECT *,
+         CAST(floor(width * 224.0 / greatest(width, height)) AS INT) AS out_w,
+         CAST(floor(height * 224.0 / greatest(width, height)) AS INT) AS out_h
+  FROM feats)
+SELECT doc_id, media_ref, media_kind, out_w, out_h,
+       CAST(unnest(list_transform(range(least(4, n_frames)),
+            j -> floor(j * n_frames / 4.0))) AS INT) AS frame_idx
+FROM rs
+"""
+
+# Sliding event-time windows: 1h length, 30m slide -> each event in
+# exactly 2 windows (start = 30m bucket, and that minus 30m).
+ORACLES["events_sliding_window"] = r"""
+WITH w AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                 time_bucket(INTERVAL '30 minutes', ts)]) AS window_start
+  FROM events)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM w
+GROUP BY 1, 2, 3
+"""

@@ -788,8 +788,46 @@ def q_part_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: feature-extract (stub decode) -> aspect-fit
+    resize plan -> uniform-stride frame sampling, one row per frame."""
+    from cloud_ocr_summarizer_spark.operators.multimodal import (
+        frame_samples,
+        media_features,
+        resize_plan,
+    )
+
+    rows = extract_span_rows(_documents_spans(spark, sf_dir))
+    feats = media_features(rows)
+    return frame_samples(resize_plan(feats, target=224), k=4).select(
+        "doc_id", "media_ref", "media_kind", "out_w", "out_h", "frame_idx"
+    )
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h length, 30m slide) — the F.window
+    operator family; each event lands in 2 overlapping windows."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 BATCH_6 = {
     "dedup_simhash_checked": q_dedup_simhash_checked,
+    "media_pipeline": q_media_pipeline,
+    "events_sliding_window": q_events_sliding_window,
     "language_id_ngram": q_language_id_ngram,
     "user_segments_setops": q_user_segments_setops,
     "part_small_quantity": q_part_small_quantity,

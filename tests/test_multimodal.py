@@ -1,0 +1,41 @@
+"""Multimodal plumbing: stub-decode features, resize plan, frame sampling."""
+
+from cloud_ocr_summarizer_spark.operators.multimodal import (
+    frame_samples,
+    media_features,
+    resize_plan,
+)
+
+
+def test_media_pipeline_shapes_and_arithmetic(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "gs://b/a.png"),        # image: 1 frame
+            (1, "gs://b/clip.mp4"),     # other: 16 + len%48 frames
+            (2, None),                  # no media -> filtered out
+        ],
+        "doc_id long, media_ref string",
+    )
+    feats = {r["media_ref"]: r for r in media_features(rows).collect()}
+    assert set(feats) == {"gs://b/a.png", "gs://b/clip.mp4"}
+    png = feats["gs://b/a.png"]
+    n = len("gs://b/a.png")
+    assert (png["media_kind"], png["width"], png["height"], png["n_frames"]) == (
+        "image", 64 + 7 * n % 512, 64 + 11 * n % 512, 1
+    )
+
+    rp = {r["media_ref"]: r for r in resize_plan(media_features(rows)).collect()}
+    for r in rp.values():
+        longer = max(r["width"], r["height"])
+        assert r["out_w"] == r["width"] * 224 // longer
+        assert r["out_h"] == r["height"] * 224 // longer
+        assert max(r["out_w"], r["out_h"]) == 224  # aspect-fit: longer side hits target
+
+    fs = frame_samples(resize_plan(media_features(rows)), k=4).collect()
+    by_ref = {}
+    for r in fs:
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    assert by_ref["gs://b/a.png"] == [0]  # image: single frame
+    clip = sorted(by_ref["gs://b/clip.mp4"])
+    nf = feats["gs://b/clip.mp4"]["n_frames"]
+    assert clip == [j * nf // 4 for j in range(4)]  # uniform stride

@@ -70,3 +70,75 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     run_batch([("d4", "fA"), ("d5", "fC")])
     got2 = {(r["fingerprint"], r["doc_id"]) for r in spark.read.parquet(out).collect()}
     assert got2 == {("fA", "d1"), ("fB", "d3"), ("fC", "d5")}
+
+
+def test_watermarked_windowed_counts(spark, tmp_path):
+    """Tumbling event-time windows + watermark, append mode: finalized
+    windows match the batch twin; late data beyond the watermark drops."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from cloud_ocr_summarizer_spark.streaming.windowed import (
+        EVENT_SCHEMA,
+        start_windowed_counts,
+        windowed_counts,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "outw")
+    ck = str(tmp_path / "ck")
+
+    def ev(i, hour, minute, etype="click", value=1.0):
+        return (i, dt.datetime(2026, 1, 1, hour, minute), 7, etype, value)
+
+    def land(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    # three files -> three micro-batches (maxFilesPerTrigger=1): the third
+    # (03:00) pushes the watermark to 02:30, finalizing [00,01) and [01,02)
+    land([ev(1, 0, 10), ev(2, 0, 20, "view", 2.0)])
+    land([ev(3, 1, 10)])
+    land([ev(4, 3, 0)])
+
+    q = start_windowed_counts(
+        spark, input_dir=inp, output_dir=out, checkpoint_dir=ck,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got1 = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_twin = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_counts(
+            spark.createDataFrame(
+                [ev(1, 0, 10), ev(2, 0, 20, "view", 2.0), ev(3, 1, 10)],
+                EVENT_SCHEMA,
+            )
+        ).collect()
+    }
+    assert got1 == batch_twin  # finalized windows == batch semantics
+    assert not any(h == 3 for h, _ in got1)  # [03,04) not finalized yet
+
+    # phase 2: a LATE event for hour 0 (watermark already at 02:30 -> must
+    # be dropped) plus a 05:00 event that finalizes [03,04)
+    land([ev(5, 0, 40)])
+    land([ev(6, 5, 0)])
+    q2 = start_windowed_counts(
+        spark, input_dir=inp, output_dir=out, checkpoint_dir=ck,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (3, "click") in got2  # [03,04) finalized by the 05:00 event
+    # late hour-0 event dropped: hour-0 rows identical to phase 1
+    assert got2[(0, "click")] == got1[(0, "click")]
+    assert len([1 for h, _ in got2 if h == 0]) == 2  # no re-emission

@@ -822,3 +822,35 @@ SELECT window_start,
 FROM w
 GROUP BY 1, 2, 3
 """
+
+# JSON path extraction from the props string column.
+ORACLES["events_props_json"] = r"""
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(k), 4) AS avg_k,
+       max(k) AS max_k,
+       count(DISTINCT k) AS n_distinct_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+# Range join of events.value into irregular half-open bands.
+ORACLES["events_range_join"] = r"""
+WITH bands(band, lo, hi) AS (VALUES
+  ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
+  ('medium', 50.0, 200.0), ('large', 200.0, 1e9))
+SELECT band, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+# GROUP BY CUBE over orders dimensions.
+ORACLES["orders_cube"] = r"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""

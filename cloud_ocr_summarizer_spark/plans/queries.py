@@ -828,10 +828,72 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON path extraction from the
+    props string column (JVM-side get_json_object, no Python)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+# Static value bands (irregular bounds, half-open [lo, hi)).
+VALUE_BANDS = (
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("medium", 50.0, 200.0),
+    ("large", 200.0, 1e9),
+)
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi interval) join: events.value into irregular bands.
+
+    The bands table is tiny, so the join broadcasts — each event row is
+    checked against the interval predicate map-side, NO shuffle of the
+    fact stream (BroadcastNestedLoopJoin).  This is the scale pattern for
+    interval lookups: broadcast the intervals; never range-shuffle the
+    facts.
+    """
+    ev = _read(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        list(VALUE_BANDS), "band string, lo double, hi double"
+    )
+    joined = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (status, priority): all 4 grouping combinations
+    in one pass (Expand-based multi-level aggregation)."""
+    o = _read(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 BATCH_6 = {
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "media_pipeline": q_media_pipeline,
     "events_sliding_window": q_events_sliding_window,
+    "events_props_json": q_events_props_json,
+    "events_range_join": q_events_range_join,
+    "orders_cube": q_orders_cube,
     "language_id_ngram": q_language_id_ngram,
     "user_segments_setops": q_user_segments_setops,
     "part_small_quantity": q_part_small_quantity,

@@ -151,3 +151,21 @@ def test_simhash_checked_rejects_bad_params(spark, corpus):
         simhash_near_pairs_checked(corpus, bits=32, bands=4)
     with pytest.raises(ValueError):
         simhash_near_pairs_checked(corpus, bits=30, bands=4)
+
+
+def test_simhash_checked_partition_invariant(spark, corpus):
+    """Arrow batch boundaries / partitioning must not change results (the
+    vectorized reduceat path processes whole batches)."""
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        simhash_near_pairs_checked,
+    )
+
+    def pairs(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_pairs_checked(
+                df, bits=30, bands=5, max_hamming=2
+            ).collect()
+        )
+
+    assert pairs(corpus.repartition(7)) == pairs(corpus.coalesce(1))

@@ -854,3 +854,23 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
+
+# KMV distinct sketch per event_type — mirrors operators/sketch.kmv_distinct
+# (md5/31-bit family, k=64, estimate (k-1)/(h_k/M)).
+ORACLES["kmv_distinct_users"] = r"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+           % 2147483647 AS h
+  FROM events
+), topk AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+  FROM hashed)
+SELECT grp AS event_type,
+       count(*) AS n_kept,
+       max(h) AS kth_hash,
+       round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63 / (max(h) / 2147483647.0) END, 2) AS est_distinct
+FROM (SELECT * FROM topk WHERE rk <= 64)
+GROUP BY grp
+"""

@@ -887,8 +887,20 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event type (k=64): bounded-state
+    approximate COUNT(DISTINCT user_id) with a cross-engine hash family —
+    the estimate itself is value-checked by the DuckDB oracle."""
+    from cloud_ocr_summarizer_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(
+        _read(spark, sf_dir, "events"), "event_type", "user_id", k=64
+    )
+
+
 BATCH_6 = {
     "dedup_simhash_checked": q_dedup_simhash_checked,
+    "kmv_distinct_users": q_kmv_distinct_users,
     "media_pipeline": q_media_pipeline,
     "events_sliding_window": q_events_sliding_window,
     "events_props_json": q_events_props_json,

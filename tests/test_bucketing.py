@@ -1,0 +1,59 @@
+"""Bucketed co-located joins: pre-bucketing both sides on the join key
+removes the join shuffle entirely — the 100 TB strategy for repeated
+fact-fact joins (SURVEY.md §4.3; bucket counts must match)."""
+
+import pyspark.sql.functions as F
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    n_buckets = 8
+    orders = spark.range(1000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 7).cast("double").alias("o_total"),
+    )
+    items = spark.range(3000).select(
+        (F.col("id") % 1000).alias("l_orderkey"),
+        (F.col("id") % 13).cast("double").alias("l_price"),
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("path", str(tmp_path / "orders_b"))
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_bucketed")
+    )
+    (
+        items.write.mode("overwrite")
+        .option("path", str(tmp_path / "items_b"))
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("items_bucketed")
+    )
+    try:
+        a = spark.table("orders_bucketed")
+        b = spark.table("items_bucketed")
+        # disable broadcast so the join would otherwise shuffle both sides
+        joined = (
+            a.hint("merge")
+            .join(b, a.o_orderkey == b.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_price").alias("rev"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must not shuffle either bucketed side: the only
+        # allowed Exchange is the final groupBy partial-agg exchange, which
+        # bucketing also removes (grouping key == bucket key)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.split("SortMergeJoin")[1], plan
+        # correctness unchanged vs the unbucketed plan
+        expected = (
+            orders.join(items, orders.o_orderkey == items.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_price").alias("rev"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS items_bucketed")

@@ -142,3 +142,55 @@ def test_watermarked_windowed_counts(spark, tmp_path):
     # late hour-0 event dropped: hour-0 rows identical to phase 1
     assert got2[(0, "click")] == got1[(0, "click")]
     assert len([1 for h, _ in got2 if h == 0]) == 2  # no re-emission
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch join on the
+    same (on-time) input."""
+    import datetime as dt
+
+    from cloud_ocr_summarizer_spark.streaming.join import (
+        click_purchase_join,
+        start_click_purchase_join,
+    )
+    from cloud_ocr_summarizer_spark.streaming.windowed import EVENT_SCHEMA
+
+    cdir = str(tmp_path / "clicks")
+    pdir = str(tmp_path / "purch")
+    out = str(tmp_path / "joined")
+    ck = str(tmp_path / "ckj")
+
+    def ev(i, user, hour, minute, etype, value=1.0):
+        return (i, dt.datetime(2026, 1, 1, hour, minute), user, etype, value)
+
+    clicks = [
+        ev(1, 7, 10, 0, "click"),
+        ev(2, 7, 10, 50, "click"),
+        ev(3, 8, 10, 0, "click"),
+        ev(4, 7, 8, 0, "click"),   # > 1h before the purchase: no match
+    ]
+    purchases = [
+        ev(100, 7, 11, 0, "purchase", 42.0),
+        ev(101, 9, 11, 0, "purchase", 5.0),  # user with no clicks
+    ]
+    cdf = spark.createDataFrame(clicks, EVENT_SCHEMA)
+    pdf = spark.createDataFrame(purchases, EVENT_SCHEMA)
+    cdf.coalesce(1).write.parquet(cdir)
+    pdf.coalesce(1).write.parquet(pdir)
+
+    q = start_click_purchase_join(
+        spark, clicks_dir=cdir, purchases_dir=pdir,
+        output_dir=out, checkpoint_dir=ck,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    expected = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in click_purchase_join(cdf, pdf).collect()
+    )
+    assert got == expected
+    assert got == [(1, 100), (2, 100)]  # in-window clicks of user 7 only

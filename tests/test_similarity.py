@@ -118,3 +118,50 @@ def test_language_id_scores_hand_computed(spark):
     for i in (2, 3):
         assert rows[i]["score_en"] == rows[i]["score_de"] == rows[i]["score_fr"] == 0
         assert rows[i]["pred_lang"] == "en"
+
+
+def test_language_id_scores_fuzz_vs_python(spark):
+    """300 seeded random texts: Spark trigram scores == pure-Python model
+    (multiplicity, padding, basis-point floor, tie order)."""
+    import random
+
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        LANG_TRIGRAM_PROFILES,
+        language_id_scores,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz ÄÖü_ .\t\n"
+    words = ["the", "und", "les", "der", "of", "a", "", "ing", "qux"]
+    texts = []
+    for i in range(300):
+        if rng.random() < 0.5:
+            t = " ".join(rng.choices(words, k=rng.randrange(0, 12)))
+        else:
+            t = "".join(rng.choices(alphabet, k=rng.randrange(0, 40)))
+        texts.append((i, t if rng.random() > 0.05 else None))
+
+    def py_scores(text):
+        toks = [w for w in (text or "").lower().split() if w]
+        tg = []
+        for w in toks:
+            p = f"_{w}_"
+            tg.extend(p[i : i + 3] for i in range(len(p) - 2))
+        if not tg:
+            return (0, 0, 0, "en")
+        out = []
+        for lang in ("en", "de", "fr"):
+            prof = set(LANG_TRIGRAM_PROFILES[lang])
+            hits = sum(1 for t in tg if t in prof)
+            out.append(int(10000 * hits // len(tg)))
+        en, de, fr = out
+        pred = "en" if en >= de and en >= fr else ("de" if de >= fr else "fr")
+        return (en, de, fr, pred)
+
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["score_en"], r["score_de"], r["score_fr"], r["pred_lang"])
+        for r in language_id_scores(df).collect()
+    }
+    for i, t in texts:
+        assert got[i] == py_scores(t), (i, t)

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Row-size-skew A/B benchmark: mega-documents vs split_heavy_docs.
+
+The north rule calls for salted repartitioning / skew handling for
+media-heavy documents.  Key-frequency salting is covered by
+operators/skew.salted_repartition; THIS tool measures the row-size shape:
+a handful of mega-docs (hundreds of thousands of spans in ONE row) that
+serialize whole tasks no matter how keys are spread.
+
+Protocol (local[32], deterministic corpus):
+  corpus = 50k ordinary docs (~6.5 spans avg) + 8 mega-docs (150k spans
+  each) -> mega work ~ 1.2M span-equivalents, 3.7x the light corpus, but
+  concentrated in 8 rows.
+  A (naive):  repartition(32, doc_id) -> arrow extraction.  At most 8
+              partitions carry all mega work -> stragglers.
+  B (split):  split_heavy_docs(2048) -> repartition(32, doc_id, chunk_id)
+              -> arrow extraction -> window re-rank of seq (the fix-up
+              shuffle is INCLUDED in the timing; both sides produce the
+              same flat span rows).
+
+Writes BENCH/skew.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from cloud_ocr_summarizer_spark.datagen import interleaved_docs  # noqa: E402
+from cloud_ocr_summarizer_spark.operators.extract_arrow_native import (  # noqa: E402
+    extract_span_rows_arrow_native,
+)
+from cloud_ocr_summarizer_spark.operators.skew import split_heavy_docs  # noqa: E402
+from cloud_ocr_summarizer_spark.session import get_spark  # noqa: E402
+
+N_LIGHT = 50_000
+N_MEGA = 8
+MEGA_SPANS = 150_000
+CHUNK = 2048
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def build_corpus(spark, base: str) -> str:
+    path = os.path.join(base, "skew_corpus.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    light = interleaved_docs(spark, N_LIGHT, seed=42, skew=False)
+    d = F.col("id")
+    mega = spark.range(N_MEGA).select(
+        F.concat(F.lit("mega_"), d.cast("string")).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(MEGA_SPANS - 1)),
+            lambda i: F.struct(
+                F.when(F.pmod(i, F.lit(4)) == 0, F.lit("PICTURE"))
+                .otherwise(F.lit("TEXT"))
+                .alias("kind"),
+                F.when(
+                    F.pmod(i, F.lit(4)) != 0,
+                    F.concat(F.lit("word"), F.pmod(i, F.lit(97)).cast("string"),
+                             F.lit(" alpha beta gamma")),
+                ).alias("text"),
+                F.when(
+                    F.pmod(i, F.lit(4)) == 0,
+                    F.concat(F.lit("gs://corpus/mega/"), d.cast("string"),
+                             F.lit("/"), i.cast("string"), F.lit(".png")),
+                ).alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    light.unionByName(mega).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> int:
+    cache_base = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+    os.makedirs(cache_base, exist_ok=True)
+    spark = get_spark(app_name="bench-skew")
+    corpus = spark.read.parquet(build_corpus(spark, cache_base))
+
+    def naive():
+        df = corpus.repartition(32, "doc_id")
+        _force(extract_span_rows_arrow_native(df))
+
+    def split():
+        chunked = split_heavy_docs(corpus, max_spans_per_chunk=CHUNK)
+        rows = extract_span_rows_arrow_native(
+            chunked.repartition(32, "doc_id", "chunk_id").select("doc_id", "spans")
+        )
+        w = Window.partitionBy("doc_id").orderBy("offset", "seq")
+        _force(rows.withColumn("seq", F.row_number().over(w)))
+
+    timings = {}
+    for name, fn in (("naive_sec", naive), ("split_sec", split)):
+        fn()  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
+
+    out = {
+        "n_light": N_LIGHT,
+        "n_mega": N_MEGA,
+        "mega_spans": MEGA_SPANS,
+        "chunk": CHUNK,
+        **timings,
+        "speedup": round(timings["naive_sec"] / timings["split_sec"], 2),
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH", "skew.json"), "w",
+            encoding="utf-8") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

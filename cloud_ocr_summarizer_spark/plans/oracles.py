@@ -874,3 +874,20 @@ SELECT grp AS event_type,
 FROM (SELECT * FROM topk WHERE rk <= 64)
 GROUP BY grp
 """
+
+# Hash-based train/val/test split (md5/31-bit family, 80/10/10).
+ORACLES["train_split"] = r"""
+WITH assigned AS (
+  SELECT CASE
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                % 2147483647 % 100 < 80 THEN 'train'
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                % 2147483647 % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
+           AS n_tokens
+  FROM documents)
+SELECT split, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM assigned GROUP BY split
+"""

@@ -898,9 +898,36 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split by doc-id hash (80/10/10): the
+    standard leakage-safe way to split a training corpus — membership is
+    a pure function of the id (stable across runs, partitionings, and
+    engines), never a PRNG sample.  Uses the cross-engine md5/31-bit
+    family so DuckDB value-checks the assignment itself."""
+    from cloud_ocr_summarizer_spark.operators.sketch import md5_hash31_col
+
+    docs = _read(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_hash31_col(F.col("doc_id")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(whitespace_tokens_col(F.col("text"))).alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 BATCH_6 = {
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "train_split": q_train_split,
     "media_pipeline": q_media_pipeline,
     "events_sliding_window": q_events_sliding_window,
     "events_props_json": q_events_props_json,

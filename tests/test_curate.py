@@ -1,0 +1,53 @@
+"""End-to-end corpus curation: dedup -> gates -> leakage-safe split."""
+
+import pyspark.sql.functions as F
+
+from cloud_ocr_summarizer_spark.plans.curate import curate_documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_documents_end_to_end(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    curated = curate_documents(docs, min_quality=2000, parallelism=8).cache()
+
+    n_in = docs.count()
+    n_out = curated.count()
+    assert 0 < n_out < n_in
+
+    # curated ids are a subset of input ids, no duplicates
+    assert curated.select("doc_id").distinct().count() == n_out
+    assert curated.join(docs, "doc_id", "left_anti").count() == 0
+
+    # no exact-duplicate normalized text survives
+    from cloud_ocr_summarizer_spark.functions.text import normalize_block_text_col
+
+    dups = (
+        curated.select(normalize_block_text_col(F.col("text")).alias("t"))
+        .groupBy("t")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dups == 0
+
+    # splits partition the output and roughly follow 80/10/10
+    splits = {
+        r["split"]: r["count"] for r in curated.groupBy("split").count().collect()
+    }
+    assert set(splits) <= {"train", "val", "test"}
+    assert sum(splits.values()) == n_out
+    assert splits["train"] > splits.get("val", 0)
+    assert splits["train"] > splits.get("test", 0)
+
+
+def test_curate_language_gate(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    curated = curate_documents(docs, min_quality=0, lang="en", parallelism=8)
+    # every surviving doc must classify as en
+    from cloud_ocr_summarizer_spark.operators.textstats import language_id_scores
+
+    joined = curated.join(
+        language_id_scores(docs).select("doc_id", "pred_lang"), "doc_id"
+    )
+    assert joined.filter("pred_lang <> 'en'").count() == 0

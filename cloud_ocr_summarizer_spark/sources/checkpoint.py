@@ -86,6 +86,50 @@ class SnapshotSink:
         return spark.read.parquet(*[s["path"] for s in snaps])
 
 
+    # -- maintenance ---------------------------------------------------------
+    def compact_snapshots(
+        self, spark: SparkSession, *, keep_last: int = 1
+    ) -> int | None:
+        """Merge all but the last ``keep_last`` snapshots into one base
+        snapshot (the Iceberg expire_snapshots / rewrite_data_files
+        analogue, reference S9/O2 retention).
+
+        Bounds manifest growth and the small-files problem at scale while
+        preserving BOTH invariants: committed rows are unchanged, and the
+        resume filter (pending_docs) sees the same doc set.  The manifest
+        swap is the atomic commit point; old directories are deleted only
+        after it lands, so a crash mid-compaction never loses data.
+        Returns the new base snapshot id, or None if nothing to compact.
+        """
+        import shutil
+
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if len(snaps) <= max(keep_last, 1):
+            return None
+        to_merge, keep = snaps[:-keep_last], snaps[-keep_last:]
+        merged = spark.read.parquet(*[s["path"] for s in to_merge])
+        base_id = to_merge[-1]["snapshot_id"]  # keeps read_since semantics
+        path = os.path.join(self.root, f"snap={base_id}-compacted")
+        merged.write.mode("overwrite").parquet(path)
+        manifest["snapshots"] = [
+            {
+                "snapshot_id": base_id,
+                "run_id": "compaction",
+                "path": path,
+                "committed_at": time.time(),
+            }
+        ] + keep
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+        for s in to_merge:
+            if s["path"] != path:
+                shutil.rmtree(s["path"], ignore_errors=True)
+        return base_id
+
+
 def pending_docs(
     input_df: DataFrame, sink: SnapshotSink, spark: SparkSession, key: str = "doc_id"
 ) -> DataFrame:

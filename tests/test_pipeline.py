@@ -149,3 +149,38 @@ def test_salted_repartition_spreads_hot_key(spark):
     ).distinct().count()
     assert plain == 1          # hash partitioning serializes the hot key
     assert salted > 1          # salt fans it out
+
+
+def test_compact_snapshots_preserves_data_and_resume(spark, tmp_path):
+    import os
+
+    from cloud_ocr_summarizer_spark.sources.checkpoint import (
+        SnapshotSink,
+        pending_docs,
+    )
+
+    sink = SnapshotSink(str(tmp_path / "sink"))
+    all_docs = interleaved_docs(spark, 30, seed=11)
+    ids = [r["doc_id"] for r in all_docs.select("doc_id").collect()]
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        batch = all_docs.filter(F.col("doc_id").isin(ids[lo:hi]))
+        sink.append(extract_spans(batch, with_stats=False))
+    assert len(sink.snapshots()) == 3
+
+    before = sorted(
+        map(tuple, sink.read_committed(spark).select("doc_id").collect())
+    )
+    base = sink.compact_snapshots(spark, keep_last=1)
+    assert base is not None
+    assert len(sink.snapshots()) == 2  # compacted base + last
+    after = sorted(
+        map(tuple, sink.read_committed(spark).select("doc_id").collect())
+    )
+    assert after == before  # committed rows unchanged
+
+    # resume still sees nothing pending
+    assert pending_docs(all_docs, sink, spark).count() == 0
+    # old snapshot dirs actually deleted; manifest paths all exist
+    assert all(os.path.exists(s["path"]) for s in sink.snapshots())
+    # idempotent when nothing to compact beyond keep_last
+    assert sink.compact_snapshots(spark, keep_last=2) is None

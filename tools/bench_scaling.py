@@ -96,6 +96,19 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w", encoding="utf-8") as f:
         json.dump(result, f)
 
+    # preserve sections other tools maintain (tiers, skew, ...): everything
+    # from the first section header this tool does NOT own
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    preserved = ""
+    own = ("## Flagship extraction throughput", "## Headline suite")
+    if os.path.exists(baseline_path):
+        with open(baseline_path, encoding="utf-8") as f:
+            old_md = f.read()
+        chunks = old_md.split("\n## ")
+        keep = [c for c in chunks[1:] if not any(("## " + c).startswith(o) for o in own)]
+        if keep:
+            preserved = "\n## " + "\n## ".join(keep)
+
     md = f"""# BENCH/BASELINE — measured engine baseline
 
 The reference publishes no benchmark numbers (see ../BASELINE.md); these
@@ -131,7 +144,7 @@ aggregation/join/window relational ops (q3-q5), MinHash LSH dedup (q6)
 and brute-force kNN (q7).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w", encoding="utf-8") as f:
-        f.write(md)
+        f.write(md + preserved)
     return 0
 
 

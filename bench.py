@@ -98,6 +98,20 @@ def main() -> int:
     timed("q6_dedup_minhash", lambda: _force(Q.q_dedup_minhash_lsh(spark, sf_dir)))
     # q7: brute-force kNN over embeddings
     timed("q7_knn_bruteforce", lambda: _force(Q.q_knn_bruteforce(spark, sf_dir)))
+    # q8: composed curation pipeline (dedup -> gates -> split) on documents
+    from cloud_ocr_summarizer_spark.plans.curate import curate_documents
+
+    timed(
+        "q8_curation_pipeline",
+        lambda: _force(
+            curate_documents(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                parallelism=spark.sparkContext.defaultParallelism,
+            )
+        ),
+    )
+    # q9: text analysis battery (trigram language ID + profile) on documents
+    timed("q9_language_id", lambda: _force(Q.q_language_id_ngram(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)

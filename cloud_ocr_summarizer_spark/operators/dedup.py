@@ -14,6 +14,11 @@ ever happens inside small candidate buckets, never across the full corpus
 * ``simhash_buckets``       — 64-bit SimHash fingerprint; near-dup pairs by
                               Hamming distance within prefix buckets.
 
+MinHash follows Broder, "On the resemblance and containment of documents"
+(1997) with the banded-LSH layout popularized by Leskovec/Rajaraman/Ullman
+(Mining of Massive Datasets ch. 3); SimHash follows Charikar, "Similarity
+estimation techniques from rounding algorithms" (STOC 2002).
+
 All hashing is xxhash64 (seed-stable Spark built-in) so results are
 deterministic across runs/partitionings; no Python in the hot path.
 """

@@ -14,6 +14,10 @@
 
 All arithmetic is promoted to double with a fixed accumulation order so
 results are bit-stable across engines/partitionings; no Python UDFs.
+
+The IVF path mirrors the inverted-file (IVF-Flat) design of Jegou et al.,
+"Product quantization for nearest neighbor search" (TPAMI 2011) minus the
+quantizer: coarse k-means cells, probe n_probe lists, exact re-rank.
 """
 
 from __future__ import annotations

@@ -205,26 +205,19 @@ def _sig_pandas(num_hashes: int):
 # --- cross-engine (md5/affine) hash family for the CHECKED variant -------
 # All arithmetic stays below 2^62 so BIGINT (DuckDB) and int64/uint64
 # (numpy) agree exactly; see plans/oracles.py ORACLES["dedup_minhash_checked"].
-_CK_M = 2147483647  # 2^31 - 1
+from cloud_ocr_summarizer_spark.functions.hashing import M31 as _CK_M  # noqa: E402
+
 _CK_MULT = 2654435761
 _CK_BOFF = 40503
 _CK_BAND_B = 131
 
 
 def md5_gram_hashes_col(text: Column, n: int) -> Column:
-    """Word n-grams hashed with the md5-derived family DuckDB can
-    reproduce: ('0x' || md5(g)[:14])::BIGINT % (2^31-1)."""
-    return F.array_distinct(
-        F.transform(
-            word_ngrams_col(text, n),
-            lambda g: F.pmod(
-                F.conv(F.substring(F.md5(g.cast("binary")), 1, 14), 16, 10).cast(
-                    "bigint"
-                ),
-                F.lit(_CK_M),
-            ),
-        )
-    )
+    """Word n-grams hashed with the shared cross-engine family
+    (functions/hashing.md5_hash31_col)."""
+    from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
+
+    return F.array_distinct(F.transform(word_ngrams_col(text, n), md5_hash31_col))
 
 
 def _sig_pandas_affine(num_hashes: int):
@@ -543,15 +536,11 @@ def _simhash_pairs_from_fp(
 
 
 def md5_word_hashes_col(text: Column) -> Column:
-    """One hash per whitespace token with the md5-derived family DuckDB
-    reproduces exactly: ('0x' || md5(w)[:14])::BIGINT % (2^31-1)."""
-    return F.transform(
-        whitespace_tokens_col(text),
-        lambda w: F.pmod(
-            F.conv(F.substring(F.md5(w.cast("binary")), 1, 14), 16, 10).cast("bigint"),
-            F.lit(_CK_M),
-        ),
-    )
+    """One hash per whitespace token with the shared cross-engine family
+    (functions/hashing.md5_hash31_col)."""
+    from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
+
+    return F.transform(whitespace_tokens_col(text), md5_hash31_col)
 
 
 def simhash_near_pairs_checked(

@@ -93,15 +93,17 @@ def resize_plan(features: DataFrame, *, target: int = 224) -> DataFrame:
 
 def frame_samples(features: DataFrame, *, k: int = 4) -> DataFrame:
     """Evenly-spaced frame sampling: for each media row take
-    min(k, n_frames) frames at idx_j = floor(j * n_frames / k) — the
+    kk = min(k, n_frames) frames at idx_j = floor(j * n_frames / kk) — the
     standard uniform-stride video sampler, one output row per frame.
-    Row-local explode; no shuffle."""
+    (Dividing by kk, not k: with 1 < n_frames < k the k-divisor form
+    duplicates index 0 and skips tail frames.)  Row-local explode; no
+    shuffle."""
     kk = F.least(F.lit(k), F.col("n_frames"))
     idxs = F.when(
         F.col("n_frames") > 0,
         F.transform(
             F.sequence(F.lit(0), kk - 1),
-            lambda j: F.floor(j * F.col("n_frames") / k).cast("int"),
+            lambda j: F.floor(j * F.col("n_frames") / kk).cast("int"),
         ),
     ).otherwise(F.array().cast("array<int>"))
     return features.withColumn("frame_idx", F.explode(idxs))

@@ -4,8 +4,7 @@ At 100 TB, exact COUNT(DISTINCT) shuffles every distinct key; sketches
 cap the per-group state at k values.  HyperLogLog (Spark's
 ``approx_count_distinct``) is engine-internal and not bit-reproducible
 across engines, so for the correctness gate we implement KMV with the
-cross-engine md5/31-bit hash family (same family as
-operators/dedup.md5_gram_hashes_col):
+cross-engine md5/31-bit hash family (functions/hashing.py):
 
     estimate = (k - 1) / (h_(k) / M)
 
@@ -14,28 +13,48 @@ M = 2^31 - 1 (Beyer et al., "On synopses for distinct-value estimation
 under multiset operations", SIGMOD'07).  Groups with < k distinct values
 report the exact distinct count.
 
-Physical shape (fully scalable, no collect_list):
-  1 distinct-shuffle on (group, hash)  ->  per-group window rank  ->
-  keep rank <= k  ->  1 tiny agg on (group).
-The rank window partitions by group and the kept set is <= k rows per
-group, so state is bounded everywhere.
+Physical shape — two-level top-k so state is bounded EVERYWHERE:
+  1. map-side prune (mapInPandas): each Arrow batch keeps only the k
+     smallest distinct hashes per group it contains — output is
+     <= k x groups x batches rows, no matter how many distinct values
+     exist;
+  2. merge: distinct + per-group rank window over the pruned rows (input
+     already bounded, so the window partition is small by construction);
+  3. one tiny agg per group.
+Never a global O(distinct)-rows sort in a single task.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from collections.abc import Iterator
 
-_M = 2147483647  # 2^31 - 1, matches dedup._CK_M
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cloud_ocr_summarizer_spark.functions.hashing import M31, md5_hash31_col
+
+__all__ = ["kmv_distinct", "md5_hash31_col"]
+
+_M = M31  # backward-compatible alias
 
 
-def md5_hash31_col(value: Column) -> Column:
-    """Cross-engine 31-bit hash: ('0x' || md5(v)[:14])::BIGINT % (2^31-1)."""
-    return F.pmod(
-        F.conv(
-            F.substring(F.md5(value.cast("string").cast("binary")), 1, 14), 16, 10
-        ).cast("bigint"),
-        F.lit(_M),
-    )
+def _batch_prune(k: int):
+    """Iterator[pdf(grp,h)] -> per-batch k smallest distinct h per grp."""
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dedup = pdf.drop_duplicates()
+            kept = (
+                dedup.sort_values("h")
+                .groupby("grp", sort=False, dropna=False)
+                .head(k)
+                .reset_index(drop=True)
+            )
+            yield kept
+
+    return prune
 
 
 def kmv_distinct(
@@ -46,14 +65,20 @@ def kmv_distinct(
     Output: (group, n_kept, kth_hash, est_distinct) where est_distinct is
     the KMV estimate rounded to 2 decimals (exact count when the group
     has fewer than k distinct values).  Deterministic: same input ->
-    same sketch -> same estimate, on any partitioning and in DuckDB.
+    same sketch -> same estimate, on any partitioning and in DuckDB
+    (per-batch pruning keeps a superset of each group's k global minima —
+    pigeonhole — so the merged result is exactly the unpruned one).
     """
+    grp_type = df.schema[group_col].dataType.simpleString()
     hashed = df.select(
         F.col(group_col).alias("grp"),
         md5_hash31_col(F.col(value_col)).alias("h"),
+    ).filter(F.col("h").isNotNull())  # null values don't count as distinct
+    pruned = hashed.mapInPandas(
+        _batch_prune(k), schema=f"grp {grp_type}, h bigint"
     ).dropDuplicates(["grp", "h"])
     w = Window.partitionBy("grp").orderBy("h")
-    topk = hashed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    topk = pruned.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
     return (
         topk.groupBy("grp")
         .agg(
@@ -67,7 +92,7 @@ def kmv_distinct(
             F.round(
                 F.when(
                     F.col("n_kept") < k, F.col("n_kept").cast("double")
-                ).otherwise((k - 1) / (F.col("kth_hash") / F.lit(float(_M)))),
+                ).otherwise((k - 1) / (F.col("kth_hash") / F.lit(float(M31)))),
                 2,
             ).alias("est_distinct"),
         )

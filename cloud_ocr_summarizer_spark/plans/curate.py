@@ -17,11 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from cloud_ocr_summarizer_spark.functions.hashing import hash_split_col
 from cloud_ocr_summarizer_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
 )
-from cloud_ocr_summarizer_spark.operators.sketch import md5_hash31_col
 from cloud_ocr_summarizer_spark.operators.textstats import (
     language_id_scores,
     quality_score_col,
@@ -61,8 +61,4 @@ def curate_documents(
             .drop("pred_lang")
         )
 
-    bucket = F.pmod(md5_hash31_col(F.col("doc_id")), F.lit(100))
-    return docs.withColumn(
-        "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
-    )
+    return docs.withColumn("split", hash_split_col(F.col("doc_id")))

@@ -802,7 +802,8 @@ ORACLES["media_pipeline"] = SPANS_CTE + r"""
   FROM feats)
 SELECT doc_id, media_ref, media_kind, out_w, out_h,
        CAST(unnest(list_transform(range(least(4, n_frames)),
-            j -> floor(j * n_frames / 4.0))) AS INT) AS frame_idx
+            j -> floor(j * n_frames * 1.0 / least(4, n_frames)))) AS INT)
+         AS frame_idx
 FROM rs
 """
 
@@ -863,6 +864,7 @@ WITH hashed AS (
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
            % 2147483647 AS h
   FROM events
+  WHERE user_id IS NOT NULL
 ), topk AS (
   SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
   FROM hashed)

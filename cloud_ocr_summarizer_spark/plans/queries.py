@@ -904,16 +904,12 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure function of the id (stable across runs, partitionings, and
     engines), never a PRNG sample.  Uses the cross-engine md5/31-bit
     family so DuckDB value-checks the assignment itself."""
-    from cloud_ocr_summarizer_spark.operators.sketch import md5_hash31_col
+    from cloud_ocr_summarizer_spark.functions.hashing import hash_split_col
 
     docs = _read(spark, sf_dir, "documents")
-    bucket = F.pmod(md5_hash31_col(F.col("doc_id")), F.lit(100))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
     return (
         docs.select(
-            split.alias("split"),
+            hash_split_col(F.col("doc_id")).alias("split"),
             F.size(whitespace_tokens_col(F.col("text"))).alias("n_tokens"),
         )
         .groupBy("split")

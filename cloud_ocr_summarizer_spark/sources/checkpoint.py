@@ -103,14 +103,20 @@ class SnapshotSink:
         """
         import shutil
 
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
         manifest = self._read_manifest()
         snaps = manifest["snapshots"]
-        if len(snaps) <= max(keep_last, 1):
-            return None
         to_merge, keep = snaps[:-keep_last], snaps[-keep_last:]
+        if len(to_merge) < 2:
+            # nothing to gain (0 or 1 old snapshot) — and merging a single
+            # snapshot into itself would overwrite its own input files
+            return None
         merged = spark.read.parquet(*[s["path"] for s in to_merge])
         base_id = to_merge[-1]["snapshot_id"]  # keeps read_since semantics
-        path = os.path.join(self.root, f"snap={base_id}-compacted")
+        # unique output dir: never collides with any input (re-compaction
+        # of an already-compacted base is safe)
+        path = os.path.join(self.root, f"snap={base_id}-compacted-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(path)
         manifest["snapshots"] = [
             {

@@ -39,3 +39,22 @@ def test_media_pipeline_shapes_and_arithmetic(spark):
     clip = sorted(by_ref["gs://b/clip.mp4"])
     nf = feats["gs://b/clip.mp4"]["n_frames"]
     assert clip == [j * nf // 4 for j in range(4)]  # uniform stride
+
+
+def test_frame_samples_small_frame_counts(spark):
+    """1 < n_frames < k must sample each frame once, no dups or gaps."""
+    import pyspark.sql.functions as F
+
+    from cloud_ocr_summarizer_spark.operators.multimodal import frame_samples
+
+    feats = spark.createDataFrame(
+        [(1, "r3", "other", 3), (2, "r1", "image", 1), (3, "r16", "other", 16)],
+        "doc_id long, media_ref string, media_kind string, n_frames int",
+    )
+    rows = frame_samples(feats, k=4).collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    assert sorted(by_ref["r3"]) == [0, 1, 2]
+    assert by_ref["r1"] == [0]
+    assert sorted(by_ref["r16"]) == [0, 4, 8, 12]

@@ -184,3 +184,25 @@ def test_compact_snapshots_preserves_data_and_resume(spark, tmp_path):
     assert all(os.path.exists(s["path"]) for s in sink.snapshots())
     # idempotent when nothing to compact beyond keep_last
     assert sink.compact_snapshots(spark, keep_last=2) is None
+
+
+def test_compact_snapshots_twice_is_safe(spark, tmp_path):
+    """Regression: re-compacting must not overwrite its own input (the
+    unique-output-dir + <2-to-merge guard), and keep_last=0 is rejected."""
+    import pytest as _pytest
+
+    from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink
+
+    sink = SnapshotSink(str(tmp_path / "sink2"))
+    docs = interleaved_docs(spark, 30, seed=13)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        sink.append(docs.filter(F.col("doc_id").isin(ids[lo:hi])))
+
+    assert sink.compact_snapshots(spark, keep_last=1) is not None
+    n1 = sink.read_committed(spark).count()
+    # second call: only [compacted, last] remain -> nothing to merge
+    assert sink.compact_snapshots(spark, keep_last=1) is None
+    assert sink.read_committed(spark).count() == n1  # no data loss
+    with _pytest.raises(ValueError):
+        sink.compact_snapshots(spark, keep_last=0)

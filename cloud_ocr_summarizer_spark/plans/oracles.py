@@ -893,3 +893,13 @@ WITH assigned AS (
 SELECT split, count(*) AS n_docs, sum(n_tokens) AS total_tokens
 FROM assigned GROUP BY split
 """
+
+# TPC-H Q13 shape: left outer + double aggregation.
+ORACLES["customer_order_histogram"] = r"""
+SELECT c_count, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""

@@ -920,10 +920,24 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — how many
+    customers placed exactly N orders (including zero)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
 BATCH_6 = {
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "train_split": q_train_split,
+    "customer_order_histogram": q_customer_order_histogram,
     "media_pipeline": q_media_pipeline,
     "events_sliding_window": q_events_sliding_window,
     "events_props_json": q_events_props_json,

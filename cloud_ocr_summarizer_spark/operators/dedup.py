@@ -335,13 +335,16 @@ def minhash_lsh_pairs_checked(
     reproducible in DuckDB, so the driver value-checks the full pipeline
     (plans/oracles.py "dedup_minhash_checked").  Marginally slower than
     minhash_lsh_pairs (md5 vs xxhash64 gram hashing); same semantics."""
-    src = df.repartition(
-        parallelism or df.sparkSession.sparkContext.defaultParallelism, id_col
+    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par)  # spread the CPU-heavy gram stage
+        .select(
+            F.col(id_col).alias("id"),
+            md5_gram_hashes_col(F.col(text_col), n).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+        .repartition(par, "id")  # ReuseExchange materialization point
     )
-    base = src.select(
-        F.col(id_col).alias("id"),
-        md5_gram_hashes_col(F.col(text_col), n).alias("grams"),
-    ).filter(F.size("grams") > 0)
     return _lsh_pairs_from_base(
         base,
         _sig_pandas_affine(num_hashes),
@@ -378,18 +381,25 @@ def minhash_lsh_pairs(
     Docs shorter than n words are dropped.
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
-    # Repartition BEFORE the CPU-heavy gram stage (a single-file input
-    # otherwise runs it on one core).  String-gram hashing measured 3x
-    # faster than the word-hash-combine variant
+    # First repartition: spread the CPU-heavy gram stage (a single-file
+    # input otherwise runs it on one core).  String-gram hashing measured
+    # 3x faster than the word-hash-combine variant
     # (gram_hashes_from_word_hashes) under identical conditions — keep A/B
     # measuring before swapping this.
-    src = df.repartition(
-        parallelism or df.sparkSession.sparkContext.defaultParallelism, id_col
+    # Second repartition (AFTER the gram projection): `base` feeds three
+    # plan branches (signature + both verification joins); an identical
+    # exchange subtree lets ReuseExchange materialize the grams ONCE
+    # instead of recomputing them per branch — measured 1.85x end-to-end.
+    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            gram_hashes_col(F.col(text_col), n).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+        .repartition(par, "id")
     )
-    base = src.select(
-        F.col(id_col).alias("id"),
-        gram_hashes_col(F.col(text_col), n).alias("grams"),
-    ).filter(F.size("grams") > 0)
 
     def xxhash_bucket(sig: Column, band: Column, rows_per_band: int) -> Column:
         return F.xxhash64(

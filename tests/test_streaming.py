@@ -194,3 +194,60 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     )
     assert got == expected
     assert got == [(1, 100), (2, 100)]  # in-window clicks of user 7 only
+
+
+def test_streaming_cdc_apply(spark, tmp_path):
+    """foreachBatch CDC upsert: the materialized table converges to the
+    latest change per key across multiple drains, no duplicates."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from cloud_ocr_summarizer_spark.streaming.cdc import (
+        read_current,
+        start_cdc_apply,
+    )
+
+    inp = str(tmp_path / "changes")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ckc")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def drain():
+        q = start_cdc_apply(
+            spark, input_dir=inp, state_root=state, checkpoint_dir=ck,
+            schema=schema, key="k", order_col="ts",
+        )
+        q.awaitTermination(120)
+
+    t = dt.datetime(2026, 1, 1)
+
+    land([(1, "a", t), (2, "b", t)])
+    drain()
+    got = {r["k"]: r["v"] for r in read_current(spark, state).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # second drain: update k=1 (two changes in one batch, latest wins),
+    # insert k=3; k=2 untouched
+    land([(1, "a2", t.replace(hour=1)), (1, "a3", t.replace(hour=2)),
+          (3, "c", t)])
+    drain()
+    cur = read_current(spark, state)
+    got = {r["k"]: r["v"] for r in cur.collect()}
+    assert got == {1: "a3", 2: "b", 3: "c"}
+    assert cur.count() == 3  # no duplicate keys
+
+    # re-drain with nothing new: state unchanged (idempotent)
+    drain()
+    assert {r["k"]: r["v"] for r in read_current(spark, state).collect()} == got

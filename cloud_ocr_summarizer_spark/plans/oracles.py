@@ -903,3 +903,16 @@ FROM (
   GROUP BY c_custkey)
 GROUP BY c_count
 """
+
+# TPC-H Q19 shape: disjunctive predicate across a join.
+ORACLES["discounted_revenue"] = r"""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20
+       AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30
+       AND l_quantity BETWEEN 10 AND 40)
+"""

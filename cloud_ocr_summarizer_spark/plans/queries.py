@@ -933,11 +933,34 @@ def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
 
 
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicate across a join —
+    exercises Catalyst's CNF conversion / partial predicate pushdown."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 BATCH_6 = {
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "train_split": q_train_split,
     "customer_order_histogram": q_customer_order_histogram,
+    "discounted_revenue": q_discounted_revenue,
     "media_pipeline": q_media_pipeline,
     "events_sliding_window": q_events_sliding_window,
     "events_props_json": q_events_props_json,

@@ -916,3 +916,28 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 10
    OR (p_brand = 'Brand#3' AND p_size <= 30
        AND l_quantity BETWEEN 10 AND 40)
 """
+
+# Native session_window twin: gaps-and-islands with >= gap split (Spark
+# merges an event only while ts < last + gap; session end = last + gap).
+ORACLES["events_session_window"] = r"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microsecond', lag(ts) OVER w, ts)
+                 >= 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM numbered
+GROUP BY user_id, sid
+"""

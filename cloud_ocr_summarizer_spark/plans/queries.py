@@ -955,12 +955,35 @@ def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessionization (the SessionWindowing
+    physical operator — merge-on-gap), vs the manual lag+cumsum form in
+    q_events_sessionize.  A gap of exactly 30min starts a NEW session
+    (event joins only while ts < last + gap), hence >= in the oracle."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 BATCH_6 = {
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "train_split": q_train_split,
     "customer_order_histogram": q_customer_order_histogram,
     "discounted_revenue": q_discounted_revenue,
+    "events_session_window": q_events_session_window,
     "media_pipeline": q_media_pipeline,
     "events_sliding_window": q_events_sliding_window,
     "events_props_json": q_events_props_json,

@@ -941,3 +941,37 @@ SELECT min(ts) AS session_start,
 FROM numbered
 GROUP BY user_id, sid
 """
+
+# Explicit GROUPING SETS + grouping flags.
+ORACLES["orders_grouping_sets"] = r"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+# ntile / percent_rank / cume_dist ranking windows.
+ORACLES["order_value_ntiles"] = r"""
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+# UDTF twin: split + indexed unnest (the row-local form a real job uses).
+ORACLES["sentences_udtf"] = r"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_split_to_array(text, '[.!?]+'),
+             (p, i) -> struct_pack(idx := i - 1,
+                                   s := trim(p, ' ' || chr(9) || chr(10) || chr(13))))) AS u
+  FROM documents
+  WHERE text IS NOT NULL)
+SELECT doc_id, CAST(u.idx AS INT) AS sent_idx, u.s AS sentence
+FROM parts
+WHERE u.s <> ''
+"""

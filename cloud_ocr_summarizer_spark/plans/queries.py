@@ -977,9 +977,73 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) + grouping_id —
+    finer-grained than rollup/cube, via the SQL API."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def q_order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking-window family: ntile(4) + percent_rank + cume_dist
+    over order value within each priority class."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) splitting documents into
+    sentences with positions — the one deliberately row-at-a-time API in
+    the repo, included for UDF-surface completeness.  NOT a hot-path
+    pattern: the same logic is expressible row-locally with
+    split/posexplode (which the oracle uses), and that is what a 100 TB
+    job should do."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: D102
+            if text is None:
+                return
+            import re
+
+            parts = [p.strip() for p in re.split(r"[.!?]+", text)]
+            for i, p in enumerate(parts):
+                if p:
+                    yield i, p
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
 BATCH_6 = {
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "orders_grouping_sets": q_orders_grouping_sets,
+    "order_value_ntiles": q_order_value_ntiles,
+    "sentences_udtf": q_sentences_udtf,
     "train_split": q_train_split,
     "customer_order_histogram": q_customer_order_histogram,
     "discounted_revenue": q_discounted_revenue,

@@ -23,13 +23,50 @@ from cloud_ocr_summarizer_spark.plans import oracles as _oracles
 from cloud_ocr_summarizer_spark.plans import queries as _queries
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make cloud_ocr_summarizer_spark importable in Python WORKERS.
+
+    Pandas/Arrow UDF closures reference module-level functions, which
+    cloudpickle serializes by module name — so workers must import the
+    package.  When the harness's driver process was not launched from the
+    repo root, worker PYTHONPATH doesn't include it and every
+    mapInPandas/mapInArrow stage dies with ModuleNotFoundError.  Shipping
+    a zip via addPyFile fixes this for any session, local or clustered
+    (the spark-submit jobs do the same thing with --py-files).
+    """
+    if getattr(spark, "_cos_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"cos_spark_pkg_{os.getpid()}")
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(
+            base, "zip", root_dir=_REPO_ROOT, base_dir="cloud_ocr_summarizer_spark"
+        )
+    spark.sparkContext.addPyFile(zip_path)
+    spark._cos_pkg_shipped = True  # type: ignore[attr-defined]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     documents -> deterministic interleaved (doc_id, spans) -> row-local
     extraction (classify + assemble + offset-order) -> flat span rows.
     """
+    _ship_package(spark)
     return _queries.q_extract_flagship(spark, "/root/testdata/sf0.001")
+
+
+def _with_shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -38,7 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(_queries.BATCH_1)
     for extra in ("BATCH_2", "BATCH_3", "BATCH_4", "BATCH_5", "BATCH_6", "BATCH_UDF"):
         out.update(getattr(_queries, extra, {}))
-    return out
+    return {name: _with_shipped(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -39,13 +39,19 @@ def _ship_package(spark: SparkSession) -> None:
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), f"cos_spark_pkg_{os.getpid()}")
-    zip_path = base + ".zip"
-    if not os.path.exists(zip_path):
-        shutil.make_archive(
-            base, "zip", root_dir=_REPO_ROOT, base_dir="cloud_ocr_summarizer_spark"
-        )
-    spark.sparkContext.addPyFile(zip_path)
+    try:
+        base = os.path.join(tempfile.gettempdir(), f"cos_spark_pkg_{os.getpid()}")
+        zip_path = base + ".zip"
+        if not os.path.exists(zip_path):
+            shutil.make_archive(
+                base, "zip", root_dir=_REPO_ROOT, base_dir="cloud_ocr_summarizer_spark"
+            )
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        # Spark Connect sessions have no sparkContext; there the classic
+        # cwd/PYTHONPATH route is the only option — don't break the
+        # contract for the row-local queries that need no worker import.
+        pass
     spark._cos_pkg_shipped = True  # type: ignore[attr-defined]
 
 

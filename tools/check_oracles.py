@@ -20,7 +20,14 @@ from cloud_ocr_summarizer_spark.session import get_spark
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="check-oracles")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver parity: a bare session with default configs (the harness
+        # does NOT use our session factory)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark(app_name="check-oracles")
     con = duckdb_connection(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -164,6 +164,58 @@ def language_id_scores(
     return out.withColumn("pred_lang", pred)
 
 
+def repetition_profile(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/diversity signals per document (Rae et al.,
+    "Scaling Language Models: ... Gopher", 2021 — the repetition filters).
+
+    Output (integer basis points via floor for cross-engine exactness):
+      n_tokens            total whitespace tokens
+      top_word_share_bp   floor(10000 * max single-word count / n_tokens)
+      unique_ratio_bp     floor(10000 * distinct words / n_tokens)
+      flagged             n_tokens >= 10 AND (top_word_share > 30% OR
+                          unique ratio < 30%) — degenerate/repetitive doc
+                          (Gopher-ish bounds; short docs are exempt, a
+                          3-token doc legitimately has 33% top share)
+
+    Explode + two hash aggregations; the exchange carries one row per
+    (doc, word) after map-side partial aggregation.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode_outer(whitespace_tokens_col(F.lower(F.col(text_col)))).alias("_w"),
+    )
+    per_word = words.groupBy(id_col, "_w").agg(F.count("_w").alias("_c"))
+    prof = per_word.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.max("_c").alias("_top"),
+        F.count(F.col("_w")).alias("_uniq"),
+    )
+    bp = lambda num: (  # noqa: E731
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.lit(10000.0) * num / F.col("n_tokens")),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    out = prof.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        bp(F.coalesce(F.col("_top"), F.lit(0))).alias("top_word_share_bp"),
+        bp(F.col("_uniq")).alias("unique_ratio_bp"),
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("n_tokens") >= 10)
+        & (
+            (F.col("top_word_share_bp") > 3000)
+            | (F.col("unique_ratio_bp") < 3000)
+        ),
+    )
+
+
 def text_profile(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document text-analysis profile (one row-local projection)."""
     t = F.col(text_col)

@@ -975,3 +975,34 @@ SELECT doc_id, CAST(u.idx AS INT) AS sent_idx, u.s AS sentence
 FROM parts
 WHERE u.s <> ''
 """
+
+# Gopher-style repetition/diversity quality signals.
+ORACLES["gopher_repetition"] = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents),
+per_word AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+prof AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         max(c) AS top, count(*) AS uniq
+  FROM per_word GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+            THEN floor(10000.0 * p.top / p.n_tokens) ELSE 0 END AS INT)
+         AS top_word_share_bp,
+       CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+            THEN floor(10000.0 * p.uniq / p.n_tokens) ELSE 0 END AS INT)
+         AS unique_ratio_bp,
+       (COALESCE(p.n_tokens, 0) >= 10 AND
+        (CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+              THEN floor(10000.0 * p.top / p.n_tokens) ELSE 0 END AS INT) > 3000
+         OR
+         CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+              THEN floor(10000.0 * p.uniq / p.n_tokens) ELSE 0 END AS INT) < 3000))
+         AS flagged
+FROM documents d LEFT JOIN prof p ON d.doc_id = p.doc_id
+"""

@@ -1038,12 +1038,20 @@ def q_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity quality signals per document."""
+    from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
+
+    return repetition_profile(_read(spark, sf_dir, "documents"))
+
+
 BATCH_6 = {
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "orders_grouping_sets": q_orders_grouping_sets,
     "order_value_ntiles": q_order_value_ntiles,
     "sentences_udtf": q_sentences_udtf,
+    "gopher_repetition": q_gopher_repetition,
     "train_split": q_train_split,
     "customer_order_histogram": q_customer_order_histogram,
     "discounted_revenue": q_discounted_revenue,

@@ -165,3 +165,26 @@ def test_language_id_scores_fuzz_vs_python(spark):
     }
     for i, t in texts:
         assert got[i] == py_scores(t), (i, t)
+
+
+def test_repetition_profile_hand_computed(spark):
+    from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a " * 8 + "b c"),   # 10 tokens, top 8/10, uniq 3/10 -> flagged
+            (2, "one two three"),    # short doc: exempt even at 33% top share
+            (3, ""),                 # empty -> zeros, not flagged
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    assert rows[1]["n_tokens"] == 10
+    assert rows[1]["top_word_share_bp"] == 8000
+    assert rows[1]["unique_ratio_bp"] == 3000
+    assert rows[1]["flagged"] is True
+    assert rows[2]["flagged"] is False
+    assert rows[2]["unique_ratio_bp"] == 10000
+    for i in (3, 4):
+        assert rows[i]["n_tokens"] == 0 and rows[i]["flagged"] is False

@@ -8,8 +8,9 @@ partitioned write):
   2. near-dup removal   — MinHash+LSH verified pairs; drop the higher id
                           of each pair
   3. quality gate       — quality_score_col >= min_quality basis points
-  4. language gate      — trigram language ID == lang (None = skip)
-  5. split assignment   — hash-bucket train/val/test (80/10/10),
+  4. repetition gate    — drop Gopher-flagged degenerate/repetitive docs
+  5. language gate      — trigram language ID == lang (None = skip)
+  6. split assignment   — hash-bucket train/val/test (80/10/10),
                           leakage-safe (pure function of doc_id)
 """
 
@@ -25,6 +26,7 @@ from cloud_ocr_summarizer_spark.operators.dedup import (
 from cloud_ocr_summarizer_spark.operators.textstats import (
     language_id_scores,
     quality_score_col,
+    repetition_profile,
 )
 
 
@@ -52,6 +54,11 @@ def curate_documents(
     docs = docs.join(losers, "doc_id", "left_anti")
 
     docs = docs.filter(quality_score_col(F.col("text")) >= min_quality)
+
+    repetitive = (
+        repetition_profile(docs).filter("flagged").select("doc_id")
+    )
+    docs = docs.join(repetitive, "doc_id", "left_anti")
 
     if lang is not None:
         pred = language_id_scores(docs).select("doc_id", "pred_lang")

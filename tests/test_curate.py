@@ -51,3 +51,20 @@ def test_curate_language_gate(spark):
         language_id_scores(docs).select("doc_id", "pred_lang"), "doc_id"
     )
     assert joined.filter("pred_lang <> 'en'").count() == 0
+
+
+def test_curate_drops_repetitive_docs(spark):
+    from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    degenerate = spark.createDataFrame(
+        [(999999, "spam " * 50, "en", "srcX", 250)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = base.unionByName(degenerate)
+    curated = curate_documents(docs, min_quality=0, parallelism=8)
+    assert curated.filter("doc_id = 999999").count() == 0  # flagged -> dropped
+    # sanity: the flag actually fires for that doc
+    assert (
+        repetition_profile(degenerate).filter("flagged").count() == 1
+    )

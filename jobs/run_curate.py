@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """spark-submit entry point for the corpus-curation pipeline
 (plans/curate.curate_documents: exact dedup -> MinHash near-dup removal
--> quality gate -> language gate -> hash-bucket train/val/test split).
+-> quality gate -> repetition gate -> language gate -> hash-bucket
+train/val/test split).
 
     spark-submit --py-files /tmp/cos_spark.zip jobs/run_curate.py \
         --input /root/testdata/sf0.01/documents.parquet \

@@ -109,6 +109,58 @@ def frame_samples(features: DataFrame, *, k: int = 4) -> DataFrame:
     return features.withColumn("frame_idx", F.explode(idxs))
 
 
+PAYLOAD_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def media_payload_features(span_rows: DataFrame) -> DataFrame:
+    """Opaque BINARY payload plumbing: a ``binary`` column flows through
+    Arrow into the pandas decode stub, which computes features from the
+    ACTUAL BYTES (length, first byte -> fake dimensions).
+
+    The payload here is synthesized deterministically (unhex(md5(ref)),
+    16 bytes) because the testdata carries no real media; in production
+    the column holds the encoded image/audio/video and only
+    ``_decode_real`` changes.  What this pins down is the Spark-side
+    contract: BinaryType schema, Arrow transfer of bytes into pandas,
+    per-batch feature extraction, and the deterministic arithmetic the
+    DuckDB oracle reproduces from the same md5.
+    """
+    media = span_rows.filter("media_ref IS NOT NULL").select(
+        "doc_id",
+        "media_ref",
+        F.unhex(F.md5(F.col("media_ref").cast("binary"))).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = pdf["payload"]  # Series[bytes] via Arrow
+            n_bytes = payloads.map(len).astype("int32")
+            first = payloads.map(lambda b: b[0]).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "n_bytes": n_bytes,
+                    "first_byte": first.astype("int32"),
+                    "width": (64 + (7 * first) % 512).astype("int32"),
+                    "height": (64 + (11 * first) % 512).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PAYLOAD_FEATURE_SCHEMA)
+
+
 def media_features(span_rows: DataFrame) -> DataFrame:
     """Feature-extract every media span (mapInPandas over Arrow batches).
 

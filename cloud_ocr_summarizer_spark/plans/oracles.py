@@ -1006,3 +1006,18 @@ SELECT d.doc_id,
          AS flagged
 FROM documents d LEFT JOIN prof p ON d.doc_id = p.doc_id
 """
+
+# BINARY payload plumbing twin: payload = unhex(md5(ref)) (16 bytes),
+# first byte = first two hex chars of the md5.
+ORACLES["media_payload_features"] = SPANS_CTE + r"""
+SELECT doc_id, media_ref,
+       CAST(16 AS INT) AS n_bytes,
+       CAST(('0x' || substr(md5(media_ref), 1, 2))::BIGINT AS INT)
+         AS first_byte,
+       CAST(64 + (7 * ('0x' || substr(md5(media_ref), 1, 2))::BIGINT) % 512
+         AS INT) AS width,
+       CAST(64 + (11 * ('0x' || substr(md5(media_ref), 1, 2))::BIGINT) % 512
+         AS INT) AS height
+FROM __spans
+WHERE media_ref IS NOT NULL
+"""

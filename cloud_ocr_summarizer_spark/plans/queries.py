@@ -1038,6 +1038,17 @@ def q_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryType multimodal plumbing: synthesized opaque payload ->
+    Arrow -> pandas byte-level feature extraction."""
+    from cloud_ocr_summarizer_spark.operators.multimodal import (
+        media_payload_features,
+    )
+
+    rows = extract_span_rows(_documents_spans(spark, sf_dir))
+    return media_payload_features(rows)
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity quality signals per document."""
     from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
@@ -1052,6 +1063,7 @@ BATCH_6 = {
     "order_value_ntiles": q_order_value_ntiles,
     "sentences_udtf": q_sentences_udtf,
     "gopher_repetition": q_gopher_repetition,
+    "media_payload_features": q_media_payload_features,
     "train_split": q_train_split,
     "customer_order_histogram": q_customer_order_histogram,
     "discounted_revenue": q_discounted_revenue,

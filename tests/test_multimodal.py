@@ -58,3 +58,25 @@ def test_frame_samples_small_frame_counts(spark):
     assert sorted(by_ref["r3"]) == [0, 1, 2]
     assert by_ref["r1"] == [0]
     assert sorted(by_ref["r16"]) == [0, 4, 8, 12]
+
+
+def test_media_payload_binary_roundtrip(spark):
+    """The BINARY payload must arrive in pandas as real bytes: first_byte
+    equals the first byte of md5(ref)."""
+    import hashlib
+
+    from cloud_ocr_summarizer_spark.operators.multimodal import (
+        media_payload_features,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, "gs://b/x.png"), (1, None)], "doc_id long, media_ref string"
+    )
+    got = media_payload_features(rows).collect()
+    assert len(got) == 1  # null media_ref filtered
+    r = got[0]
+    digest = hashlib.md5(b"gs://b/x.png").digest()
+    assert r["n_bytes"] == 16
+    assert r["first_byte"] == digest[0]
+    assert r["width"] == 64 + (7 * digest[0]) % 512
+    assert r["height"] == 64 + (11 * digest[0]) % 512

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from cloud_ocr_summarizer_spark.plans import oracles as _oracles
 from cloud_ocr_summarizer_spark.plans import queries as _queries
 
+_PKG_ZIP: str | None = None
+
 
 def _ship_package(spark: SparkSession) -> None:
     """Make cloud_ocr_summarizer_spark importable in Python WORKERS.
@@ -40,13 +42,16 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
 
     try:
-        base = os.path.join(tempfile.gettempdir(), f"cos_spark_pkg_{os.getpid()}")
-        zip_path = base + ".zip"
-        if not os.path.exists(zip_path):
-            shutil.make_archive(
+        global _PKG_ZIP
+        if _PKG_ZIP is None:
+            # fresh private dir per process: never reuses a stale or
+            # half-written zip left by another (possibly pid-recycled)
+            # process in /tmp
+            base = os.path.join(tempfile.mkdtemp(prefix="cos_spark_pkg_"), "pkg")
+            _PKG_ZIP = shutil.make_archive(
                 base, "zip", root_dir=_REPO_ROOT, base_dir="cloud_ocr_summarizer_spark"
             )
-        spark.sparkContext.addPyFile(zip_path)
+        spark.sparkContext.addPyFile(_PKG_ZIP)
     except Exception:
         # Spark Connect sessions have no sparkContext; there the classic
         # cwd/PYTHONPATH route is the only option — don't break the

@@ -163,9 +163,7 @@ def extract_spans_exploded(
     )
     return agg.select(
         "doc_id",
-        F.transform(F.col("sorted_spans"), lambda x: _project_out(x)).alias(
-            "spans_out"
-        ),
+        F.transform(F.col("sorted_spans"), _project_out).alias("spans_out"),
     )
 
 

@@ -39,6 +39,17 @@ def curate_documents(
     parallelism: int | None = None,
 ) -> DataFrame:
     """documents -> curated documents with a ``split`` column."""
+    # gate inputs computed from the ORIGINAL docs, not mid-pipeline
+    # lineage: flagged/pred_lang are pure per-doc functions, a superset of
+    # flagged ids anti-joins to the identical result, and deriving them
+    # downstream would re-execute the whole dedup cascade once per gate.
+    repetitive = repetition_profile(docs).filter("flagged").select("doc_id")
+    lang_pred = (
+        None
+        if lang is None
+        else language_id_scores(docs).select("doc_id", "pred_lang")
+    )
+
     keepers = exact_duplicates(docs).select(F.col("keeper").alias("doc_id"))
     docs = docs.join(keepers, "doc_id", "left_semi")
 
@@ -55,15 +66,11 @@ def curate_documents(
 
     docs = docs.filter(quality_score_col(F.col("text")) >= min_quality)
 
-    repetitive = (
-        repetition_profile(docs).filter("flagged").select("doc_id")
-    )
     docs = docs.join(repetitive, "doc_id", "left_anti")
 
-    if lang is not None:
-        pred = language_id_scores(docs).select("doc_id", "pred_lang")
+    if lang_pred is not None:
         docs = (
-            docs.join(pred, "doc_id")
+            docs.join(lang_pred, "doc_id")
             .filter(F.col("pred_lang") == lang)
             .drop("pred_lang")
         )

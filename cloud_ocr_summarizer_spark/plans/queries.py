@@ -1023,7 +1023,10 @@ def q_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
             import re
 
-            parts = [p.strip() for p in re.split(r"[.!?]+", text)]
+            # strip EXACTLY the charset the DuckDB oracle trims —
+            # bare .strip() also removes unicode whitespace (NBSP etc.)
+            # and would desync the value hash on such input
+            parts = [p.strip(" \t\n\r") for p in re.split(r"[.!?]+", text)]
             for i, p in enumerate(parts):
                 if p:
                     yield i, p

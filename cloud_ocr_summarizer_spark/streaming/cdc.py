@@ -38,6 +38,9 @@ def read_current(spark: SparkSession, state_root: str) -> DataFrame | None:
 
 def _apply_batch(state_root: str, key: str, order_col: str):
     def apply(batch: DataFrame, epoch_id: int) -> None:
+        import shutil
+        import uuid
+
         spark = batch.sparkSession
         # latest change per key within the batch wins (deterministic)
         w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
@@ -46,14 +49,34 @@ def _apply_batch(state_root: str, key: str, order_col: str):
             .filter("__rn = 1")
             .drop("__rn")
         )
-        current = read_current(spark, state_root)
+        ptr = os.path.join(state_root, _POINTER)
+        prev_dir = None
+        if os.path.exists(ptr):
+            with open(ptr, encoding="utf-8") as f:
+                prev_dir = f.read().strip()
+        current = None if prev_dir is None else spark.read.parquet(prev_dir)
         merged = latest if current is None else merge_upsert(current, latest, key=key)
-        version_dir = os.path.join(state_root, f"v={epoch_id}")
+        # unique dir per ATTEMPT: foreachBatch is at-least-once, and a
+        # retried epoch must never overwrite the directory the pointer
+        # (and its own input plan) references — same self-overwrite guard
+        # as SnapshotSink.compact_snapshots.  Re-merging the same batch is
+        # idempotent (updates replace identical rows).
+        version_dir = os.path.join(
+            state_root, f"v={epoch_id}-{uuid.uuid4().hex[:8]}"
+        )
         merged.write.mode("overwrite").parquet(version_dir)
-        tmp = os.path.join(state_root, _POINTER + ".tmp")
+        tmp = ptr + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(version_dir)
-        os.replace(tmp, os.path.join(state_root, _POINTER))  # atomic flip
+        os.replace(tmp, ptr)  # atomic flip
+        # retention: keep the new version + its predecessor (crash safety);
+        # everything older is unreachable and deleted — bounds disk to 2x
+        # state size instead of one full copy per epoch.
+        keep = {version_dir, prev_dir}
+        for name in os.listdir(state_root):
+            full = os.path.join(state_root, name)
+            if name.startswith("v=") and full not in keep:
+                shutil.rmtree(full, ignore_errors=True)
 
     return apply
 

@@ -1021,3 +1021,36 @@ SELECT doc_id, media_ref,
 FROM __spans
 WHERE media_ref IS NOT NULL
 """
+
+# TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact table.
+ORACLES["waiting_suppliers"] = r"""
+WITH late AS (
+  SELECT l.* FROM lineitem l
+  JOIN (SELECT l_orderkey, max(l_linenumber) AS max_ln
+        FROM lineitem GROUP BY l_orderkey) m
+    ON l.l_orderkey = m.l_orderkey AND l.l_linenumber = m.max_ln)
+SELECT l_suppkey, count(*) AS numwait
+FROM late l1
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY l_suppkey
+"""
+
+# TPC-H Q22 shape: scalar-aggregate threshold + NOT EXISTS.
+ORACLES["global_sales_opportunity"] = r"""
+SELECT c_nationkey,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""

@@ -1052,6 +1052,62 @@ def q_media_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_payload_features(rows)
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same
+    fact table — suppliers whose line was the ONLY late one on a
+    multi-supplier order.  EXISTS -> left_semi on (order, other-supplier),
+    NOT EXISTS -> left_anti on (order, other-supplier, late)."""
+    li = _read(spark, sf_dir, "lineitem")
+    # "late" proxy for this schema (no receipt/commit dates): last line of
+    # the order by linenumber
+    mx = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("max_ln"))
+    late = li.join(mx, "l_orderkey").filter(F.col("l_linenumber") == F.col("max_ln"))
+    others = li.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("s_k")
+    ).distinct()
+    exists = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_k"))
+        & (F.col("l_suppkey") != F.col("s_k")),
+        "left_semi",
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o_k2"), F.col("l_suppkey").alias("s_k2")
+    ).distinct()
+    lonely = exists.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o_k2"))
+        & (F.col("l_suppkey") != F.col("s_k2")),
+        "left_anti",
+    )
+    return lonely.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+
+
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-aggregate subquery threshold + NOT EXISTS —
+    above-average-balance customers with no URGENT orders, by nation.
+    (The urgent restriction keeps the NOT EXISTS non-degenerate on this
+    synthetic data, where every customer has some order.)"""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("threshold")
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    no_orders = rich.join(urgent, "c_custkey", "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity quality signals per document."""
     from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
@@ -1067,6 +1123,8 @@ BATCH_6 = {
     "sentences_udtf": q_sentences_udtf,
     "gopher_repetition": q_gopher_repetition,
     "media_payload_features": q_media_payload_features,
+    "waiting_suppliers": q_waiting_suppliers,
+    "global_sales_opportunity": q_global_sales_opportunity,
     "train_split": q_train_split,
     "customer_order_histogram": q_customer_order_histogram,
     "discounted_revenue": q_discounted_revenue,

@@ -1108,6 +1108,49 @@ def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table join chain (lineitem-orders-customer +
+    supplier, nation x2) with cross-nation pairs and a per-year rollup.
+    The fact table joins big-to-big (orders) sort-merge; all dimension
+    hops broadcast — one fact shuffle total."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+    )
+    # exact integer-cent summation: per-row cents are computed identically
+    # in both engines, and an integer sum is order-independent — unlike
+    # sum-of-doubles, whose last-ulp noise can flip round(.,2) by a cent
+    # on small groups
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity quality signals per document."""
     from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
@@ -1125,6 +1168,7 @@ BATCH_6 = {
     "media_payload_features": q_media_payload_features,
     "waiting_suppliers": q_waiting_suppliers,
     "global_sales_opportunity": q_global_sales_opportunity,
+    "nation_volume_shipping": q_nation_volume_shipping,
     "train_split": q_train_split,
     "customer_order_histogram": q_customer_order_histogram,
     "discounted_revenue": q_discounted_revenue,

@@ -144,7 +144,8 @@ ORACLES["pricing_summary"] = r"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) + 50) / 100.0) / 100.0 AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
@@ -541,7 +542,8 @@ WHERE event_type = 'purchase'
 ORACLES["shipping_priority"] = r"""
 WITH agg AS (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) + 50) / 100.0) / 100.0 AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -906,7 +908,8 @@ GROUP BY c_count
 
 # TPC-H Q19 shape: disjunctive predicate across a join.
 ORACLES["discounted_revenue"] = r"""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) + 50) / 100.0) / 100.0 AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10
@@ -1060,8 +1063,8 @@ ORACLES["nation_volume_shipping"] = r"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                      AS BIGINT)) / 100.0, 2) AS revenue,
+       floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) + 50) / 100.0) / 100.0 AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

@@ -183,8 +183,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # price*(1-disc) is an exact 4-decimal value: sum it as exact
+            # integer ten-thousandths, then round — sum-of-doubles ulp
+            # noise otherwise decides cent boundaries differently per
+            # engine (~1% of groups land exactly on one)
+            # exact integer ten-thousandths, then half-up to cents in
+            # INTEGER arithmetic: floor((tt + 50) / 100) — engines disagree
+            # on rounding doubles that sit exactly on a half cent
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.round(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                                * 10000
+                            ).cast("long")
+                        )
+                        + 50
+                    )
+                    / 100.0
+                )
+                / 100.0
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -644,8 +664,23 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact integer ten-thousandths (see q_pricing_summary): a
+            # cent flip here could even move the top-10 cutoff
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.round(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                                * 10000
+                            ).cast("long")
+                        )
+                        + 50
+                    )
+                    / 100.0
+                )
+                / 100.0
             ).alias("revenue")
         )
     )
@@ -948,8 +983,21 @@ def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40))
     )
     return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        (
+            F.floor(
+                (
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("long")
+                    )
+                    + 50
+                )
+                / 100.0
+            )
+            / 100.0
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
@@ -1141,12 +1189,12 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum-of-doubles, whose last-ulp noise can flip round(.,2) by a cent
     # on small groups
     cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        (F.floor((F.sum(cents) + 50) / 100.0) / 100.0).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
 

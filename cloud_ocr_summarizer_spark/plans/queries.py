@@ -8,7 +8,13 @@ hash-identical:
 
 * alias every computed column, same name both sides;
 * round every float aggregate to a fixed number of decimals BOTH sides;
-* deterministic total ordering before any row_number / top-k cutoff.
+* deterministic total ordering before any row_number / top-k cutoff;
+* NEVER round(sum(<multi-decimal product>), k): a few percent of groups
+  land exactly on a rounding boundary, where engine summation order and
+  half-rounding rules disagree.  Sum such values as exact scaled
+  integers and do the final half-up in integer arithmetic
+  (floor((tt + 50) / 100) — see q_pricing_summary).  Sums of plain
+  2-decimal columns rounded to >= their own scale are safe.
 
 SURVEY.md §2 operator ids are cited per query.
 """

@@ -114,6 +114,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def gram_hashes_pandas_df(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, grams array<long>): distinct word n-gram hashes, computed
+    batch-vectorized in pandas — C tokenizer, shifted string concat, one
+    ``pd.util.hash_array`` call per batch.  Measured 3.5x the JVM
+    string-gram expression at 120k docs (string allocation dominates the
+    JVM path; here it stays in vectorized object ops).
+
+    Hash family: pandas' stable 64-bit siphash-style array hash —
+    deterministic across runs/processes (fixed key), NOT cross-engine;
+    use md5_gram_hashes_col for oracle-checked variants.
+    """
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            words = pdf[text_col].fillna("").str.split()
+            lens = words.map(len).to_numpy()
+            flat = pd.Series(
+                np.concatenate(
+                    [
+                        np.array(w, dtype=object) if w else np.array([], dtype=object)
+                        for w in words
+                    ]
+                ),
+                dtype=object,
+            )
+            doc_idx = np.repeat(np.arange(len(words)), lens)
+            if len(doc_idx):
+                # gram i spans words i..i+n-1; valid iff word i+n-1 is in
+                # the same doc (shifted doc index, -1-padded to length)
+                shifted = np.full(len(doc_idx), -1, dtype=doc_idx.dtype)
+                if len(doc_idx) >= n - 1:
+                    shifted[: len(doc_idx) - (n - 1)] = doc_idx[n - 1 :]
+                same_doc = shifted == doc_idx
+                gram = flat
+                for k in range(1, n):
+                    gram = gram + " " + flat.shift(-k)
+                grams = gram[same_doc]
+                gdoc = doc_idx[same_doc]
+                h = pd.util.hash_array(grams.to_numpy(dtype=object)).view(np.int64)
+                per = pd.DataFrame({"d": gdoc, "h": h}).drop_duplicates()
+                grouped = per.groupby("d", sort=False)["h"].apply(list)
+            else:
+                grouped = {}
+            res = [[]] * len(words)
+            for d, lst in dict(grouped).items():
+                res[d] = lst
+            yield pd.DataFrame({"id": pdf[id_col], "grams": res})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("grams", T.ArrayType(T.LongType())),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
 def gram_hashes_col(text: Column, n: int) -> Column:
     """Distinct word n-grams hashed ONCE to 64-bit (dedup-by-hash is exact
     modulo ~1e-19 collision odds).  Single-Column form; inside pipelines
@@ -382,20 +446,18 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     # First repartition: spread the CPU-heavy gram stage (a single-file
-    # input otherwise runs it on one core).  String-gram hashing measured
-    # 3x faster than the word-hash-combine variant
-    # (gram_hashes_from_word_hashes) under identical conditions — keep A/B
-    # measuring before swapping this.
-    # Second repartition (AFTER the gram projection): `base` feeds three
-    # plan branches (signature + both verification joins); an identical
+    # input otherwise runs it on one core).  Gram stage lineage of A/Bs
+    # (all measured at 120k docs, keep measuring before swapping):
+    # word-hash-combine 3x slower than JVM string grams; JVM string grams
+    # 3.5x slower than the batch-vectorized pandas path used here.
+    # Second repartition (AFTER the gram stage): `base` feeds three plan
+    # branches (signature + both verification joins); an identical
     # exchange subtree lets ReuseExchange materialize the grams ONCE
     # instead of recomputing them per branch — measured 1.85x end-to-end.
     par = parallelism or df.sparkSession.sparkContext.defaultParallelism
     base = (
-        df.repartition(par)
-        .select(
-            F.col(id_col).alias("id"),
-            gram_hashes_col(F.col(text_col), n).alias("grams"),
+        gram_hashes_pandas_df(
+            df.repartition(par), id_col=id_col, text_col=text_col, n=n
         )
         .filter(F.size("grams") > 0)
         .repartition(par, "id")

@@ -169,3 +169,32 @@ def test_simhash_checked_partition_invariant(spark, corpus):
         )
 
     assert pairs(corpus.repartition(7)) == pairs(corpus.coalesce(1))
+
+
+def test_gram_hashes_pandas_edges(spark):
+    """Vectorized gram stage: hash-set sizes must equal the number of
+    distinct word n-grams for every edge shape (short docs, empty, null,
+    repeated grams), on any partitioning."""
+    from cloud_ocr_summarizer_spark.operators.dedup import gram_hashes_pandas_df
+
+    rows = [
+        (1, "a b c d"),          # 2 distinct 3-grams
+        (2, "a b"),              # shorter than n -> none
+        (3, ""),                 # empty
+        (4, None),               # null
+        (5, "x y z x y z x y z"),  # repeats: 3 distinct of 7 total
+        (6, "lone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for src in (df.coalesce(1), df.repartition(5)):
+        got = {
+            r["id"]: len(set(r["grams"]))
+            for r in gram_hashes_pandas_df(
+                src, id_col="doc_id", text_col="text", n=3
+            ).collect()
+        }
+        expected = {}
+        for i, t in rows:
+            w = (t or "").split()
+            expected[i] = len({" ".join(w[j : j + 3]) for j in range(len(w) - 2)})
+        assert got == expected

@@ -188,3 +188,40 @@ def test_repetition_profile_hand_computed(spark):
     assert rows[2]["unique_ratio_bp"] == 10000
     for i in (3, 4):
         assert rows[i]["n_tokens"] == 0 and rows[i]["flagged"] is False
+
+
+def test_repetition_profile_fuzz_vs_python(spark):
+    """200 seeded random texts: Spark repetition signals == Python model."""
+    import random
+
+    from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dd", "eee", "the"]
+    texts = []
+    for i in range(200):
+        k = rng.randrange(0, 30)
+        t = " ".join(rng.choices(vocab, k=k))
+        texts.append((i, t if rng.random() > 0.05 else None))
+
+    def py(text):
+        toks = (text or "").lower().split()
+        n = len(toks)
+        if n == 0:
+            return (0, 0, 0, False)
+        from collections import Counter
+
+        c = Counter(toks)
+        top = 10000 * max(c.values()) // n
+        uniq = 10000 * len(c) // n
+        return (n, top, uniq, n >= 10 and (top > 3000 or uniq < 3000))
+
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["top_word_share_bp"], r["unique_ratio_bp"], r["flagged"]
+        )
+        for r in repetition_profile(df).collect()
+    }
+    for i, t in texts:
+        assert got[i] == py(t), (i, t)

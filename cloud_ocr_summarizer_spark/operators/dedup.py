@@ -74,20 +74,39 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    max_gram_df: int | None = 256,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for candidate pairs sharing >=1 gram
     (optionally within a blocking column to bound the candidate set).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     intersection via gram-join counts; union = |A| + |B| - inter.
+
+    ``max_gram_df`` caps the document frequency of grams entering the
+    self-join: a gram shared by D docs contributes O(D^2) join rows, so
+    one boilerplate gram in 10^5 docs would otherwise create 10^10 rows.
+    Grams with df > cap are dropped from BOTH the join and the per-doc
+    gram sizes, so jaccard is computed consistently over the rare-gram
+    sets (near-dups keep sharing plenty of rare grams; what the cap
+    removes is corpus-wide boilerplate that carries no dedup signal —
+    standard MinHash-era practice).  ``None`` disables the cap.
     """
     grams = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram"),
     )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     join_keys = ["gram"] + (["blk"] if block_col else [])
+    if max_gram_df is not None:
+        # grams are distinct per doc, so count(*) per gram == doc frequency
+        rare = (
+            grams.groupBy(*join_keys)
+            .agg(F.count("*").alias("gram_df"))
+            .filter(F.col("gram_df") <= max_gram_df)
+            .drop("gram_df")
+        )
+        grams = grams.join(rare, on=join_keys, how="left_semi")
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     b = grams
     pairs = (
         grams.alias("a")
@@ -135,7 +154,21 @@ def gram_hashes_pandas_df(
         for pdf in batches:
             if not len(pdf):
                 continue
-            words = pdf[text_col].fillna("").str.split()
+            # ASCII-whitespace tokenization, identical to the JVM twin
+            # whitespace_tokens_col (Java \s class): bare str.split() also
+            # splits on Unicode whitespace (NBSP, U+2028, ...) and would
+            # desync grams from the JVM/checked variants on such input.
+            # Strip first so the regex split never yields empty edge tokens.
+            stripped = pdf[text_col].fillna("").str.strip(" \t\n\x0b\f\r")
+            words = stripped.str.split(r"[ \t\n\x0b\f\r]+", regex=True)
+            empty = stripped == ""
+            if empty.any():
+                # ''.split(regex) yields [''], not [] — match str.split()/
+                # the JVM twin, which emit NO token for whitespace-only text
+                words = words.copy()
+                words[empty] = pd.Series(
+                    [[] for _ in range(int(empty.sum()))], index=words.index[empty]
+                )
             lens = words.map(len).to_numpy()
             flat = pd.Series(
                 np.concatenate(
@@ -331,9 +364,18 @@ def _lsh_pairs_from_base(
     num_hashes: int,
     bands: int,
     threshold: float,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Shared LSH skeleton: base(id, grams) -> sig -> band buckets ->
-    in-bucket pair expansion -> exact-Jaccard verification."""
+    in-bucket pair expansion -> exact-Jaccard verification.
+
+    ``max_bucket_size`` skips degenerate hot buckets: a (band, bucket)
+    holding k docs becomes ONE k-array row whose pair expansion is O(k^2)
+    in a single task — a 10^5-identical-doc corpus would hang one executor
+    on 10^10 pairs.  Buckets above the cap are dropped (their members are
+    mass-duplicates that exact dedup catches far cheaper — run
+    exact_duplicates first, as plans/curate.py does).  ``None`` disables.
+    """
     rows_per_band = num_hashes // bands
     sig = base.select("id", sig_udf(F.col("grams")).alias("sig"))
     banded = sig.select(
@@ -354,6 +396,8 @@ def _lsh_pairs_from_base(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     k = F.size(F.col("ids"))
     pair_structs = F.flatten(
         F.transform(
@@ -394,11 +438,13 @@ def minhash_lsh_pairs_checked(
     bands: int = 8,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """MinHash LSH with the md5/affine hash family — every arithmetic step
     reproducible in DuckDB, so the driver value-checks the full pipeline
-    (plans/oracles.py "dedup_minhash_checked").  Marginally slower than
-    minhash_lsh_pairs (md5 vs xxhash64 gram hashing); same semantics."""
+    (plans/oracles.py "dedup_minhash_checked", which mirrors the
+    ``max_bucket_size`` cap).  Marginally slower than minhash_lsh_pairs
+    (md5 vs xxhash64 gram hashing); same semantics."""
     par = parallelism or df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.repartition(par)  # spread the CPU-heavy gram stage
@@ -416,6 +462,7 @@ def minhash_lsh_pairs_checked(
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -429,6 +476,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
 
@@ -475,6 +523,7 @@ def minhash_lsh_pairs(
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -551,6 +600,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, banded-LSH style.
 
@@ -561,14 +611,27 @@ def simhash_near_pairs(
     Output: (id_a, id_b, hamming) with hamming <= max_hamming.
     """
     fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
-    return _simhash_pairs_from_fp(fp, bits=64, bands=bands, max_hamming=max_hamming)
+    return _simhash_pairs_from_fp(
+        fp, bits=64, bands=bands, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
 
 
 def _simhash_pairs_from_fp(
-    fp: DataFrame, *, bits: int, bands: int, max_hamming: int
+    fp: DataFrame,
+    *,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """(id, bits) fingerprints -> (id_a, id_b, hamming) near pairs via
-    banded exact-block matching (one shuffle on (band, bucket))."""
+    banded exact-block matching (one shuffle on (band, bucket)).
+
+    ``max_bucket_size`` drops degenerate hot buckets before the in-bucket
+    self-join (a bucket of k docs is k^2 join rows in one task); it also
+    prunes singleton buckets from the join input.  Mass-identical docs
+    belong to exact dedup, not here — see _lsh_pairs_from_base."""
     block = bits // bands
     banded = fp.select(
         "id",
@@ -587,6 +650,14 @@ def _simhash_pairs_from_fp(
             )
         ).alias("bb"),
     ).select("id", "bits", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bsz"))
+            .filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size))
+            .drop("bsz")
+        )
+        banded = banded.join(ok, on=["band", "bucket"], how="left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.aggregate(
@@ -623,10 +694,12 @@ def simhash_near_pairs_checked(
     bits: int = 24,
     bands: int = 4,
     max_hamming: int = 6,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """SimHash near-dup pairs with the cross-engine md5 hash family so a
     DuckDB oracle can value-check the FULL pipeline (word hashing, per-bit
-    majority sign, banding, bucket join, exact Hamming filter).
+    majority sign, banding, bucket join, exact Hamming filter — including
+    the ``max_bucket_size`` cap, mirrored in the oracle SQL).
 
     ``bits`` must stay < 31 (md5-family hashes are 31-bit) and divisible
     by ``bands``.  Same physical shape as ``simhash_near_pairs``: row-local
@@ -640,4 +713,7 @@ def simhash_near_pairs_checked(
         md5_word_hashes_col(F.col(text_col)).alias("wh"),
     ).filter(F.size("wh") > 0)
     fp = base.select("id", _simhash_pandas(bits)(F.col("wh")).alias("bits"))
-    return _simhash_pairs_from_fp(fp, bits=bits, bands=bands, max_hamming=max_hamming)
+    return _simhash_pairs_from_fp(
+        fp, bits=bits, bands=bands, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

@@ -54,7 +54,8 @@ def _decode_real(payload: bytes) -> tuple[int, int]:  # pragma: no cover
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     refs = pdf["media_ref"].fillna("")
     n = refs.str.len().astype("int64")
-    ext = refs.str.extract(r"(\.[^./]+)$", expand=False).fillna("")
+    # lowercase to match the oracle SQL (and any real-world '.PNG' refs)
+    ext = refs.str.extract(r"(\.[^./]+)$", expand=False).fillna("").str.lower()
     is_image = ext.isin([".png", ".jpg", ".jpeg"])
     out = pd.DataFrame(
         {

@@ -273,11 +273,16 @@ WITH base AS (
   SELECT doc_id AS id, source AS blk,
          list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
   FROM documents
-), grams AS (
+), grams0 AS (
   SELECT id, blk,
          unnest(list_distinct(list_transform(range(greatest(len(words) - 2, 0)),
              i -> array_to_string(words[i+1 : i+3], ' ')))) AS gram
   FROM base
+), rare AS (
+  -- gram document-frequency cap (mirrors max_gram_df=256 in the engine)
+  SELECT gram, blk FROM grams0 GROUP BY gram, blk HAVING count(*) <= 256
+), grams AS (
+  SELECT g.id, g.blk, g.gram FROM grams0 g JOIN rare USING (gram, blk)
 ), sizes AS (
   SELECT id, count(*) AS n_grams FROM grams GROUP BY id
 ), pairs AS (
@@ -653,8 +658,9 @@ WITH wordsrc AS (
         (acc, x) -> (acc * 131 + x) % 2147483647)))) AS bb
   FROM sig
 ), buckets AS (
+  -- bucket-size cap mirrors max_bucket_size=4096 in the engine
   SELECT bb.band AS band, bb.bucket AS bucket, list_sort(list(id)) AS ids
-  FROM banded GROUP BY 1, 2 HAVING count(*) > 1
+  FROM banded GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 4096
 ), pairs AS (
   SELECT DISTINCT p.a AS id_a, p.b AS id_b FROM (
     SELECT unnest(flatten(list_transform(range(len(ids) - 1),
@@ -699,8 +705,14 @@ WITH wordsrc AS (
         list_prepend(CAST(0 AS BIGINT), bits[b*6+1 : b*6+6]),
         (acc, x) -> acc * 2 + x)))) AS bb
   FROM fp
-), flat AS (
+), flat0 AS (
   SELECT id, bits, bb.band AS band, bb.bucket AS bucket FROM banded
+), okb AS (
+  -- bucket-size cap mirrors max_bucket_size=4096 in the engine
+  SELECT band, bucket FROM flat0 GROUP BY 1, 2
+  HAVING count(*) > 1 AND count(*) <= 4096
+), flat AS (
+  SELECT f.* FROM flat0 f JOIN okb USING (band, bucket)
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.bits AS ba, b.bits AS bb2
   FROM flat a JOIN flat b
@@ -773,7 +785,8 @@ WITH thr AS (
   SELECT l_partkey, 0.2 * avg(l_quantity) AS thr
   FROM lineitem GROUP BY 1)
 SELECT p_brand,
-       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 2 + 7) // 14)
+         / 100.0 AS avg_yearly,
        count(*) AS n_lines
 FROM lineitem
 JOIN thr USING (l_partkey)

@@ -827,9 +827,20 @@ def q_part_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = below.join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     )
-    return joined.groupBy("p_brand").agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
-        F.count("*").alias("n_lines"),
+    # avg_yearly = round(sum(price)/7, 2) computed in EXACT integer cents:
+    # sum 2-decimal prices as cents (order-independent), then half-up the
+    # /7 in integer arithmetic — round(a/b) = (2a + b) DIV 2b for a,b > 0.
+    # round(<double sum>/7.0, 2) would let engine summation order decide
+    # cent boundaries (same hazard class q_pricing_summary eliminates).
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        joined.groupBy("p_brand")
+        .agg(F.sum(cents).alias("_tc"), F.count("*").alias("n_lines"))
+        .select(
+            "p_brand",
+            (F.expr("(_tc * 2 + 7) DIV 14") / 100.0).alias("avg_yearly"),
+            "n_lines",
+        )
     )
 
 

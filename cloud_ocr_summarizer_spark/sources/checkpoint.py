@@ -79,8 +79,25 @@ class SnapshotSink:
         return spark.read.parquet(*[s["path"] for s in snaps])
 
     def read_since(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
-        """Incremental read: snapshots strictly after ``snapshot_id``."""
-        snaps = [s for s in self.snapshots() if s["snapshot_id"] > snapshot_id]
+        """Incremental read: snapshots strictly after ``snapshot_id``.
+
+        Compaction merges old snapshots into a base carrying the NEWEST
+        merged id, so a cursor pointing INSIDE the merged range would
+        re-receive rows it already consumed — that cursor is invalid and
+        raises (manifest ``min_readable_id``).  Epoch cursors (<= 0)
+        stay valid: a consumer that has read nothing gets every row
+        exactly once regardless of compaction.
+        """
+        manifest = self._read_manifest()
+        min_readable = manifest.get("min_readable_id")
+        if min_readable is not None and 0 < snapshot_id < min_readable:
+            raise ValueError(
+                f"cursor {snapshot_id} predates the compacted base "
+                f"{min_readable}: rows from merged snapshots would be "
+                "re-delivered; restart from read_committed() or a cursor "
+                ">= the base id"
+            )
+        snaps = [s for s in manifest["snapshots"] if s["snapshot_id"] > snapshot_id]
         if not snaps:
             return None
         return spark.read.parquet(*[s["path"] for s in snaps])
@@ -113,7 +130,10 @@ class SnapshotSink:
             # snapshot into itself would overwrite its own input files
             return None
         merged = spark.read.parquet(*[s["path"] for s in to_merge])
-        base_id = to_merge[-1]["snapshot_id"]  # keeps read_since semantics
+        # the base adopts the NEWEST merged id: cursors at/after it keep
+        # working; cursors strictly inside the merged range are invalidated
+        # (recorded as min_readable_id, enforced by read_since)
+        base_id = to_merge[-1]["snapshot_id"]
         # unique output dir: never collides with any input (re-compaction
         # of an already-compacted base is safe)
         path = os.path.join(self.root, f"snap={base_id}-compacted-{uuid.uuid4().hex[:8]}")
@@ -126,6 +146,7 @@ class SnapshotSink:
                 "committed_at": time.time(),
             }
         ] + keep
+        manifest["min_readable_id"] = max(base_id, manifest.get("min_readable_id", 0))
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=2)

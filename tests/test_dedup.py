@@ -198,3 +198,99 @@ def test_gram_hashes_pandas_edges(spark):
             w = (t or "").split()
             expected[i] = len({" ".join(w[j : j + 3]) for j in range(len(w) - 2)})
         assert got == expected
+
+
+def test_ngram_gram_df_cap_bounds_join(spark):
+    """A gram shared by D docs creates O(D^2) self-join rows; the df cap
+    must drop corpus-wide boilerplate grams BEFORE the join while keeping
+    pairs that share rare grams."""
+    rows = [(i, f"alpha beta gamma u{i} v{i} w{i}") for i in range(2000)]
+    # one genuine near-dup pair sharing plenty of RARE grams
+    rows += [
+        (9001, "rare shared sentence about engines one two three four"),
+        (9002, "rare shared sentence about engines one two three five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.3, max_gram_df=256
+        ).collect()
+    }
+    # the universal 'alpha beta gamma' gram (df=2000 > 256) is dropped, so
+    # the 2000 boilerplate docs produce NO pairs (no 2*10^6-row blowup)...
+    assert all(a >= 9000 for a, _ in got)
+    # ...while the rare-gram near-dup pair survives
+    assert (9001, 9002) in got
+
+
+def test_ngram_cap_none_matches_bruteforce(spark, corpus):
+    """cap=None preserves the original exact semantics."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus, threshold=0.3, max_gram_df=None
+        ).collect()
+    }
+    texts = {1: BASE, 2: BASE, 3: BASE, 4: NEAR, 5: FAR, 6: "tiny"}
+    want = {}
+    for i in sorted(texts):
+        for j in sorted(texts):
+            if i < j:
+                jac = python_jaccard(texts[i], texts[j])
+                if jac >= 0.3 and python_ngrams(texts[i]) & python_ngrams(texts[j]):
+                    want[(i, j)] = round(jac, 4)
+    assert got == pytest.approx(want)
+
+
+def test_lsh_bucket_cap_bounds_pair_expansion(spark):
+    """A degenerate bucket of k identical docs is one k-array row whose
+    pair expansion is O(k^2) in a single task — the cap must skip it (and
+    the same corpus must still pair up when the cap allows it)."""
+    df = spark.createDataFrame(
+        [(i, BASE) for i in range(300)], "doc_id int, text string"
+    )
+    capped = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=100)
+    assert capped.count() == 0  # hot bucket (300 > 100) skipped, no blowup
+    uncapped = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=None)
+    assert uncapped.count() == 300 * 299 // 2  # all-pairs when allowed
+
+
+def test_simhash_bucket_cap(spark):
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        simhash_near_pairs_checked,
+    )
+
+    df = spark.createDataFrame(
+        [(i, BASE) for i in range(300)], "doc_id int, text string"
+    )
+    capped = simhash_near_pairs_checked(
+        df, bits=30, bands=5, max_hamming=2, max_bucket_size=100
+    )
+    assert capped.count() == 0
+    uncapped = simhash_near_pairs_checked(
+        df, bits=30, bands=5, max_hamming=2, max_bucket_size=None
+    )
+    assert uncapped.count() == 300 * 299 // 2
+
+
+def test_gram_hashes_ascii_whitespace_only(spark):
+    """Tokenization must match the JVM ASCII-\\s twin: Unicode whitespace
+    (NBSP, U+2028) is NOT a separator, so 'a\\u00a0b c' has words
+    ['a b', 'c'] — one 2-gram, not two."""
+    from cloud_ocr_summarizer_spark.operators.dedup import gram_hashes_pandas_df
+
+    rows = [
+        (1, "a b c d"),      # NBSP joins a+b -> words: [a\xa0b, c, d]
+        (2, "a b c d"),            # ASCII spaces -> 4 words
+        (3, "x y"),           # line separator joins -> 1 word
+        (4, " \t padded \n "),     # ASCII edges stripped -> 1 word
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["id"]: len(set(r["grams"]))
+        for r in gram_hashes_pandas_df(
+            df, id_col="doc_id", text_col="text", n=2
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 0, 4: 0}

@@ -206,3 +206,30 @@ def test_compact_snapshots_twice_is_safe(spark, tmp_path):
     assert sink.read_committed(spark).count() == n1  # no data loss
     with _pytest.raises(ValueError):
         sink.compact_snapshots(spark, keep_last=0)
+
+
+def test_compaction_invalidates_interior_cursors(spark, tmp_path):
+    """A cursor strictly inside the compacted range would re-receive rows
+    it already consumed — read_since must refuse it; cursors at the base,
+    after it, or at epoch stay valid."""
+    import pytest as _pytest
+
+    from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink
+
+    sink = SnapshotSink(str(tmp_path / "sink3"))
+    docs = interleaved_docs(spark, 30, seed=17)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    sids = []
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        sids.append(sink.append(docs.filter(F.col("doc_id").isin(ids[lo:hi]))))
+
+    base = sink.compact_snapshots(spark, keep_last=1)
+    assert base == sids[1]  # newest merged id becomes the base
+
+    # interior cursor (first merged snapshot): would duplicate rows -> raise
+    with _pytest.raises(ValueError, match="predates the compacted base"):
+        sink.read_since(spark, sids[0])
+    # cursor at the base: only the last (unmerged) snapshot remains
+    assert sink.read_since(spark, base).count() == 10
+    # epoch cursor: full exactly-once re-read is always valid
+    assert sink.read_since(spark, 0).count() == 30

@@ -106,12 +106,40 @@ def assign_centroids(
 
 
 def derive_centroids(
-    corpus: DataFrame, *, id_col: str, emb_col: str, stride: int = 50
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    emb_col: str,
+    n_centroids: int = 64,
+    stride: int | None = None,
 ) -> DataFrame:
-    """Deterministic centroid seed set: every ``stride``-th corpus vector.
-    (A k-means refinement can swap in here; the IVF plumbing is identical.)"""
-    return corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0).select(
-        F.col(id_col).alias("cluster"), F.col(emb_col).alias("c_emb")
+    """Deterministic centroid seed set with a FIXED budget.
+
+    Takes the ``n_centroids`` corpus vectors with the smallest cross-engine
+    hash of their id — a distributed top-k (per-partition LocalLimit, one
+    tiny single-partition global sort of n_centroids*partitions rows) —
+    so the centroid count, and therefore the centroid BROADCAST in
+    assign_centroids, is independent of corpus size.  The legacy
+    every-``stride``-th selection grew the broadcast linearly with the
+    corpus (2*10^7 rows at 10^9 vectors — OOM); pass ``stride`` only for
+    tests/back-compat.  Hash-sampling ~ uniform random but reproducible
+    across runs and engines (functions/hashing.md5_hash31_col family).
+    """
+    if stride is not None:
+        return corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0).select(
+            F.col(id_col).alias("cluster"), F.col(emb_col).alias("c_emb")
+        )
+    from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
+
+    return (
+        corpus.select(
+            F.col(id_col).alias("cluster"),
+            F.col(emb_col).alias("c_emb"),
+            md5_hash31_col(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h", "cluster")
+        .limit(n_centroids)
+        .drop("_h")
     )
 
 
@@ -172,7 +200,8 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    stride: int = 50,
+    n_centroids: int = 64,
+    stride: int | None = None,
     n_probe: int = 4,
     kmeans_iterations: int = 0,
 ) -> DataFrame:
@@ -181,9 +210,15 @@ def ivf_topk(
     corpus assign (1 shuffle) -> query probe (broadcast) -> equi-join on
     cluster -> exact cosine + window top-k.  Recall grows with n_probe;
     centroid quality (and thus recall at fixed n_probe) grows with
-    ``kmeans_iterations`` of Lloyd refinement.
+    ``kmeans_iterations`` of Lloyd refinement.  The centroid set has a
+    FIXED size (``n_centroids``, hash-sampled — see derive_centroids), so
+    the broadcast stays bounded at any corpus scale; size it ~sqrt(N)
+    capped around 64k for a real deployment.
     """
-    centroids = derive_centroids(corpus, id_col=id_col, emb_col=emb_col, stride=stride)
+    centroids = derive_centroids(
+        corpus, id_col=id_col, emb_col=emb_col,
+        n_centroids=n_centroids, stride=stride,
+    )
     if kmeans_iterations > 0:
         centroids = kmeans_refine_centroids(
             corpus,

@@ -585,13 +585,18 @@ ORACLES["extract_flagship_arrow_native"] = ORACLES["extract_flagship"]
 # the spark.sql front-door twin of revenue_by_nation
 ORACLES["sql_api_revenue"] = ORACLES["revenue_by_nation"]
 
-# IVF ANN: centroid assignment + probes + exact rerank, all in SQL
+# IVF ANN: centroid assignment + probes + exact rerank, all in SQL.
+# Centroids = the 16 corpus ids with the smallest cross-engine md5/31-bit
+# hash (mirrors derive_centroids' fixed hash-sampled budget).
 ORACLES["knn_ivf"] = r"""
 WITH q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE vec_id < 10),
      c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE vec_id >= 10),
-     cen AS (SELECT id AS cluster, e AS ce FROM c WHERE id % 50 = 0),
+     cen AS (SELECT id AS cluster, e AS ce FROM c
+             ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 14))::BIGINT
+                      % 2147483647 ASC, id ASC
+             LIMIT 16),
      casg AS (
        SELECT id AS neighbor_id, cluster FROM (
          SELECT c.id, cen.cluster,
@@ -611,6 +616,77 @@ WITH q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
                      sqrt(list_dot_product(cen.ce, cen.ce))), 6) DESC,
                   cen.cluster ASC) AS rk
          FROM q, cen)
+       WHERE rk <= 4),
+     cand AS (
+       SELECT DISTINCT qasg.query_id, casg.neighbor_id
+       FROM qasg JOIN casg ON qasg.cluster = casg.cluster),
+     sims AS (
+       SELECT cand.query_id, cand.neighbor_id,
+              round(list_dot_product(q.e, c.e) /
+                (sqrt(list_dot_product(q.e, q.e)) *
+                 sqrt(list_dot_product(c.e, c.e))), 4) AS cosine
+       FROM cand
+       JOIN q ON q.id = cand.query_id
+       JOIN c ON c.id = cand.neighbor_id)
+SELECT query_id, CAST(rk AS INT) AS "rank", neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM sims)
+WHERE rk <= 5
+"""
+
+# IVF ANN with ONE Lloyd refinement iteration — mirrors
+# operators/similarity.kmeans_refine_centroids: rank-1 assignment on
+# cosine rounded to 6, per-dim double mean cast to FLOAT (absorbs
+# engine summation-order ulp noise), empty clusters keep their seed.
+ORACLES["knn_ivf_refined"] = r"""
+WITH q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id >= 10),
+     cen AS (SELECT id AS cluster, e AS ce FROM c
+             ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 14))::BIGINT
+                      % 2147483647 ASC, id ASC
+             LIMIT 16),
+     asg AS (
+       SELECT id, cluster FROM (
+         SELECT c.id, cen.cluster,
+                row_number() OVER (PARTITION BY c.id ORDER BY
+                  round(list_dot_product(c.e, cen.ce) /
+                    (sqrt(list_dot_product(c.e, c.e)) *
+                     sqrt(list_dot_product(cen.ce, cen.ce))), 6) DESC,
+                  cen.cluster ASC) AS rk
+         FROM c, cen)
+       WHERE rk = 1),
+     dims AS (
+       SELECT a.cluster, t.i AS dim, c.e[t.i + 1] AS v
+       FROM asg a JOIN c ON c.id = a.id, unnest(range(len(c.e))) AS t(i)),
+     means AS (
+       SELECT cluster, list(CAST(m AS FLOAT) ORDER BY dim) AS new_ce
+       FROM (SELECT cluster, dim, avg(v) AS m FROM dims GROUP BY 1, 2)
+       GROUP BY cluster),
+     ref AS (
+       SELECT cen.cluster,
+              coalesce(CAST(m.new_ce AS DOUBLE[]), cen.ce) AS ce
+       FROM cen LEFT JOIN means m ON m.cluster = cen.cluster),
+     casg AS (
+       SELECT id AS neighbor_id, cluster FROM (
+         SELECT c.id, ref.cluster,
+                row_number() OVER (PARTITION BY c.id ORDER BY
+                  round(list_dot_product(c.e, ref.ce) /
+                    (sqrt(list_dot_product(c.e, c.e)) *
+                     sqrt(list_dot_product(ref.ce, ref.ce))), 6) DESC,
+                  ref.cluster ASC) AS rk
+         FROM c, ref)
+       WHERE rk = 1),
+     qasg AS (
+       SELECT id AS query_id, cluster FROM (
+         SELECT q.id, ref.cluster,
+                row_number() OVER (PARTITION BY q.id ORDER BY
+                  round(list_dot_product(q.e, ref.ce) /
+                    (sqrt(list_dot_product(q.e, q.e)) *
+                     sqrt(list_dot_product(ref.ce, ref.ce))), 6) DESC,
+                  ref.cluster ASC) AS rk
+         FROM q, ref)
        WHERE rk <= 4),
      cand AS (
        SELECT DISTINCT qasg.query_id, casg.neighbor_id

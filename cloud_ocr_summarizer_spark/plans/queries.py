@@ -437,8 +437,9 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (probed inverted lists; rows-only check — recall vs
-    brute force pinned in tests/test_similarity.py)."""
+    """IVF ANN top-5 over a FIXED hash-sampled centroid budget (the
+    scale-safe form: centroid count, and thus the broadcast, independent
+    of corpus size).  Value-checked against a DuckDB twin."""
     from cloud_ocr_summarizer_spark.operators.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -446,8 +447,25 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         emb.filter(F.col("vec_id") >= 10),
         k=5,
-        stride=50,
+        n_centroids=16,
         n_probe=4,
+    )
+
+
+def q_knn_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with one Lloyd iteration of centroid refinement (pure
+    DataFrame k-means step) — exercises kmeans_refine_centroids end to
+    end; the DuckDB twin reproduces the assignment/mean/reassign step."""
+    from cloud_ocr_summarizer_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+        kmeans_iterations=1,
     )
 
 
@@ -465,6 +483,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_4 = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_refined": q_knn_ivf_refined,
     "embedding_neardup": q_embedding_neardup,
 }
 

@@ -225,3 +225,65 @@ def test_repetition_profile_fuzz_vs_python(spark):
     }
     for i, t in texts:
         assert got[i] == py(t), (i, t)
+
+
+def test_centroid_budget_independent_of_corpus_size(spark):
+    """The fixed hash-sampled budget must return EXACTLY n_centroids rows
+    regardless of corpus size (the old stride form grew the downstream
+    broadcast linearly with the corpus)."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.similarity import derive_centroids
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") * (i + 1) % 97).cast("float") for i in range(4)])
+            .alias("embedding"),
+        )
+
+    small = derive_centroids(
+        corpus(1000), id_col="vec_id", emb_col="embedding", n_centroids=32
+    )
+    big = derive_centroids(
+        corpus(4000), id_col="vec_id", emb_col="embedding", n_centroids=32
+    )
+    assert small.count() == 32
+    assert big.count() == 32  # 4x corpus, SAME centroid count
+    # deterministic: same corpus -> same centroid id set, any partitioning
+    a = {r["cluster"] for r in small.collect()}
+    b = {
+        r["cluster"]
+        for r in derive_centroids(
+            corpus(1000).repartition(13),
+            id_col="vec_id", emb_col="embedding", n_centroids=32,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_ivf_fixed_budget_recall_and_exactness(spark, emb):
+    """The n_centroids form must keep substantial recall and exact
+    verified similarities; one Lloyd iteration must not lose recall."""
+    queries = emb.filter("vec_id < 10")
+    corpus = emb.filter("vec_id >= 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, corpus, k=5).collect()
+    }
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(queries, corpus, k=len(corpus.collect())).collect()
+    }
+    for iters in (0, 1):
+        rows = ivf_topk(
+            queries, corpus, k=5, n_centroids=16, n_probe=8,
+            kmeans_iterations=iters,
+        ).collect()
+        approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        recall = len(exact & approx) / len(exact)
+        # random 64-d vectors have little cluster structure, so recall
+        # tracks the probed fraction (8/16 lists): must stay substantial
+        assert recall >= 0.5, (iters, recall)
+        for r in rows:
+            assert exact_sims[(r["query_id"], r["neighbor_id"])] == r["cosine"]

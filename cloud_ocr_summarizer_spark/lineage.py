@@ -72,7 +72,27 @@ def timed_partition_metrics(
     extracted: DataFrame, *, run_id: str, snapshot_id: int = 0
 ) -> DataFrame:
     """Lineage rows measured inside the tasks (mapInPandas side-channel):
-    includes real per-partition wall time."""
+    includes real per-partition wall time.
+
+    Span/byte counting runs JVM-side (the same codegen'd octet_length
+    aggregate as the cheap path) BEFORE the Python stage; the pandas task
+    only sums two int columns and stamps the clock.  Because Spark
+    pipelines the upstream computation into this task's iterator, the
+    measured wall time still covers the partition's full compute, but the
+    Python side never touches a span (the old version looped every span
+    of every row in Python — ~the whole job's cost a second time).
+    """
+    span_bytes = F.aggregate(
+        F.col("spans_out"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.coalesce(F.octet_length(s["text"]), F.lit(0))
+        + F.coalesce(F.octet_length(s["media_ref"]), F.lit(0)),
+    )
+    pre = extracted.select(
+        F.size("spans_out").cast("long").alias("n_spans"),
+        span_bytes.alias("n_bytes"),
+    )
 
     def measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -83,13 +103,8 @@ def timed_partition_metrics(
         nbytes = 0
         for pdf in batches:
             docs += len(pdf)
-            for arr in pdf["spans_out"]:
-                spans += len(arr)
-                for s in arr:
-                    t = s["text"] if isinstance(s, dict) else s.text
-                    m = s["media_ref"] if isinstance(s, dict) else s.media_ref
-                    nbytes += len(t.encode()) if t else 0
-                    nbytes += len(m.encode()) if m else 0
+            spans += int(pdf["n_spans"].sum())
+            nbytes += int(pdf["n_bytes"].sum())
         pid = TaskContext.get().partitionId()
         yield pd.DataFrame(
             {
@@ -103,6 +118,4 @@ def timed_partition_metrics(
             }
         )
 
-    return extracted.select("doc_id", "spans_out").mapInPandas(
-        measure, schema=LINEAGE_SCHEMA
-    )
+    return pre.mapInPandas(measure, schema=LINEAGE_SCHEMA)

@@ -40,10 +40,18 @@ def run_flagship(
     *,
     output_root: str,
     lineage_root: str | None = None,
+    raw_debug_root: str | None = None,
     repartition_to: int | None = None,
     min_confidence: float = 0.0,
 ) -> FlagshipResult:
-    """Extract all pending documents, commit one snapshot + lineage rows."""
+    """Extract all pending documents, commit one snapshot + lineage rows.
+
+    ``raw_debug_root`` is the S6 raw-response debug sink analogue
+    (reference vision_processor.py:129-133, gated by config
+    settings.py:110): when set, the RAW pre-extraction spans of exactly
+    the docs processed this run are committed to a second SnapshotSink
+    under the same run_id; when None (the default), nothing is written.
+    """
     run_id = uuid.uuid4().hex
     sink = SnapshotSink(output_root)
     todo = pending_docs(input_df, sink, spark)
@@ -60,6 +68,14 @@ def run_flagship(
         return FlagshipResult(run_id=run_id, snapshot_id=None, docs_written=0)
 
     snapshot_id = sink.append(extracted, run_id=run_id)
+    if raw_debug_root:
+        # debug capture of the raw input spans for THIS run's doc set
+        # (left_semi against the committed output keeps it exactly the
+        # processed docs even though `todo` re-executes lazily here)
+        raw = input_df.join(
+            extracted.select("doc_id"), on="doc_id", how="left_semi"
+        )
+        SnapshotSink(raw_debug_root).append(raw, run_id=run_id)
     if lineage_root:
         metrics = timed_partition_metrics(
             extracted, run_id=run_id, snapshot_id=snapshot_id

@@ -233,3 +233,62 @@ def test_compaction_invalidates_interior_cursors(spark, tmp_path):
     assert sink.read_since(spark, base).count() == 10
     # epoch cursor: full exactly-once re-read is always valid
     assert sink.read_since(spark, 0).count() == 30
+
+
+def test_raw_debug_sink_gated(spark, tmp_path):
+    """S6 raw-response debug sink: when configured, the RAW pre-extraction
+    spans of exactly the processed docs are committed to a second sink
+    under the same run_id; when off (default), nothing is written."""
+    import os
+
+    from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink
+
+    docs = interleaved_docs(spark, 20, seed=23)
+
+    # gated OFF: no raw dir appears
+    off_out = str(tmp_path / "off_out")
+    run_flagship(spark, docs, output_root=off_out)
+    assert not os.path.exists(str(tmp_path / "off_raw"))
+
+    # gated ON: raw sink holds the input rows for this run's docs
+    out = str(tmp_path / "on_out")
+    raw_root = str(tmp_path / "on_raw")
+    res = run_flagship(spark, docs, output_root=out, raw_debug_root=raw_root)
+    raw_sink = SnapshotSink(raw_root)
+    snaps = raw_sink.snapshots()
+    assert len(snaps) == 1
+    assert snaps[0]["run_id"] == res.run_id
+    raw = raw_sink.read_committed(spark)
+    assert raw.count() == 20
+    # raw rows are the INPUT schema (unextracted spans), same doc set
+    assert set(raw.columns) == set(docs.columns)
+    got = {r["doc_id"] for r in raw.select("doc_id").collect()}
+    want = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert got == want
+
+    # resume: second run processes nothing -> no new raw snapshot
+    run_flagship(spark, docs, output_root=out, raw_debug_root=raw_root)
+    assert len(raw_sink.snapshots()) == 1
+
+
+def test_transient_task_failure_exactly_once(tmp_path):
+    """U4: a transient failure in every task's first attempt of the UDF
+    stage must be absorbed by Spark task retries (local[4,2]) and leave
+    EXACTLY-ONCE committed output — no duplicates, no missing docs.
+    Runs in a child process because the shared session has no retries."""
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "u4_sink")
+    proc = subprocess.run(
+        [_sys.executable, str(__import__("pathlib").Path(__file__).parent / "failure_injection_job.py"), out],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    # the injected failures actually happened (visible in executor logs)
+    assert "injected transient failure" in (proc.stderr + proc.stdout)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    kv = dict(p.split("=") for p in line.removeprefix("RESULT ").split())
+    assert kv["committed"] == kv["expected"]  # no loss, no duplication
+    assert kv["distinct_docs"] == "40"
+    assert kv["pending"] == "0"  # resume filter sees everything done

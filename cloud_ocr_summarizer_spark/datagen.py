@@ -136,6 +136,36 @@ def interleaved_docs(
     )
 
 
+def derive_doc_languages(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, languages array<struct<lang,conf>>): the
+    per-page ``detected_languages`` passthrough (reference
+    vision_processor.py:189-199 — each page carries (language_code,
+    confidence) pairs; here one page per doc).
+
+    Deterministic, SQL-mirrorable: candidates are [the doc's own lang,
+    'en', 'fr'] with confidences c1 = (51 + 7*doc_id % 47)/100,
+    c2 = 0.6049, c3 = (30 + 11*doc_id % 29)/100; every 20th doc reports
+    NO languages (the empty-annotation case the defaults must cover).
+    """
+    d = F.col("doc_id")
+    c1 = (51 + F.pmod(d * 7, F.lit(47))) / 100.0
+    c2 = F.lit(0.6049)
+    c3 = (30 + F.pmod(d * 11, F.lit(29))) / 100.0
+    entry = lambda lang, conf: F.struct(  # noqa: E731
+        lang.alias("lang"), conf.cast("double").alias("conf")
+    )
+    langs = F.array(
+        entry(F.col("lang"), c1),
+        entry(F.lit("en"), c2),
+        entry(F.lit("fr"), c3),
+    )
+    empty = F.array().cast("array<struct<lang:string,conf:double>>")
+    return docs.select(
+        "doc_id",
+        F.when(F.pmod(d, F.lit(20)) == 0, empty).otherwise(langs).alias("languages"),
+    )
+
+
 def derive_spans_from_documents(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, ...) -> (doc_id, spans) interleaved table.
 

@@ -167,11 +167,36 @@ def extract_spans_exploded(
     )
 
 
+# Detailed-mode layout geometry (normalized_vertices analogue, reference
+# vision_processor.py:304-313, 344-353, 382-391): a deterministic
+# single-column page model — span k of n occupies the vertical band
+# [(k-1)/n, k/n]; text spans run nearly full-width, media spans are
+# narrower and offset right (so centroid_x distinguishes the kinds).
+BBOX_X_TEXT = (0.05, 0.95)
+BBOX_X_MEDIA = (0.30, 0.80)
+
+
+def _bbox_col(pos: Column, n: Column, is_media: Column) -> Column:
+    """4 normalized vertices (clockwise from top-left), like the Vision
+    API's boundingBox.normalizedVertices."""
+    y0 = pos.cast("double") / n
+    y1 = (pos + 1).cast("double") / n
+    x0 = F.when(is_media, F.lit(BBOX_X_MEDIA[0])).otherwise(F.lit(BBOX_X_TEXT[0]))
+    x1 = F.when(is_media, F.lit(BBOX_X_MEDIA[1])).otherwise(F.lit(BBOX_X_TEXT[1]))
+    return F.array(
+        F.struct(x0.alias("x"), y0.alias("y")),
+        F.struct(x1.alias("x"), y0.alias("y")),
+        F.struct(x1.alias("x"), y1.alias("y")),
+        F.struct(x0.alias("x"), y1.alias("y")),
+    )
+
+
 def extract_span_rows(
     df: DataFrame,
     *,
     spans_col: str = "spans",
     min_confidence: float = config.MIN_CONFIDENCE_THRESHOLD,
+    include_bounding_boxes: bool = False,
 ) -> DataFrame:
     """Flat per-span output: (doc_id, seq, kind, text, media_ref, offset).
 
@@ -179,6 +204,12 @@ def extract_span_rows(
     vision_processor.py:182) — this row shape is what the driver's DuckDB
     oracle cross-checks, and what downstream per-span operators consume.
     Row-local sort then posexplode: still zero shuffles.
+
+    ``include_bounding_boxes`` (P5 column gating, like the reference's
+    include-geometry detailed mode) appends ``bbox`` — 4 normalized
+    (x, y) vertices from the deterministic layout model above.  Off by
+    default: the column (and its arithmetic) is never materialized
+    unless asked for.
     """
     extracted = extract_spans(
         df, spans_col=spans_col, min_confidence=min_confidence, with_stats=False
@@ -186,13 +217,22 @@ def extract_span_rows(
     # posexplode_outer: plain posexplode makes Catalyst inject a
     # size(...)>0 pre-filter that re-evaluates the whole spans expression;
     # outer + a post-generate null filter evaluates it once.
-    return extracted.select(
-        "doc_id", F.posexplode_outer("spans_out").alias("pos", "s")
-    ).filter(F.col("pos").isNotNull()).select(
-        "doc_id",
+    flat = extracted.select(
+        "doc_id", F.size("spans_out").alias("_n"),
+        F.posexplode_outer("spans_out").alias("pos", "s"),
+    ).filter(F.col("pos").isNotNull())
+    cols = [
+        F.col("doc_id"),
         (F.col("pos") + 1).alias("seq"),
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
-    )
+    ]
+    if include_bounding_boxes:
+        cols.append(
+            _bbox_col(
+                F.col("pos"), F.col("_n"), F.col("s.media_ref").isNotNull()
+            ).alias("bbox")
+        )
+    return flat.select(*cols)

@@ -137,6 +137,33 @@ def _extract_batch(
     return out[["doc_id", "seq", "kind", "text", "media_ref", "offset"]]
 
 
+def _with_geometry(out: pd.DataFrame) -> pd.DataFrame:
+    """Append flat bbox geometry (x0, x1, y0, y1) — the Arrow twin of
+    extract._bbox_col's layout model, fully vectorized (nested vertex
+    structs would force per-row object building; the flat columns carry
+    the same information and reassemble downstream if needed)."""
+    from cloud_ocr_summarizer_spark.operators.extract import (
+        BBOX_X_MEDIA,
+        BBOX_X_TEXT,
+    )
+
+    if not len(out):
+        for c in ("x0", "x1", "y0", "y1"):
+            out[c] = pd.Series([], dtype="float64")
+        return out
+    seq = out["seq"].to_numpy(dtype=np.int64)
+    d = out["doc_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    counts = np.diff(np.r_[starts, len(out)])
+    n = np.repeat(counts, counts).astype(np.float64)
+    is_media = pd.notna(out["media_ref"].to_numpy(dtype=object))
+    out["x0"] = np.where(is_media, BBOX_X_MEDIA[0], BBOX_X_TEXT[0])
+    out["x1"] = np.where(is_media, BBOX_X_MEDIA[1], BBOX_X_TEXT[1])
+    out["y0"] = (seq - 1).astype(np.float64) / n
+    out["y1"] = seq.astype(np.float64) / n
+    return out
+
+
 def _row_schema(df: DataFrame) -> list[T.StructField]:
     return [
         T.StructField("doc_id", df.schema["doc_id"].dataType),
@@ -153,14 +180,23 @@ def extract_span_rows_arrow(
     *,
     min_confidence: float = config.MIN_CONFIDENCE_THRESHOLD,
     max_text_bytes: int = config.MAX_DOC_TEXT_BYTES,
+    include_bounding_boxes: bool = False,
 ) -> DataFrame:
-    """mapInPandas extraction: (doc_id, spans) -> flat ordered span rows."""
-    schema = T.StructType(_row_schema(df))
+    """mapInPandas extraction: (doc_id, spans) -> flat ordered span rows.
+
+    ``include_bounding_boxes`` appends the layout geometry as flat
+    (x0, x1, y0, y1) doubles — same model/values as the row-local path's
+    nested ``bbox`` vertices (golden-tested equal)."""
+    fields = _row_schema(df)
+    if include_bounding_boxes:
+        fields += [T.StructField(c, T.DoubleType()) for c in ("x0", "x1", "y0", "y1")]
+    schema = T.StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch(pdf, min_confidence, max_text_bytes)
+                out = _extract_batch(pdf, min_confidence, max_text_bytes)
+                yield _with_geometry(out) if include_bounding_boxes else out
 
     return df.mapInPandas(run, schema=schema)
 

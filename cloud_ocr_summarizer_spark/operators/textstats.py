@@ -231,3 +231,39 @@ def text_profile(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
         quality_score_col(t).alias("quality_score"),
         fingerprint_col(t).alias("fingerprint"),
     )
+
+
+def select_primary_language(
+    df: DataFrame,
+    *,
+    languages_col: str = "languages",
+    default: str = "en",
+) -> DataFrame:
+    """T1 top-1 language selection over an extracted detected-languages
+    column (reference vision_processor.py:189-199 emits per-page
+    (language_code, confidence) pairs; gemini.py:113 falls back to 'en',
+    claude.py:190 to 'ja' — the divergent ``default`` knob).
+
+    Generic row-local argmax over ``array<struct<lang, conf>>``: a fold
+    keeping the best entry with STRICT > comparison, so the first of any
+    tied-confidence entries wins (matching the reference's first-wins
+    iteration order).  Empty/absent annotations take ``default`` and set
+    used_default.  Zero shuffles; works on any number of candidates.
+    """
+    langs = F.col(languages_col)
+    best = F.aggregate(
+        langs,
+        F.struct(
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(-1.0).alias("conf"),
+        ),
+        lambda acc, x: F.when(
+            x["conf"] > acc["conf"],
+            F.struct(x["lang"].alias("lang"), x["conf"].alias("conf")),
+        ).otherwise(acc),
+    )
+    return df.select(
+        "doc_id",
+        F.coalesce(best["lang"], F.lit(default)).alias("primary_lang"),
+        best["lang"].isNull().alias("used_default"),
+    )

@@ -440,6 +440,33 @@ FROM __spans
 WHERE media_ref IS NOT NULL
 """
 
+# Layout geometry: single-column page model — span k of n occupies the
+# vertical band [(k-1)/n, k/n]; text spans x in [0.05, 0.95], media spans
+# x in [0.30, 0.80].  Mirrors operators/extract._bbox_col exactly
+# (same division expressions, so the doubles are bit-identical).
+ORACLES["span_geometry"] = SPANS_CTE + r"""
+, r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) AS INT) AS seq,
+         count(*) OVER (PARTITION BY doc_id) AS n,
+         kind, is_media, off
+  FROM __spans
+), g AS (
+  SELECT doc_id, seq, kind, off,
+         CAST(seq - 1 AS DOUBLE) / n AS y0,
+         CAST(seq AS DOUBLE) / n AS y1,
+         CASE WHEN is_media THEN 0.30 ELSE 0.05 END AS x0,
+         CASE WHEN is_media THEN 0.80 ELSE 0.95 END AS x1
+  FROM r)
+SELECT doc_id, seq, kind, off AS "offset",
+       round((x1 - x0) * (y1 - y0), 6) AS bbox_area,
+       round((x0 + x1) / 2, 6) AS centroid_x,
+       round((y0 + y1) / 2, 6) AS centroid_y
+FROM g
+"""
+# the Arrow geometry twin emits the same derived scalars
+ORACLES["span_geometry_arrow"] = ORACLES["span_geometry"]
+
 ORACLES["structure_token_count"] = SPANS_CTE + (
     r"""
 SELECT doc_id,

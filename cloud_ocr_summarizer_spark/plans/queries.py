@@ -541,6 +541,51 @@ def q_main_content_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detailed-mode layout geometry (normalized_vertices analogue,
+    vision_processor.py:304-313): per-span area + centroid derived FROM
+    the nested bbox column, so the value check pins the geometry data
+    itself.  Row-local; zero shuffles."""
+    rows = extract_span_rows(
+        _documents_spans(spark, sf_dir), include_bounding_boxes=True
+    )
+    b = F.col("bbox")
+    x0, y0 = F.element_at(b, 1)["x"], F.element_at(b, 1)["y"]
+    x1, y1 = F.element_at(b, 3)["x"], F.element_at(b, 3)["y"]
+    return rows.select(
+        "doc_id",
+        "seq",
+        "kind",
+        "offset",
+        F.round((x1 - x0) * (y1 - y0), 6).alias("bbox_area"),
+        F.round((x0 + x1) / 2, 6).alias("centroid_x"),
+        F.round((y0 + y1) / 2, 6).alias("centroid_y"),
+    )
+
+
+def q_span_geometry_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow twin of span_geometry: the vectorized extractor emits flat
+    (x0, x1, y0, y1) geometry; same derived scalars, same oracle."""
+    from cloud_ocr_summarizer_spark.operators.extract_arrow import (
+        extract_span_rows_arrow,
+    )
+
+    rows = extract_span_rows_arrow(
+        _documents_spans(spark, sf_dir), include_bounding_boxes=True
+    )
+    return rows.select(
+        "doc_id",
+        "seq",
+        "kind",
+        "offset",
+        F.round(
+            (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0")), 6
+        ).alias("bbox_area"),
+        F.round((F.col("x0") + F.col("x1")) / 2, 6).alias("centroid_x"),
+        F.round((F.col("y0") + F.col("y1")) / 2, 6).alias("centroid_y"),
+    )
+
+
 def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 lineage: per-partition metrics over a deterministic repartition
     (rows-only check; totals pinned in tests/test_pipeline.py)."""
@@ -574,29 +619,22 @@ def q_structure_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _derived_langs_cols():
-    """Deterministic detected-languages triple per doc (no ties)."""
-    d = F.col("doc_id")
-    c1 = (51 + F.pmod(d * 7, F.lit(47))) / 100.0
-    c2 = F.lit(0.6049)
-    c3 = (30 + F.pmod(d * 11, F.lit(29))) / 100.0
-    return c1, c2, c3
-
-
 def _q_primary_language(default: str):
+    """T1 over a REAL detected-languages column: derive the per-doc
+    (lang, conf) annotations (vision_processor.py:189-199 passthrough),
+    then run the generic row-local argmax operator — not arithmetic
+    inlined into the query.  The DuckDB oracle reproduces the same
+    annotation values and first-max-wins selection."""
+
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _read(spark, sf_dir, "documents")
-        c1, c2, c3 = _derived_langs_cols()
-        no_langs = F.pmod(F.col("doc_id"), F.lit(20)) == 0
-        pick = (
-            F.when((c1 >= c2) & (c1 >= c3), F.col("lang"))
-            .when(c2 >= c3, F.lit("en"))
-            .otherwise(F.lit("fr"))
+        from cloud_ocr_summarizer_spark.datagen import derive_doc_languages
+        from cloud_ocr_summarizer_spark.operators.textstats import (
+            select_primary_language,
         )
-        return docs.select(
-            "doc_id",
-            F.when(no_langs, F.lit(default)).otherwise(pick).alias("primary_lang"),
-            F.when(no_langs, F.lit(True)).otherwise(F.lit(False)).alias("used_default"),
+
+        docs = _read(spark, sf_dir, "documents")
+        return select_primary_language(
+            derive_doc_languages(docs), default=default
         )
 
     return q
@@ -780,6 +818,8 @@ BATCH_UDF = {
     "main_content": q_main_content,
     "main_content_fused": q_main_content_fused,
     "media_features": q_media_features,
+    "span_geometry": q_span_geometry,
+    "span_geometry_arrow": q_span_geometry_arrow,
     "lineage_metrics": q_lineage_metrics,
 }
 

@@ -138,3 +138,79 @@ def test_arrow_native_gates(spark):
         df, min_confidence=0.5, max_text_bytes=1000
     ).collect()
     assert [(r["doc_id"], r["text"]) for r in out] == [("ok", "keep me")]
+
+
+def test_bbox_geometry_rowlocal_vs_arrow(spark):
+    """The nested bbox of the row-local path and the flat (x0,x1,y0,y1)
+    of the Arrow path must encode identical geometry for every span."""
+    from cloud_ocr_summarizer_spark.datagen import interleaved_docs
+    from cloud_ocr_summarizer_spark.operators.extract import extract_span_rows
+    from cloud_ocr_summarizer_spark.operators.extract_arrow import (
+        extract_span_rows_arrow,
+    )
+
+    docs = interleaved_docs(spark, 60, seed=5)
+    jvm = {
+        (r["doc_id"], r["seq"]): (
+            r["bbox"][0]["x"], r["bbox"][2]["x"], r["bbox"][0]["y"], r["bbox"][2]["y"]
+        )
+        for r in extract_span_rows(docs, include_bounding_boxes=True).collect()
+    }
+    arrow = {
+        (r["doc_id"], r["seq"]): (r["x0"], r["x1"], r["y0"], r["y1"])
+        for r in extract_span_rows_arrow(
+            docs, include_bounding_boxes=True
+        ).collect()
+    }
+    assert jvm == arrow  # bit-identical doubles, same span set
+    # vertices are a sane normalized box: 4 points, 0 <= coords <= 1,
+    # media spans narrower than text spans
+    some = extract_span_rows(docs, include_bounding_boxes=True).collect()
+    for r in some:
+        assert len(r["bbox"]) == 4
+        for v in r["bbox"]:
+            assert 0.0 <= v["x"] <= 1.0 and 0.0 <= v["y"] <= 1.0
+        width = round(r["bbox"][1]["x"] - r["bbox"][0]["x"], 6)
+        assert width == (0.5 if r["media_ref"] is not None else 0.9)
+
+
+def test_bbox_gated_off_by_default(spark):
+    from cloud_ocr_summarizer_spark.datagen import interleaved_docs
+    from cloud_ocr_summarizer_spark.operators.extract import extract_span_rows
+    from cloud_ocr_summarizer_spark.operators.extract_arrow import (
+        extract_span_rows_arrow,
+    )
+
+    docs = interleaved_docs(spark, 5, seed=5)
+    assert "bbox" not in extract_span_rows(docs).columns
+    assert "x0" not in extract_span_rows_arrow(docs).columns
+
+
+def test_select_primary_language_semantics(spark):
+    """Argmax over array<struct<lang,conf>>: first max wins ties, empty
+    annotations take the default and flag used_default."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        select_primary_language,
+    )
+
+    rows = [
+        (1, [("de", 0.9), ("en", 0.5)]),     # clear winner
+        (2, [("de", 0.7), ("en", 0.7)]),     # tie -> first in order
+        (3, []),                               # empty -> default
+        (4, [("fr", 0.1)]),                    # single
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, languages array<struct<lang:string,conf:double>>"
+    )
+    got = {
+        r["doc_id"]: (r["primary_lang"], r["used_default"])
+        for r in select_primary_language(df, default="ja").collect()
+    }
+    assert got == {
+        1: ("de", False),
+        2: ("de", False),
+        3: ("ja", True),
+        4: ("fr", False),
+    }

@@ -66,7 +66,7 @@ def main() -> int:
     def timed(name: str, fn) -> None:
         fn()  # warm-up: codegen + JIT; report steady-state throughput
         best = float("inf")
-        for _ in range(2):  # best-of-2: the host VM has noisy neighbors
+        for _ in range(3):  # best-of-3: the host VM has noisy neighbors
             t0 = time.monotonic()
             fn()
             best = min(best, time.monotonic() - t0)

@@ -537,6 +537,15 @@ SELECT doc_id,
 FROM documents
 """
 
+# T4 first-unit scan: first text-bearing span per doc in reading order.
+ORACLES["first_text_span"] = SPANS_CTE + r"""
+SELECT doc_id, off AS first_offset, kind AS first_kind, text AS first_text
+FROM (SELECT doc_id, off, kind, text,
+             row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+      FROM __spans WHERE text IS NOT NULL AND text <> '')
+WHERE rn = 1
+"""
+
 ORACLES["events_daily"] = r"""
 SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
        event_type,

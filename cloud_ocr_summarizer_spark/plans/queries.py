@@ -674,6 +674,27 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolled.alias("rolling_fp"))
 
 
+def q_first_text_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 first-unit scan (gemini.py:101-110: iterate pages, return the
+    first that carries usable data): row-local — filter the ordered span
+    array to text-bearing spans and take element 1.  Docs with no such
+    span are dropped (the reference falls through to its default).
+    Zero shuffles: the scan short-circuits inside the array, never
+    explodes the document."""
+    extracted = extract_spans(_documents_spans(spark, sf_dir), with_stats=False)
+    texts = F.filter(
+        F.col("spans_out"),
+        lambda s: s["text"].isNotNull() & (s["text"] != F.lit("")),
+    )
+    first = F.element_at(texts, 1)
+    return extracted.filter(F.size(texts) > 0).select(
+        "doc_id",
+        first["offset"].alias("first_offset"),
+        first["kind"].alias("first_kind"),
+        first["text"].alias("first_text"),
+    )
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date bucketing + multi-agg: per (day, type) counts and value stats.
     Day index = epoch days (TZ-proof for NTZ timestamps)."""
@@ -808,6 +829,7 @@ BATCH_5 = {
     "primary_language_default_ja": _q_primary_language(config.DEFAULT_LANGUAGE_JA),
     "token_count_bpe": q_token_count_bpe,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "first_text_span": q_first_text_span,
     "events_daily": q_events_daily,
 }
 

@@ -717,3 +717,53 @@ def simhash_near_pairs_checked(
         fp, bits=bits, bands=bands, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its word
+    n-grams appear anywhere in a benchmark/eval set (the standard
+    8-13-gram overlap check run before training to keep eval data out of
+    the training corpus).
+
+    Scale shape: eval sets are tiny next to a training corpus, so the
+    benchmark's DISTINCT grams build map-side and BROADCAST into a left
+    join against the corpus gram stream — the corpus explodes row-locally
+    and is never shuffled by the join; the only shuffle is the per-doc
+    hash aggregation (map-side partial).  Docs with zero grams (shorter
+    than n words) are dropped — they cannot be contaminated.
+
+    Output: (doc_id, n_grams, n_hit_grams, contaminated).
+    """
+    cg = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram"),
+    )
+    bg = (
+        benchmark.select(
+            F.explode(word_ngrams_col(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = cg.join(F.broadcast(bg), on="gram", how="left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_hit_grams",
+            (F.col("n_hit_grams") > 0).alias("contaminated"),
+        )
+    )

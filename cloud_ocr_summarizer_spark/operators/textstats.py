@@ -267,3 +267,38 @@ def select_primary_language(
         F.coalesce(best["lang"], F.lit(default)).alias("primary_lang"),
         best["lang"].isNull().alias("used_default"),
     )
+
+
+# PII patterns shared with the DuckDB oracle (plain RE2-compatible syntax,
+# no lookarounds, so Java regex and DuckDB's RE2 agree).  Order matters:
+# emails are redacted before phones/IPs so digit runs inside a surviving
+# address can't double-redact.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: mask emails / phone numbers / IPv4
+    addresses with typed placeholders and count each category.
+
+    Row-local regexp_replace chain (JVM, codegen) — a pure map stage at
+    any scale.  Counts are taken on the ORIGINAL text, sequentially on
+    the partially-redacted stream (same order as replacement), so engine
+    and oracle agree even when patterns could overlap.
+    Output: doc_id, redacted, n_email, n_phone, n_ipv4.
+    """
+    out = df
+    text = F.col(text_col)
+    counts = []
+    current = text
+    for name, pattern, token in PII_PATTERNS:
+        counts.append(
+            F.coalesce(F.regexp_count(current, F.lit(pattern)), F.lit(0)).alias(
+                f"n_{name}"
+            )
+        )
+        current = F.regexp_replace(current, pattern, token)
+    return out.select("doc_id", current.alias("redacted"), *counts)

@@ -537,6 +537,64 @@ SELECT doc_id,
 FROM documents
 """
 
+# Benchmark decontamination: corpus docs sharing a 3-gram with the
+# doc_id % 40 == 0 eval subset (mirrors operators/dedup.ngram_contamination).
+ORACLES["decontaminate"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), cg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(greatest(len(words) - 2, 0)),
+             i -> array_to_string(words[i+1 : i+3], ' ')))) AS gram
+  FROM base WHERE doc_id % 40 <> 0
+), bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(greatest(len(words) - 2, 0)),
+             i -> array_to_string(words[i+1 : i+3], ' ')))) AS gram
+  FROM base WHERE doc_id % 40 = 0
+)
+SELECT c.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit_grams,
+       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM cg c LEFT JOIN bg b USING (gram)
+GROUP BY c.doc_id
+"""
+
+# PII scrub: sequential count-then-replace chain, identical order to
+# operators/textstats.redact_pii (counts on the partially-redacted stream).
+ORACLES["pii_redaction"] = r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user-' || CAST(doc_id AS VARCHAR) || '@example.com tel '
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t0,
+         CAST(len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM p
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+         regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+           AS redacted,
+       n_email, n_phone,
+       CAST(len(regexp_extract_all(t2,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4
+FROM s2
+"""
+
 # T4 first-unit scan: first text-bearing span per doc in reading order.
 ORACLES["first_text_span"] = SPANS_CTE + r"""
 SELECT doc_id, off AS first_offset, kind AS first_kind, text AS first_text

@@ -1297,6 +1297,41 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 40 == 0 play the
+    held-out eval set, the rest the training corpus; flag corpus docs
+    sharing any word 3-gram with the eval set (n=3 here so the fixed
+    testdata yields a non-degenerate hit distribution; production uses
+    8-13).  Eval grams broadcast — the corpus is never shuffled by the
+    join."""
+    from cloud_ocr_summarizer_spark.operators.dedup import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(40)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(40)) != 0)
+    return ngram_contamination(corpus, bench, n=3)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text carrying deterministic synthetic contact info
+    (the fixed testdata has none, so the query plants one email, phone,
+    and IPv4 per doc — counts and the redacted text are value-checked).
+    Row-local regexp chain; pure map stage."""
+    from cloud_ocr_summarizer_spark.operators.textstats import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user-"), d.cast("string"), F.lit("@example.com tel "),
+        F.lpad(F.pmod(d, F.lit(1000)).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(F.pmod(d * 7, F.lit(1000)).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(F.pmod(d * 13, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), F.pmod(d, F.lit(256)).cast("string"), F.lit(".1"),
+    )
+    return redact_pii(docs.select("doc_id", pii_text.alias("text")))
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity quality signals per document."""
     from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
@@ -1305,6 +1340,8 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_6 = {
+    "decontaminate": q_decontaminate,
+    "pii_redaction": q_pii_redaction,
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "orders_grouping_sets": q_orders_grouping_sets,

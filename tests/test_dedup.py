@@ -294,3 +294,52 @@ def test_gram_hashes_ascii_whitespace_only(spark):
         ).collect()
     }
     assert got == {1: 2, 2: 3, 3: 0, 4: 0}
+
+
+def test_ngram_contamination_hand_computed(spark):
+    """Decontamination vs a hand-computed model: per corpus doc, count of
+    its distinct n-grams that appear anywhere in the benchmark."""
+    from cloud_ocr_summarizer_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 'the quick brown'...
+            (2, "totally unrelated words here today"),
+            (3, "a b"),                          # < n words -> dropped
+            (4, "quick brown fox runs fast"),    # shares 'quick brown fox'
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in ngram_contamination(corpus, bench, n=3).collect()
+    }
+    # doc 1 grams: {the quick brown, quick brown fox, brown fox jumps};
+    # bench grams: {the quick brown, quick brown fox, brown fox sleeps}
+    assert got[1] == (3, 2, True)
+    assert got[2] == (3, 0, False)
+    assert 3 not in got  # too short to carry a 3-gram
+    assert got[4] == (3, 1, True)
+
+
+def test_redact_pii_hand_computed(spark):
+    from cloud_ocr_summarizer_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or call 555-123-4567 from 10.0.0.1 ok"),
+            (2, "no pii at all"),
+            (3, "two mails a@b.co c@d.org and ips 1.2.3.4 5.6.7.8"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["redacted"] == "mail [EMAIL] or call [PHONE] from [IP] ok"
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 1, 1)
+    assert got[2]["redacted"] == "no pii at all"
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_ipv4"]) == (0, 0, 0)
+    assert got[3]["redacted"] == "two mails [EMAIL] [EMAIL] and ips [IP] [IP]"
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (2, 0, 2)

@@ -43,6 +43,7 @@ def run_flagship(
     raw_debug_root: str | None = None,
     repartition_to: int | None = None,
     min_confidence: float = 0.0,
+    sink=None,
 ) -> FlagshipResult:
     """Extract all pending documents, commit one snapshot + lineage rows.
 
@@ -51,9 +52,15 @@ def run_flagship(
     settings.py:110): when set, the RAW pre-extraction spans of exactly
     the docs processed this run are committed to a second SnapshotSink
     under the same run_id; when None (the default), nothing is written.
+
+    ``sink`` injects any object with the SnapshotSink surface
+    (append/read_committed/...): pass
+    ``sources.iceberg.IcebergSnapshotSink("cat.db.tbl")`` on a real
+    Iceberg deployment; defaults to the parquet stand-in at
+    ``output_root``.
     """
     run_id = uuid.uuid4().hex
-    sink = SnapshotSink(output_root)
+    sink = sink if sink is not None else SnapshotSink(output_root)
     todo = pending_docs(input_df, sink, spark)
     if repartition_to:
         todo = salted_repartition(todo, repartition_to)

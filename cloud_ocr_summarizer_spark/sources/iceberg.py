@@ -1,0 +1,117 @@
+"""Iceberg-backed snapshot sink: the production twin of
+``checkpoint.SnapshotSink`` (north_rule: "resumable from Iceberg snapshot
+checkpoints").
+
+The sandbox has no Iceberg runtime jar, so ``SnapshotSink`` (parquet
+directories + a manifest JSON with the same commit/visibility rule) is
+the tested stand-in; THIS class is the one-class swap for a real
+deployment — same method surface, but the snapshot IS the Iceberg table
+snapshot:
+
+* ``append``        -> ``df.writeTo(table).append()``; the Iceberg commit
+                       is the atomic visibility point (exactly like the
+                       stand-in's manifest rename).
+* ``read_committed``-> ``spark.read.table(table)`` (current snapshot).
+* ``read_since``    -> incremental scan between snapshot ids
+                       (``start-snapshot-id`` / ``end-snapshot-id`` read
+                       options — Iceberg's own incremental-consumer API,
+                       which also subsumes the stand-in's
+                       min_readable_id bookkeeping: Iceberg refuses
+                       expired start snapshots itself).
+* ``compact_snapshots`` -> ``rewrite_data_files`` + ``expire_snapshots``
+                       maintenance procedures.
+
+Everything is gated behind ``available(spark)``; tests skip when no
+Iceberg catalog is configured (the sandbox), and the flagship plan takes
+any sink object with this surface (``run_flagship(sink=...)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergSnapshotSink:
+    """Append-only snapshotted sink on an Iceberg table.
+
+    ``table`` is a catalog-qualified identifier (e.g.
+    ``lake.pipeline.extracted_spans``).  The catalog must be configured on
+    the session (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog).
+    """
+
+    def __init__(self, table: str) -> None:
+        self.table = table
+
+    # -- capability gate ----------------------------------------------------
+    @staticmethod
+    def available(spark: SparkSession) -> bool:
+        """True iff the Iceberg Spark runtime is on the classpath."""
+        try:
+            spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            return True
+        except Exception:
+            return False
+
+    # -- write/commit -------------------------------------------------------
+    def append(self, df: DataFrame, *, run_id: str | None = None) -> int:
+        """Append df as one Iceberg snapshot; returns its snapshot id.
+
+        The Iceberg commit is atomic: a killed job never exposes partial
+        output (same invariant the parquet stand-in gets from its
+        manifest rename).  ``run_id`` lands in the snapshot summary via a
+        write option so lineage rows can join back to the table history.
+        """
+        writer = df.writeTo(self.table)
+        if run_id:
+            writer = writer.option("snapshot-property.run_id", run_id)
+        writer.append()
+        spark = df.sparkSession
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return int(row["snapshot_id"])
+
+    # -- read ---------------------------------------------------------------
+    def snapshots(self, spark: SparkSession) -> list[dict]:
+        return [
+            r.asDict()
+            for r in spark.sql(
+                f"SELECT snapshot_id, committed_at, operation, summary "
+                f"FROM {self.table}.snapshots ORDER BY committed_at"
+            ).collect()
+        ]
+
+    def read_committed(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.table(self.table)
+        except Exception:
+            return None  # table not created yet — nothing committed
+
+    def read_since(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
+        """Incremental read of rows appended strictly after ``snapshot_id``
+        (Iceberg incremental scan; raises if the start snapshot has been
+        expired — Iceberg's native analogue of min_readable_id)."""
+        df = (
+            spark.read.format("iceberg")
+            .option("start-snapshot-id", str(snapshot_id))
+            .load(self.table)
+        )
+        return df
+
+    # -- maintenance --------------------------------------------------------
+    def compact_snapshots(
+        self, spark: SparkSession, *, keep_last: int = 1, catalog: str | None = None
+    ) -> None:
+        """Small-file compaction + history expiry via Iceberg procedures
+        (the stand-in's compact_snapshots analogue)."""
+        cat = catalog or self.table.split(".")[0]
+        spark.sql(
+            f"CALL {cat}.system.rewrite_data_files(table => '{self.table}')"
+        )
+        spark.sql(
+            f"CALL {cat}.system.expire_snapshots("
+            f"table => '{self.table}', retain_last => {int(keep_last)})"
+        )

@@ -292,3 +292,29 @@ def test_transient_task_failure_exactly_once(tmp_path):
     assert kv["committed"] == kv["expected"]  # no loss, no duplication
     assert kv["distinct_docs"] == "40"
     assert kv["pending"] == "0"  # resume filter sees everything done
+
+
+def test_iceberg_sink_gate_and_surface(spark, tmp_path):
+    """The Iceberg sink is the documented one-class swap: same method
+    surface as SnapshotSink, availability honestly gated on the runtime
+    jar (absent in this sandbox -> available() is False and the flagship
+    keeps using the parquet stand-in by default)."""
+    import pytest as _pytest
+
+    from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink
+    from cloud_ocr_summarizer_spark.sources.iceberg import IcebergSnapshotSink
+
+    # drop-in surface parity with the tested stand-in
+    for method in ("append", "read_committed", "read_since", "snapshots",
+                   "compact_snapshots"):
+        assert callable(getattr(IcebergSnapshotSink, method))
+        assert callable(getattr(SnapshotSink, method))
+
+    if not IcebergSnapshotSink.available(spark):
+        _pytest.skip("no Iceberg runtime in this environment (expected)")
+
+    # on a real deployment this exercises the actual Iceberg path
+    sink = IcebergSnapshotSink("local.db.t_pipeline_test")
+    docs = interleaved_docs(spark, 10, seed=3)
+    res = run_flagship(spark, docs, output_root=str(tmp_path), sink=sink)
+    assert res.docs_written == 10

@@ -97,6 +97,11 @@ def ngram_jaccard_pairs(
         F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram"),
     )
     join_keys = ["gram"] + (["blk"] if block_col else [])
+    # Materialize the gram stream behind one exchange: `grams` feeds the
+    # df-cap aggregate, the semi-join, both self-join sides and the sizes
+    # aggregate — identical repartition subtrees let ReuseExchange compute
+    # the scan+explode ONCE instead of per consumer.
+    grams = grams.repartition(*join_keys)
     if max_gram_df is not None:
         # grams are distinct per doc, so count(*) per gram == doc frequency
         rare = (

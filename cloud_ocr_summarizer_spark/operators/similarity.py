@@ -264,14 +264,32 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.95,
+    max_block_size: int | None = 65536,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking column."""
-    a = df.select(
+    """Embedding-cosine near-duplicate pairs within a blocking column.
+
+    ``max_block_size`` guards the within-block all-pairs join: a block of
+    k vectors is k^2 join rows concentrated on one key, so a degenerate
+    block (one label covering the corpus) would pin a task on O(k^2)
+    work.  Blocks above the cap are skipped — split such blocks with a
+    finer key (e.g. LSH bucket of the embedding) before calling this.
+    ``None`` disables.
+    """
+    src = df
+    if max_block_size is not None:
+        ok = (
+            src.groupBy(F.col(block_col))
+            .agg(F.count("*").alias("bsz"))
+            .filter((F.col("bsz") > 1) & (F.col("bsz") <= max_block_size))
+            .drop("bsz")
+        )
+        src = src.join(ok, on=block_col, how="left_semi")
+    a = src.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
         F.col(block_col).alias("blk"),
     )
-    b = df.select(
+    b = src.select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("emb_b"),
         F.col(block_col).alias("blk"),

@@ -373,7 +373,12 @@ WHERE rk <= 5
 
 ORACLES["embedding_neardup"] = (
     r"""
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+WITH v0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+     okb AS (
+       -- block-size cap mirrors max_block_size=65536 in the engine
+       SELECT label FROM v0 GROUP BY label
+       HAVING count(*) > 1 AND count(*) <= 65536),
+     v AS (SELECT v0.* FROM v0 JOIN okb USING (label))
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, """
     + _COS.format(a="a.e", b="b.e")
     + r""" AS cosine

@@ -287,3 +287,23 @@ def test_ivf_fixed_budget_recall_and_exactness(spark, emb):
         assert recall >= 0.5, (iters, recall)
         for r in rows:
             assert exact_sims[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_embedding_neardup_block_cap(spark):
+    """A degenerate block (every vector sharing one label) must be
+    skipped under the cap instead of exploding to k^2 join rows."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.lit("hot").alias("label"),
+        F.array(*[F.lit(1.0).cast("float") for _ in range(4)]).alias("embedding"),
+    )
+    capped = embedding_near_dup_pairs(df, threshold=0.5, max_block_size=100)
+    assert capped.count() == 0
+    uncapped = embedding_near_dup_pairs(df, threshold=0.5, max_block_size=None)
+    assert uncapped.count() == 400 * 399 // 2  # identical vectors, cos=1

@@ -1,0 +1,105 @@
+"""Deterministic corpus sampling and sequence packing for training-data
+pipelines.
+
+* ``hash_sample``   — leakage-safe (per-)stratum sampling: membership is a
+                      pure function of the doc id (cross-engine md5/31-bit
+                      family), never a PRNG — reproducible across runs,
+                      partitionings, and engines, and composable with the
+                      train/val/test split (functions/hashing.hash_split_col)
+                      because the two use different hash salts.
+* ``pack_sequences``— token-budget bin packing (the pretraining "sequence
+                      packing" step): docs are packed contiguously into
+                      fixed-budget bins in a deterministic hash order.
+                      Packing is inherently order-dependent, so the order
+                      IS the spec: docs are bucketed by id hash (so the
+                      window never funnels the corpus through one task)
+                      and packed by running token count within each
+                      bucket — one shuffle, scale-safe, SQL-expressible.
+
+Both are row-local except the packing window's single (bucket) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cloud_ocr_summarizer_spark.functions.hashing import M31, md5_hash31_col
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fraction: float | None = None,
+    stratum_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row iff hash(salt, id) % 10^6 < fraction * 10^6.
+
+    With ``stratum_col`` + ``fractions`` the rate varies per stratum
+    (data-mixing: e.g. {"web": 0.1, "code": 1.0}); strata missing from
+    the dict are dropped (rate 0).  Deterministic and engine-stable —
+    the DuckDB oracle reproduces membership row for row.  Row-local:
+    no shuffle, no PRNG, no driver state.
+    """
+    bucket = F.pmod(
+        md5_hash31_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    if fractions is not None:
+        if stratum_col is None:
+            raise ValueError("fractions requires stratum_col")
+        rate = None
+        for name, frac in fractions.items():
+            thr = F.lit(int(frac * 1_000_000))
+            branch = F.when(F.col(stratum_col) == name, thr)
+            rate = branch if rate is None else rate.when(
+                F.col(stratum_col) == name, thr
+            )
+        rate = rate.otherwise(F.lit(0))
+    elif fraction is not None:
+        rate = F.lit(int(fraction * 1_000_000))
+    else:
+        raise ValueError("pass fraction or fractions")
+    return df.filter(bucket < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Assign each doc to a (bucket, bin) so every bin's token total is
+    <= ``budget`` + one overflowing doc (contiguous-fill packing).
+
+    Deterministic spec: doc order within a bucket is (id hash, id); a
+    doc's bin is floor((running_total - own_tokens) / budget) — the
+    standard greedy fill where a doc that crosses the boundary starts
+    in the bin its fill position dictates.  ``n_buckets`` bounds window
+    state per task (corpus/n_buckets docs); raise it with corpus size.
+    One shuffle on bucket.  Output: (doc_id, bucket, bin_id, fill_pos,
+    n_tokens).
+    """
+    h = md5_hash31_col(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(tokens_col).alias("n_tokens"),
+        F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("bucket").orderBy("_h", id_col)
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return bucketed.select(
+        id_col,
+        "bucket",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("int").alias("bin_id"),
+        (cum - F.col("n_tokens")).cast("long").alias("fill_pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+__all__ = ["hash_sample", "pack_sequences", "M31"]

@@ -600,6 +600,44 @@ SELECT doc_id,
 FROM s2
 """
 
+# Data mixing: per-source hash-sampling rates (mirrors
+# operators/sampling.hash_sample with salt 'sample').
+ORACLES["sample_mix"] = r"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+             % 2147483647 % 1000000 AS bucket,
+         CASE source WHEN 'src0' THEN 1000000
+                     WHEN 'src1' THEN 500000
+                     WHEN 'src2' THEN 100000
+                     ELSE 0 END AS rate
+  FROM documents)
+WHERE bucket < rate
+"""
+
+# Sequence packing: contiguous token-budget fill in hash order within
+# hash buckets (mirrors operators/sampling.pack_sequences).
+ORACLES["pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
+              AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+             % 2147483647 AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(h % 32 AS INT) AS bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, bucket,
+       CAST((cum - n_tokens) // 256 AS INT) AS bin_id,
+       CAST(cum - n_tokens AS BIGINT) AS fill_pos,
+       n_tokens
+FROM c
+"""
+
 # T4 first-unit scan: first text-bearing span per doc in reading order.
 ORACLES["first_text_span"] = SPANS_CTE + r"""
 SELECT doc_id, off AS first_offset, kind AS first_kind, text AS first_text

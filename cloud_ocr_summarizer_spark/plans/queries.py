@@ -1332,6 +1332,34 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs.select("doc_id", pii_text.alias("text")))
 
 
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: deterministic per-source sampling rates (hash of the
+    doc id, no PRNG) — src0 kept fully, src1 at 50%, src2 at 10%,
+    everything else dropped.  Row-local filter; membership value-checked
+    row for row."""
+    from cloud_ocr_summarizer_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(
+        docs,
+        stratum_col="source",
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+    ).select("doc_id", "source")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs fill fixed 256-token bins in deterministic
+    hash order within 32 buckets (bounded window state, one shuffle)."""
+    from cloud_ocr_summarizer_spark.operators.sampling import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(whitespace_tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    return pack_sequences(with_tokens, budget=256, n_buckets=32)
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity quality signals per document."""
     from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
@@ -1342,6 +1370,8 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_6 = {
     "decontaminate": q_decontaminate,
     "pii_redaction": q_pii_redaction,
+    "sample_mix": q_sample_mix,
+    "pack_sequences": q_pack_sequences,
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "orders_grouping_sets": q_orders_grouping_sets,

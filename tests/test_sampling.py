@@ -1,0 +1,92 @@
+"""Sampling + sequence-packing semantics: deterministic membership,
+stratified rates, packing invariants under any partitioning."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_ocr_summarizer_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+)
+
+
+def _h31(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % 2147483647
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"s{i % 3}", "w " * (5 + i % 40)) for i in range(600)]
+    return spark.createDataFrame(rows, "doc_id int, source string, text string")
+
+
+def test_hash_sample_matches_python_model(spark, docs):
+    got = {r["doc_id"] for r in hash_sample(docs, fraction=0.3).collect()}
+    want = {
+        i for i in range(600) if _h31(f"sample:{i}") % 1_000_000 < 300_000
+    }
+    assert got == want
+    # roughly the requested rate on 600 docs
+    assert 0.2 < len(got) / 600 < 0.4
+
+
+def test_hash_sample_stratified(spark, docs):
+    out = hash_sample(
+        docs, stratum_col="source", fractions={"s0": 1.0, "s1": 0.5}
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["s0"] == 200          # rate 1.0 keeps everything
+    assert 60 <= by_src.get("s1", 0) <= 140  # ~half
+    assert "s2" not in by_src           # missing stratum -> dropped
+
+
+def test_hash_sample_partitioning_invariant(spark, docs):
+    a = sorted(r["doc_id"] for r in hash_sample(docs, fraction=0.4).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(17), fraction=0.4).collect()
+    )
+    assert a == b
+
+
+def test_hash_sample_requires_args(spark, docs):
+    with pytest.raises(ValueError):
+        hash_sample(docs)
+    with pytest.raises(ValueError):
+        hash_sample(docs, fractions={"s0": 1.0})
+
+
+def test_pack_sequences_invariants(spark, docs):
+    with_tokens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    budget = 64
+    out = pack_sequences(with_tokens, budget=budget, n_buckets=8)
+    rows = out.collect()
+    assert len(rows) == 600  # every doc packed exactly once
+
+    # per (bucket, bin): fill positions are the running sum in hash order,
+    # and a bin only overflows by its LAST doc (contiguous fill)
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["bucket"], r["bin_id"]), []).append(r)
+    for (_, bin_id), members in by_bin.items():
+        members.sort(key=lambda r: r["fill_pos"])
+        # the bin a doc starts in is dictated by its fill position
+        for m in members:
+            assert m["fill_pos"] // budget == bin_id
+    # deterministic under repartitioning
+    again = {
+        (r["doc_id"], r["bucket"], r["bin_id"], r["fill_pos"])
+        for r in pack_sequences(
+            with_tokens.repartition(13), budget=budget, n_buckets=8
+        ).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["bucket"], r["bin_id"], r["fill_pos"]) for r in rows
+    }

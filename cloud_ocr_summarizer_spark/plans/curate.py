@@ -12,6 +12,11 @@ partitioned write):
   5. language gate      — trigram language ID == lang (None = skip)
   6. split assignment   — hash-bucket train/val/test (80/10/10),
                           leakage-safe (pure function of doc_id)
+
+``curate_documents_full`` adds the round-2 stages around the same core:
+benchmark decontamination (before the gates), PII redaction (after
+them), deterministic per-source mixing, and token-budget sequence
+packing — the full modern pretraining-data shape.
 """
 
 from __future__ import annotations
@@ -76,3 +81,70 @@ def curate_documents(
         )
 
     return docs.withColumn("split", hash_split_col(F.col("doc_id")))
+
+
+def curate_documents_full(
+    docs: DataFrame,
+    *,
+    benchmark: DataFrame | None = None,
+    contamination_n: int = 8,
+    mix_fractions: dict[str, float] | None = None,
+    pack_budget: int | None = 2048,
+    **curate_kwargs,
+) -> DataFrame:
+    """The full pretraining-data pipeline around ``curate_documents``:
+
+      dedup/gates/split (core)
+      -> drop docs sharing an ``contamination_n``-gram with ``benchmark``
+      -> redact PII in the surviving text
+      -> per-source mixing rates (``mix_fractions``, None = keep all)
+      -> token-budget packing metadata (bucket, bin_id, fill_pos)
+
+    Output: (doc_id, source, split, text [redacted], n_tokens
+    [, bucket, bin_id, fill_pos]).  Every stage is the already-tested
+    operator; this function only fixes the composition order: decontam
+    runs on the deduped set (fewer docs to gram-join), redaction after
+    the gates (quality scores see the original text), packing last (bins
+    reflect the final kept set).
+    """
+    from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
+    from cloud_ocr_summarizer_spark.operators.dedup import ngram_contamination
+    from cloud_ocr_summarizer_spark.operators.sampling import (
+        hash_sample,
+        pack_sequences,
+    )
+    from cloud_ocr_summarizer_spark.operators.textstats import redact_pii
+
+    kept = curate_documents(docs, **curate_kwargs)
+
+    if benchmark is not None:
+        contaminated = (
+            ngram_contamination(kept, benchmark, n=contamination_n)
+            .filter("contaminated")
+            .select("doc_id")
+        )
+        kept = kept.join(contaminated, "doc_id", "left_anti")
+
+    redacted = redact_pii(kept).select("doc_id", "redacted")
+    kept = (
+        kept.drop("text")
+        .join(redacted, "doc_id")
+        .withColumnRenamed("redacted", "text")
+    )
+
+    if mix_fractions is not None:
+        kept = hash_sample(kept, stratum_col="source", fractions=mix_fractions)
+
+    out = kept.select(
+        "doc_id",
+        "source",
+        "split",
+        "text",
+        F.size(whitespace_tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    if pack_budget is not None:
+        packed = pack_sequences(
+            out.select("doc_id", "n_tokens"), budget=pack_budget
+        ).drop("n_tokens")
+        out = out.join(packed, "doc_id")
+    return out

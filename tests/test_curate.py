@@ -68,3 +68,48 @@ def test_curate_drops_repetitive_docs(spark):
     assert (
         repetition_profile(degenerate).filter("flagged").count() == 1
     )
+
+
+def test_curate_documents_full_composition(spark):
+    """Full pipeline: core curation + decontamination + PII redaction +
+    mixing + packing compose without losing invariants."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.plans.curate import (
+        curate_documents,
+        curate_documents_full,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(25)) == 0).select(
+        "doc_id", "text"
+    )
+    core_ids = {
+        r["doc_id"] for r in curate_documents(docs).select("doc_id").collect()
+    }
+    out = curate_documents_full(
+        docs,
+        benchmark=bench,
+        contamination_n=3,
+        mix_fractions={f"src{i}": 1.0 for i in range(20)},
+        pack_budget=128,
+    )
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    # decontamination only ever REMOVES docs from the core set
+    assert ids <= core_ids
+    # benchmark members that survived core curation are contaminated
+    # with themselves (n=3 grams) -> dropped
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    assert not (ids & bench_ids & core_ids) or all(
+        i not in ids for i in (bench_ids & core_ids)
+    )
+    # schema contract + packing columns present and consistent
+    assert set(out.columns) == {
+        "doc_id", "source", "split", "text", "n_tokens",
+        "bucket", "bin_id", "fill_pos",
+    }
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")
+        assert r["fill_pos"] // 128 == r["bin_id"]
+        assert "@" not in r["text"]  # PII scrub ran on the kept text

@@ -53,17 +53,38 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH", "tiers.json"), "w", encoding="utf-8") as f:
         json.dump(results, f)
 
+    def label(n: int) -> str:
+        # 4_000_000 is 4x10^6, not 10^6 — derive mantissa x exponent
+        exp = len(str(n)) - 1
+        mant = n // (10 ** exp)
+        prefix = f"{mant}x" if mant != 1 else ""
+        return f"{prefix}10^{exp} ({n:,})"
+
+    header = "## Tiered throughput (flagship extraction, local[32], seed=42)"
     lines = [
-        "",
-        "## Tiered throughput (flagship extraction, local[32], seed=42)",
+        header,
         "",
         "| docs | wall (best of 3, warm) | docs/sec |",
         "|---|---|---|",
     ]
     for r in results:
-        lines.append(f"| 10^{len(str(r['n_docs'])) - 1} ({r['n_docs']:,}) | {r['sec']} s | {r['docs_per_sec']:,} |")
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+        lines.append(f"| {label(r['n_docs'])} | {r['sec']} s | {r['docs_per_sec']:,} |")
+    section = "\n".join(lines) + "\n"
+
+    # replace this tool's own section in place (appending blindly
+    # duplicated the table in rounds 1 and 2); other sections untouched
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, encoding="utf-8") as f:
+        md = f.read()
+    if header in md:
+        start = md.index(header)
+        nxt = md.find("\n## ", start + len(header))
+        end = nxt + 1 if nxt != -1 else len(md)
+        md = md[:start] + section + "\n" + md[end:]
+    else:
+        md = md.rstrip("\n") + "\n\n" + section
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(md)
     return 0
 
 

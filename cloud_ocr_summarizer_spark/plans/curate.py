@@ -42,8 +42,16 @@ def curate_documents(
     lang: str | None = None,
     neardup_threshold: float = 0.8,
     parallelism: int | None = None,
+    checked: bool = False,
 ) -> DataFrame:
-    """documents -> curated documents with a ``split`` column."""
+    """documents -> curated documents with a ``split`` column.
+
+    ``checked=True`` swaps the near-dup stage to the cross-engine
+    md5/affine MinHash variant so the WHOLE composed pipeline is
+    reproducible in DuckDB (driver query ``curation_checked``); the
+    default keeps the faster xxhash path for production runs — the two
+    share every other stage.
+    """
     # gate inputs computed from the ORIGINAL docs, not mid-pipeline
     # lineage: flagged/pred_lang are pure per-doc functions, a superset of
     # flagged ids anti-joins to the identical result, and deriving them
@@ -58,7 +66,15 @@ def curate_documents(
     keepers = exact_duplicates(docs).select(F.col("keeper").alias("doc_id"))
     docs = docs.join(keepers, "doc_id", "left_semi")
 
-    pairs = minhash_lsh_pairs(
+    if checked:
+        from cloud_ocr_summarizer_spark.operators.dedup import (
+            minhash_lsh_pairs_checked,
+        )
+
+        pair_fn = minhash_lsh_pairs_checked
+    else:
+        pair_fn = minhash_lsh_pairs
+    pairs = pair_fn(
         docs,
         n=3,
         num_hashes=32,

@@ -600,6 +600,172 @@ SELECT doc_id,
 FROM s2
 """
 
+# The COMPOSED curation pipeline, end to end (mirrors
+# plans/curate.curate_documents(checked=True)): exact dedup keepers ->
+# checked-MinHash near-dup losers (n=3, 32 hashes, 8 bands, t=0.8,
+# bucket cap 4096) -> quality gate (>= 3000 bp) -> repetition gate ->
+# hash split.  Assembled from the per-operator oracle fragments so
+# stage interactions are value-checked, not just each stage alone.
+_CURATION_CORE = (
+    r"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5("""
+    + _NORM.format(col="text")
+    + r""") AS h FROM documents)
+  GROUP BY h
+), d1 AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN keepers USING (doc_id)
+), wordsrc AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM d1
+), base AS (
+  SELECT id, grams FROM (
+    SELECT id, list_distinct(list_transform(range(greatest(len(words) - 2, 0)),
+        i -> ('0x' || substr(md5(array_to_string(words[i+1 : i+3], ' ')), 1, 14))::BIGINT
+             % 2147483647)) AS grams
+    FROM wordsrc)
+  WHERE len(grams) > 0
+), sig AS (
+  SELECT id,
+         list_transform(range(32), h ->
+           list_min(list_transform(grams, g ->
+             ((((2654435761 * (h + 1)) % 2147483647) | 1) * g
+              + (40503 * (h + 7)) % 2147483647) % 2147483647))) AS sig
+  FROM base
+), banded AS (
+  SELECT id, unnest(list_transform(range(8), b -> struct_pack(
+      band := CAST(b AS INT),
+      bucket := list_reduce(
+        list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+        (acc, x) -> (acc * 131 + x) % 2147483647)))) AS bb
+  FROM sig
+), buckets AS (
+  SELECT bb.band AS band, bb.bucket AS bucket, list_sort(list(id)) AS ids
+  FROM banded GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 4096
+), cpairs AS (
+  SELECT DISTINCT p.a AS id_a, p.b AS id_b FROM (
+    SELECT unnest(flatten(list_transform(range(len(ids) - 1),
+        i -> list_transform(range(i + 1, len(ids)),
+             j -> struct_pack(a := ids[i+1], b := ids[j+1]))))) AS p
+    FROM buckets)
+), verified AS (
+  SELECT id_a, id_b
+  FROM cpairs
+  JOIN base ga ON ga.id = id_a
+  JOIN base gb ON gb.id = id_b
+  WHERE round(len(list_intersect(ga.grams, gb.grams)) /
+              (len(ga.grams) + len(gb.grams)
+               - len(list_intersect(ga.grams, gb.grams))), 4) >= 0.8
+), d2 AS (
+  SELECT * FROM d1
+  WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM verified)
+), scored AS (
+  SELECT doc_id, text, source,
+         len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS nt,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) > 0
+              THEN list_sum(list_transform(
+                     list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''),
+                     w -> length(w)))
+                   / len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
+              ELSE 0.0 END AS awl
+  FROM d2
+), d3 AS (
+  SELECT doc_id, text, source, nt FROM scored
+  WHERE CAST(floor((0.4 * least(nt / 100.0, 1.0) + 0.3 * (1 - punct_ratio)
+             + 0.3 * least(awl / 8.0, 1.0)) * 10000) AS INT) >= 3000
+), rep AS (
+  SELECT doc_id, max(c) AS top, count(*) AS uniq, CAST(sum(c) AS BIGINT) AS n_tok
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) AS w
+              FROM d3) GROUP BY doc_id, w)
+  GROUP BY doc_id
+), flagged AS (
+  SELECT doc_id FROM rep
+  WHERE n_tok >= 10 AND
+        (CAST(floor(10000.0 * top / n_tok) AS INT) > 3000
+         OR CAST(floor(10000.0 * uniq / n_tok) AS INT) < 3000)
+), d4 AS (
+  SELECT d3.doc_id, d3.text, d3.source, CAST(d3.nt AS INT) AS nt,
+         CASE WHEN ('0x' || substr(md5(CAST(d3.doc_id AS VARCHAR)), 1, 14))::BIGINT
+                   % 2147483647 % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(d3.doc_id AS VARCHAR)), 1, 14))::BIGINT
+                   % 2147483647 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM d3
+  WHERE d3.doc_id NOT IN (SELECT doc_id FROM flagged)
+)"""
+)
+
+ORACLES["curation_checked"] = _CURATION_CORE + r"""
+SELECT doc_id, split, nt AS n_tokens FROM d4
+"""
+
+# The FULL pipeline (mirrors plans/curate.curate_documents_full with
+# checked=True): core curation -> decontamination vs the doc_id % 40 == 0
+# eval subset (3-grams) -> PII redaction -> per-source mixing (src0-9
+# full, src10-19 half) -> 256-token packing in 1024 hash buckets.
+ORACLES["curation_full_checked"] = _CURATION_CORE + r"""
+, bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+      range(greatest(len(words) - 2, 0)),
+      i -> array_to_string(words[i+1 : i+3], ' ')))) AS gram
+  FROM (SELECT list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')
+            AS words
+        FROM documents WHERE doc_id % 40 = 0)
+), cg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(greatest(len(words) - 2, 0)),
+      i -> array_to_string(words[i+1 : i+3], ' ')))) AS gram
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')
+                   AS words
+        FROM d4)
+), d5 AS (
+  SELECT * FROM d4
+  WHERE doc_id NOT IN (SELECT DISTINCT c.doc_id FROM cg c JOIN bg USING (gram))
+), red AS (
+  SELECT doc_id, source, split,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
+  FROM d5
+), mixed AS (
+  SELECT * FROM red
+  WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+        % 2147483647 % 1000000
+        < CASE WHEN CAST(substr(source, 4) AS INT) < 10
+               THEN 1000000 ELSE 500000 END
+), tok AS (
+  SELECT doc_id, source, split, text,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
+              AS INT) AS n_tokens,
+         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+             % 2147483647 AS h
+  FROM mixed
+), packed AS (
+  SELECT doc_id, source, split, text, n_tokens,
+         CAST(h % 1024 AS INT) AS bucket,
+         sum(n_tokens) OVER (PARTITION BY h % 1024 ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok
+)
+SELECT doc_id, source, split, text, n_tokens, bucket,
+       CAST((cum - n_tokens) // 256 AS INT) AS bin_id,
+       CAST(cum - n_tokens AS BIGINT) AS fill_pos
+FROM packed
+"""
+
 # Data mixing: per-source hash-sampling rates (mirrors
 # operators/sampling.hash_sample with salt 'sample').
 ORACLES["sample_mix"] = r"""

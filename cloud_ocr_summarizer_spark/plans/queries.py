@@ -1360,6 +1360,46 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(with_tokens, budget=256, n_buckets=32)
 
 
+def q_curation_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline value-checked end to end: exact
+    dedup -> MinHash near-dup removal (cross-engine md5 variant) ->
+    quality gate -> repetition gate -> train/val/test split.  The DuckDB
+    twin replays every stage of the composition, so stage INTERACTIONS
+    (who survives whom) are checked, not just each operator alone."""
+    from cloud_ocr_summarizer_spark.plans.curate import curate_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    out = curate_documents(docs, checked=True)
+    return out.select(
+        "doc_id",
+        "split",
+        F.size(whitespace_tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+
+
+def q_curation_full_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pretraining pipeline value-checked end to end: core
+    curation (checked MinHash) -> decontamination vs the doc_id%40==0
+    eval subset -> PII redaction -> per-source mixing (src0-9 full,
+    src10-19 half) -> 256-token packing.  The DuckDB twin replays all
+    eight stages including their interactions."""
+    from cloud_ocr_summarizer_spark.plans.curate import curate_documents_full
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(40)) == 0).select(
+        "doc_id", "text"
+    )
+    mix = {f"src{i}": (1.0 if i < 10 else 0.5) for i in range(20)}
+    return curate_documents_full(
+        docs,
+        benchmark=bench,
+        contamination_n=3,
+        mix_fractions=mix,
+        pack_budget=256,
+        checked=True,
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity quality signals per document."""
     from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
@@ -1372,6 +1412,8 @@ BATCH_6 = {
     "pii_redaction": q_pii_redaction,
     "sample_mix": q_sample_mix,
     "pack_sequences": q_pack_sequences,
+    "curation_checked": q_curation_checked,
+    "curation_full_checked": q_curation_full_checked,
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "orders_grouping_sets": q_orders_grouping_sets,

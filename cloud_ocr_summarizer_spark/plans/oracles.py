@@ -542,6 +542,49 @@ SELECT doc_id,
 FROM documents
 """
 
+# TPC-H Q15 shape: revenue view + scalar max.
+ORACLES["top_supplier_revenue"] = r"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) + 50) / 100.0) / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+# TPC-H Q18 shape: IN (GROUP BY ... HAVING).
+ORACLES["large_orders"] = r"""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(epoch_us(o_orderdate) // 86400000000 AS INT) AS orderdate_epoch_day,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+# TPC-H Q20 shape: decorrelated nested subquery over shipped quantities.
+ORACLES["excess_parts_suppliers"] = r"""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey)
+SELECT s_suppkey, s_name, count(*) AS n_excess_parts
+FROM shipped
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE (l_suppkey * 37 + l_partkey * 11) % 100 > 0.5 * qty
+GROUP BY s_suppkey, s_name
+"""
+
 # Benchmark decontamination: corpus docs sharing a 3-gram with the
 # doc_id % 40 == 0 eval subset (mirrors operators/dedup.ngram_contamination).
 ORACLES["decontaminate"] = r"""

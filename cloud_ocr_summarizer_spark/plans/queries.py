@@ -1400,6 +1400,87 @@ def q_curation_full_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a derived revenue view + scalar-max selection —
+    suppliers whose period revenue EQUALS the global maximum.  The max is
+    a 1-row broadcast crossJoin (never a self-join of the aggregate with
+    itself, which would scan lineitem twice)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    revenue = li.groupBy("l_suppkey").agg(
+        (F.floor((F.sum(cents) + 50) / 100.0) / 100.0).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    s = _read(spark, sf_dir, "supplier")
+    return top.join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN (GROUP BY ... HAVING sum > X) — customers with
+    any order whose total quantity exceeds the threshold; the HAVING set
+    drives a semi join on the order key (one lineitem aggregation, no
+    correlated re-scan)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    j = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        ).cast("int").alias("orderdate_epoch_day"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "total_qty",
+    )
+
+
+def q_excess_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested correlated subquery decorrelated — for each
+    supplier, parts whose 'available' proxy exceeds half the quantity
+    that (supplier, part) actually shipped in a period.  The correlated
+    `0.5 * sum(...)` becomes ONE grouped aggregate joined back (no
+    per-row re-scan); availability is a deterministic function of the
+    keys (the schema has no partsupp table)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    avail = F.pmod(
+        F.col("l_suppkey") * 37 + F.col("l_partkey") * 11, F.lit(100)
+    ).alias("availqty")
+    s = _read(spark, sf_dir, "supplier")
+    return (
+        shipped.select("l_suppkey", "l_partkey", "qty", avail)
+        .filter(F.col("availqty") > 0.5 * F.col("qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_excess_parts"))
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity quality signals per document."""
     from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
@@ -1414,6 +1495,9 @@ BATCH_6 = {
     "pack_sequences": q_pack_sequences,
     "curation_checked": q_curation_checked,
     "curation_full_checked": q_curation_full_checked,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "large_orders": q_large_orders,
+    "excess_parts_suppliers": q_excess_parts_suppliers,
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "orders_grouping_sets": q_orders_grouping_sets,

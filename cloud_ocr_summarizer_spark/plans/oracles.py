@@ -585,6 +585,17 @@ WHERE (l_suppkey * 37 + l_partkey * 11) % 100 > 0.5 * qty
 GROUP BY s_suppkey, s_name
 """
 
+# Corpus heavy hitters: top-20 lowercase tokens by frequency.
+ORACLES["top_terms"] = r"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), c AS (SELECT term, count(*) AS n FROM w GROUP BY term)
+SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INT) AS rk
+FROM c ORDER BY n DESC, term ASC LIMIT 20
+"""
+
 # Benchmark decontamination: corpus docs sharing a 3-gram with the
 # doc_id % 40 == 0 eval subset (mirrors operators/dedup.ngram_contamination).
 ORACLES["decontaminate"] = r"""

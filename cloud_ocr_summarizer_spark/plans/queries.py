@@ -1481,6 +1481,22 @@ def q_excess_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the 20 most frequent lowercase
+    tokens.  Canonical wordcount shape — explode, map-side partial agg,
+    ONE shuffle on the token, then a distributed top-k (orderBy+limit =
+    per-partition TakeOrdered, no global sort); the rank window runs on
+    the 20 surviving rows only."""
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(whitespace_tokens_col(F.lower(F.col("text")))).alias("term")
+    )
+    counts = words.groupBy("term").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity quality signals per document."""
     from cloud_ocr_summarizer_spark.operators.textstats import repetition_profile
@@ -1498,6 +1514,7 @@ BATCH_6 = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "large_orders": q_large_orders,
     "excess_parts_suppliers": q_excess_parts_suppliers,
+    "top_terms": q_top_terms,
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "orders_grouping_sets": q_orders_grouping_sets,

@@ -472,6 +472,29 @@ FROM g
 # the Arrow geometry twin emits the same derived scalars
 ORACLES["span_geometry_arrow"] = ORACLES["span_geometry"]
 
+# Pixel-space twin: deterministic page dims x the normalized box, floored.
+ORACLES["span_geometry_px"] = SPANS_CTE + r"""
+, r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) AS INT) AS seq,
+         count(*) OVER (PARTITION BY doc_id) AS n,
+         is_media
+  FROM __spans
+)
+SELECT doc_id, seq,
+       CAST(512 + (doc_id * 3) % 1024 AS INT) AS page_w,
+       CAST(512 + (doc_id * 5) % 1024 AS INT) AS page_h,
+       CAST(floor((CASE WHEN is_media THEN 0.30 ELSE 0.05 END)
+                  * (512 + (doc_id * 3) % 1024)) AS INT) AS px0,
+       CAST(floor((CASE WHEN is_media THEN 0.80 ELSE 0.95 END)
+                  * (512 + (doc_id * 3) % 1024)) AS INT) AS px1,
+       CAST(floor((CAST(seq - 1 AS DOUBLE) / n)
+                  * (512 + (doc_id * 5) % 1024)) AS INT) AS py0,
+       CAST(floor((CAST(seq AS DOUBLE) / n)
+                  * (512 + (doc_id * 5) % 1024)) AS INT) AS py1
+FROM r
+"""
+
 ORACLES["structure_token_count"] = SPANS_CTE + (
     r"""
 SELECT doc_id,

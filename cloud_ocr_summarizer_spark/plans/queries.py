@@ -586,6 +586,34 @@ def q_span_geometry_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_geometry_px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-space geometry: the reference carries page width/height next
+    to the normalized vertices (vision_processor.py:243-244); here page
+    dims are deterministic per doc and the normalized bbox scales into
+    pixel coordinates with floor (floor of identical doubles is
+    engine-identical; round() would flip on exact .5 ties where the
+    engines' decimal conversions differ)."""
+    rows = extract_span_rows(
+        _documents_spans(spark, sf_dir), include_bounding_boxes=True
+    )
+    d = F.col("doc_id")
+    page_w = (512 + F.pmod(d * 3, F.lit(1024))).cast("int")
+    page_h = (512 + F.pmod(d * 5, F.lit(1024))).cast("int")
+    b = F.col("bbox")
+    x0, y0 = F.element_at(b, 1)["x"], F.element_at(b, 1)["y"]
+    x1, y1 = F.element_at(b, 3)["x"], F.element_at(b, 3)["y"]
+    return rows.select(
+        "doc_id",
+        "seq",
+        page_w.alias("page_w"),
+        page_h.alias("page_h"),
+        F.floor(x0 * page_w).cast("int").alias("px0"),
+        F.floor(x1 * page_w).cast("int").alias("px1"),
+        F.floor(y0 * page_h).cast("int").alias("py0"),
+        F.floor(y1 * page_h).cast("int").alias("py1"),
+    )
+
+
 def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 lineage: per-partition metrics over a deterministic repartition
     (rows-only check; totals pinned in tests/test_pipeline.py)."""
@@ -842,6 +870,7 @@ BATCH_UDF = {
     "media_features": q_media_features,
     "span_geometry": q_span_geometry,
     "span_geometry_arrow": q_span_geometry_arrow,
+    "span_geometry_px": q_span_geometry_px,
     "lineage_metrics": q_lineage_metrics,
 }
 

@@ -6,8 +6,12 @@ train/val/test split).
 
     spark-submit --py-files /tmp/cos_spark.zip jobs/run_curate.py \
         --input /root/testdata/sf0.01/documents.parquet \
-        --output /tmp/curated [--lang en] [--min-quality 3000]
+        --output /tmp/curated [--lang en] [--min-quality 3000] \
+        [--benchmark /data/eval_docs.parquet] [--redact-pii] \
+        [--pack-budget 2048]
 
+With --benchmark / --redact-pii / --pack-budget the job runs the FULL
+pipeline (curate_documents_full: + decontamination, PII scrub, packing).
 Output parquet is partitioned BY split, so downstream training reads one
 directory per split; a one-line JSON stats summary goes to stdout.
 """
@@ -32,6 +36,13 @@ def main() -> int:
                    help="basis points, see textstats.quality_score_col")
     p.add_argument("--lang", default=None, help="en|de|fr (default: keep all)")
     p.add_argument("--neardup-threshold", type=float, default=0.8)
+    p.add_argument("--benchmark", default=None,
+                   help="parquet of eval docs (doc_id, text); drop corpus "
+                        "docs sharing an n-gram with it")
+    p.add_argument("--contamination-n", type=int, default=8)
+    p.add_argument("--redact-pii", action="store_true")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="token budget per packed bin (enables packing)")
     args = p.parse_args()
 
     spark = (
@@ -41,17 +52,35 @@ def main() -> int:
         .getOrCreate()
     )
 
-    from cloud_ocr_summarizer_spark.plans.curate import curate_documents
+    from cloud_ocr_summarizer_spark.plans.curate import (
+        curate_documents,
+        curate_documents_full,
+    )
 
     docs = spark.read.parquet(args.input)
     n_input = docs.count()
-    curated = curate_documents(
-        docs,
+    core_kwargs = dict(
         min_quality=args.min_quality,
         lang=args.lang,
         neardup_threshold=args.neardup_threshold,
         parallelism=spark.sparkContext.defaultParallelism,
     )
+    if args.benchmark or args.redact_pii or args.pack_budget:
+        # full pipeline: decontam / scrub / packing around the same core
+        # (redaction always runs in the full variant; --redact-pii just
+        # opts into the full path when no other full-stage flag is set)
+        curated = curate_documents_full(
+            docs,
+            benchmark=(
+                spark.read.parquet(args.benchmark) if args.benchmark else None
+            ),
+            contamination_n=args.contamination_n,
+            mix_fractions=None,
+            pack_budget=args.pack_budget,
+            **core_kwargs,
+        )
+    else:
+        curated = curate_documents(docs, **core_kwargs)
     curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
 
     out = spark.read.parquet(args.output)

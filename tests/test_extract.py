@@ -257,3 +257,27 @@ def test_extra_span_metadata_tolerated(spark):
     df = spark.createDataFrame(rows, docs_schema(span_t))
     out = extract_spans(df, min_confidence=0.5).collect()
     assert spans_out_as_tuples(out[0]["spans_out"]) == [("TEXT", "hello", None, 1)]
+
+
+def test_bbox_bands_tile_unit_interval(spark):
+    """Geometry invariant: each doc's span y-bands tile [0, 1] exactly —
+    consecutive bands share an edge, the first starts at 0, the last
+    ends at 1 (single-column layout model)."""
+    from cloud_ocr_summarizer_spark.datagen import interleaved_docs
+    from cloud_ocr_summarizer_spark.operators.extract import extract_span_rows
+
+    rows = extract_span_rows(
+        interleaved_docs(spark, 40, seed=9), include_bounding_boxes=True
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["seq"], r["bbox"][0]["y"], r["bbox"][2]["y"])
+        )
+    assert by_doc  # non-empty corpus
+    for spans in by_doc.values():
+        spans.sort()
+        assert spans[0][1] == 0.0
+        assert spans[-1][2] == 1.0
+        for (_, _, y1_prev), (_, y0_next, _) in zip(spans, spans[1:]):
+            assert y1_prev == y0_next  # no gap, no overlap

@@ -31,6 +31,8 @@ def main() -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--lineage", default=None)
+    p.add_argument("--raw-debug", default=None,
+                   help="snapshot root for the gated raw-input debug sink")
     p.add_argument("--repartition", type=int, default=None)
     p.add_argument("--min-confidence", type=float, default=0.0)
     args = p.parse_args()
@@ -51,6 +53,7 @@ def main() -> int:
         input_df,
         output_root=args.output,
         lineage_root=args.lineage,
+        raw_debug_root=args.raw_debug,
         repartition_to=args.repartition,
         min_confidence=args.min_confidence,
     )

@@ -113,3 +113,43 @@ def test_curate_documents_full_composition(spark):
         assert r["split"] in ("train", "val", "test")
         assert r["fill_pos"] // 128 == r["bin_id"]
         assert "@" not in r["text"]  # PII scrub ran on the kept text
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Edge battery: every round-2 operator must return an EMPTY result
+    (correct schema), not crash, on empty input."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.dedup import ngram_contamination
+    from cloud_ocr_summarizer_spark.operators.sampling import (
+        hash_sample,
+        pack_sequences,
+    )
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        redact_pii,
+        select_primary_language,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id int, source string, text string"
+    )
+    some_docs = spark.createDataFrame(
+        [(1, "s0", "hello world")], "doc_id int, source string, text string"
+    )
+
+    assert ngram_contamination(empty_docs, some_docs, n=2).count() == 0
+    # empty BENCHMARK: nothing can be contaminated
+    res = ngram_contamination(some_docs, empty_docs, n=2).collect()
+    assert len(res) == 1 and res[0]["contaminated"] is False
+    assert redact_pii(empty_docs).count() == 0
+    assert hash_sample(empty_docs, fraction=0.5).count() == 0
+    assert (
+        pack_sequences(
+            empty_docs.select("doc_id", F.lit(1).alias("n_tokens"))
+        ).count()
+        == 0
+    )
+    langs_empty = spark.createDataFrame(
+        [], "doc_id int, languages array<struct<lang:string,conf:double>>"
+    )
+    assert select_primary_language(langs_empty, default="en").count() == 0

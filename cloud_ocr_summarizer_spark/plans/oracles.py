@@ -608,6 +608,16 @@ WHERE (l_suppkey * 37 + l_partkey * 11) % 100 > 0.5 * qty
 GROUP BY s_suppkey, s_name
 """
 
+# RANGE-frame window: trailing hour by event time.
+ORACLES["events_trailing_hour"] = r"""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_trailing_hour,
+       round(sum(value) OVER w, 2) AS value_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
 # Corpus heavy hitters: top-20 lowercase tokens by frequency.
 ORACLES["top_terms"] = r"""
 WITH w AS (

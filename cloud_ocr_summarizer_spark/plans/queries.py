@@ -1510,6 +1510,32 @@ def q_excess_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frames elsewhere): per event, the
+    sum and count of the same user's events in the TRAILING HOUR by
+    event time — the frame is value-based, so ties and gaps behave
+    differently from rowsBetween (a distinct physical window mode)."""
+    events = _read(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        events.withColumn("ts_us", ts_us)
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.count("*").over(w).alias("n_trailing_hour"),
+            F.round(F.sum("value").over(w), 2).alias("value_trailing_hour"),
+        )
+    )
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: the 20 most frequent lowercase
     tokens.  Canonical wordcount shape — explode, map-side partial agg,
@@ -1544,6 +1570,7 @@ BATCH_6 = {
     "large_orders": q_large_orders,
     "excess_parts_suppliers": q_excess_parts_suppliers,
     "top_terms": q_top_terms,
+    "events_trailing_hour": q_events_trailing_hour,
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "orders_grouping_sets": q_orders_grouping_sets,

@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the properties docs/PLANS.md documents,
+asserted so a future change can't silently regress them.
+
+These inspect the optimized plan string — cheap (no execution) and
+stable across AQE because the asserted properties (exchange counts,
+join strategies, scan pruning) appear in the initial plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def Q():
+    from cloud_ocr_summarizer_spark.plans import queries
+
+    return queries
+
+
+def test_flagship_is_zero_shuffle(spark, Q):
+    """The extraction hot path must stay a pure map stage at any scale."""
+    for q in (Q.q_extract_flagship, Q.q_span_geometry, Q.q_first_text_span,
+              Q.q_pii_redaction):
+        p = _plan(q(spark, SF))
+        assert "Exchange" not in p, q.__name__
+
+
+def test_flagship_scan_prunes_columns(spark, Q):
+    """Only (doc_id, text) of the 5-column documents table reach the scan."""
+    p = _plan(Q.q_extract_flagship(spark, SF))
+    assert "ReadSchema" in p
+    read = p[p.index("ReadSchema"):].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "n_chars" not in read and "source" not in read
+
+
+def test_decontaminate_broadcasts_benchmark(spark, Q):
+    """The eval-gram side must broadcast; the corpus is never shuffled
+    by the join (only the per-doc aggregation shuffles)."""
+    p = _plan(Q.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_dim_joins_broadcast(spark, Q):
+    """Small dimensions broadcast in the relational layer."""
+    for q in (Q.q_revenue_by_nation, Q.q_shipping_priority):
+        p = _plan(q(spark, SF))
+        assert "BroadcastHashJoin" in p, q.__name__
+
+
+def test_range_join_broadcasts_intervals(spark, Q):
+    """Interval lookups broadcast the bands — never range-shuffle facts."""
+    p = _plan(Q.q_events_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_part_small_quantity_single_fact_scan(spark, Q):
+    """Q17 decorrelated as a window: lineitem is scanned ONCE (the
+    agg+self-join form would scan it twice)."""
+    p = _plan(Q.q_part_small_quantity(spark, SF))
+    assert p.count("lineitem.parquet") == 1
+
+
+def test_exploded_extract_uses_hash_agg_not_window_sort(spark):
+    """Reassembly is hash-agg collect_list + per-doc array_sort, not a
+    whole-partition window sort (spill hazard at scale)."""
+    from cloud_ocr_summarizer_spark.datagen import derive_spans_from_documents
+    from cloud_ocr_summarizer_spark.operators.extract import (
+        extract_spans_exploded,
+    )
+
+    docs = derive_spans_from_documents(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    p = _plan(extract_spans_exploded(docs))
+    assert "ObjectHashAggregate" in p
+    assert "Window" not in p
+
+
+def test_knn_ivf_centroids_take_ordered_not_full_sort(spark, Q):
+    """The fixed centroid budget uses a limit (per-partition top-k), and
+    the corpus side of the candidate join is not broadcast (the QUERY
+    probes are the broadcast side)."""
+    p = _plan(Q.q_knn_ivf(spark, SF))
+    assert "Limit" in p or "TakeOrdered" in p
+
+
+def test_sample_mix_is_pure_filter(spark, Q):
+    p = _plan(Q.q_sample_mix(spark, SF))
+    assert "Exchange" not in p and "Join" not in p

@@ -57,3 +57,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS items_bucketed")
+
+
+def test_write_clustered_files_have_disjoint_key_ranges(spark, tmp_path):
+    """Data-skipping contract: every output file covers a tight,
+    non-overlapping key interval (verified from the parquet footers a
+    reader's pruning would actually use)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cloud_ocr_summarizer_spark.sources.layout import write_clustered
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "clustered")
+    write_clustered(events, out, by="user_id", n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "user_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # actually split across files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint intervals -> point lookup prunes to 1 file

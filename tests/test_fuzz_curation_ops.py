@@ -1,0 +1,116 @@
+"""Seeded-random fuzz: the round-2 curation operators vs pure-Python
+models (same style as the language-ID / repetition fuzz suites — the
+synthetic driver corpus exercises only a narrow slice of inputs)."""
+
+import hashlib
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _h31(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % 2147483647
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return random.Random(123)
+
+
+def test_redact_pii_fuzz_vs_python(spark, rng):
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    pieces = [
+        "plain", "words", "a.b@c.de", "x@y.io", "555-123-4567", "12-34",
+        "1.2.3.4", "999.999.999.999", "not@an", "@@", "a@b.c", "end.",
+        "10.0.0.1:8080", "u+tag@d-e.org", "123-456-7890x", "",
+    ]
+    rows = []
+    for i in range(300):
+        t = " ".join(rng.choices(pieces, k=rng.randrange(0, 10)))
+        rows.append((i, t if rng.random() > 0.05 else None))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def py_model(text):
+        out = text
+        counts = []
+        for _, pattern, token in PII_PATTERNS:
+            counts.append(len(re.findall(pattern, out)))
+            out = re.sub(pattern, token, out)
+        return (out, *counts)
+
+    got = {
+        r["doc_id"]: (r["redacted"], r["n_email"], r["n_phone"], r["n_ipv4"])
+        for r in redact_pii(df).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert got[i][0] is None
+            continue
+        assert got[i] == py_model(t), (i, t)
+
+
+def test_pack_sequences_fuzz_vs_python(spark, rng):
+    from cloud_ocr_summarizer_spark.operators.sampling import pack_sequences
+
+    rows = [(i, rng.randrange(1, 300)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    budget, n_buckets = 100, 16
+
+    got = {
+        r["doc_id"]: (r["bucket"], r["bin_id"], r["fill_pos"])
+        for r in pack_sequences(df, budget=budget, n_buckets=n_buckets).collect()
+    }
+
+    buckets = {}
+    for i, nt in rows:
+        h = _h31(f"pack:{i}")
+        buckets.setdefault(h % n_buckets, []).append((h, i, nt))
+    want = {}
+    for b, members in buckets.items():
+        members.sort()
+        cum = 0
+        for _, i, nt in members:
+            want[i] = (b, cum // budget, cum)
+            cum += nt
+    assert got == want
+
+
+def test_ngram_contamination_fuzz_vs_python(spark, rng):
+    from cloud_ocr_summarizer_spark.operators.dedup import ngram_contamination
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    corpus_rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(0, 9))))
+        for i in range(200)
+    ]
+    bench_rows = [
+        (1000 + i, " ".join(rng.choices(vocab, k=rng.randrange(2, 7))))
+        for i in range(20)
+    ]
+    n = 2
+
+    def grams(text):
+        w = text.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for _, t in bench_rows))
+    want = {}
+    for i, t in corpus_rows:
+        g = grams(t)
+        if g:
+            hits = len(g & bench_grams)
+            want[i] = (len(g), hits, hits > 0)
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in ngram_contamination(corpus, bench, n=n).collect()
+    }
+    assert got == want

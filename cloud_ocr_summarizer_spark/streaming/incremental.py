@@ -70,3 +70,77 @@ def start_incremental_extract(
         .outputMode("append")
         .start()
     )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def start_incremental_curation_gates(
+    spark: SparkSession,
+    *,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    min_quality: int = 3000,
+) -> StreamingQuery:
+    """Streaming twin of the STATELESS curation stages: quality gate,
+    repetition gate, PII redaction, and split assignment run under
+    Structured Streaming with no watermark and no state store — every
+    stage here is a row-local expression (the batch repetition_profile
+    aggregates, so the stream uses an equivalent ROW-LOCAL form over the
+    in-row word array: same flag semantics, no shuffle).  The stateFUL
+    stages (dedup) stay batch-incremental by design: cross-row duplicate
+    detection over an unbounded stream needs the snapshot/anti-join path
+    (sources/checkpoint.py) or the applyInPandasWithState
+    first-occurrence dedup in streaming/stateful.py.
+    """
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.functions.hashing import hash_split_col
+    from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        PII_PATTERNS,
+        quality_score_col,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    gated = stream.filter(quality_score_col(F.col("text")) >= min_quality)
+
+    # row-local repetition flag (same semantics as textstats.repetition_profile)
+    words = whitespace_tokens_col(F.lower(F.col("text")))
+    n = F.size(words)
+    distinct = F.array_distinct(words)
+    uniq = F.size(distinct)
+    top = F.array_max(
+        F.transform(distinct, lambda w: F.size(F.filter(words, lambda x: x == w)))
+    )
+    flagged = (n >= 10) & (
+        (F.floor(10000 * top / n) > 3000) | (F.floor(10000 * uniq / n) < 3000)
+    )
+    kept = gated.filter(~F.coalesce(flagged, F.lit(False)))
+
+    redacted = F.col("text")
+    for _, pattern, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pattern, token)
+    out = (
+        kept.withColumn("text", redacted)
+        .withColumn("split", hash_split_col(F.col("doc_id")))
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )

@@ -251,3 +251,62 @@ def test_streaming_cdc_apply(spark, tmp_path):
     # re-drain with nothing new: state unchanged (idempotent)
     drain()
     assert {r["k"]: r["v"] for r in read_current(spark, state).collect()} == got
+
+
+def test_streaming_curation_gates_match_batch(spark, tmp_path):
+    """The stateless curation gates run under Structured Streaming
+    (AvailableNow) and produce the same kept set + redacted text + split
+    as the equivalent batch expressions; a second drain after more files
+    land processes only the new files (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.functions.hashing import hash_split_col
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        quality_score_col,
+        redact_pii,
+        repetition_profile,
+    )
+    from cloud_ocr_summarizer_spark.streaming.incremental import (
+        start_incremental_curation_gates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source",
+        F.concat(F.col("text"), F.lit(" ping me at u"),
+                 F.col("doc_id").cast("string"), F.lit("@mail.org")).alias("text"),
+    )
+    in_dir = str(tmp_path / "in")
+    docs.limit(300).write.mode("overwrite").parquet(in_dir)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = start_incremental_curation_gates(
+        spark, input_dir=in_dir, output_dir=out_dir, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["text"], r["split"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch model: same gates via the batch operators
+    first = docs.limit(300)
+    gated = first.filter(quality_score_col(F.col("text")) >= 3000)
+    rep = repetition_profile(first).filter("flagged").select("doc_id")
+    kept = gated.join(rep, "doc_id", "left_anti")
+    model = kept.join(
+        redact_pii(kept).select("doc_id", "redacted"), "doc_id"
+    ).withColumn("split", hash_split_col(F.col("doc_id")))
+    want = {
+        r["doc_id"]: (r["redacted"], r["split"]) for r in model.collect()
+    }
+    assert got == want
+    assert all("@" not in t for t, _ in got.values())  # PII actually scrubbed
+
+    # drain again with no new files: nothing re-emitted
+    n_before = len(got)
+    q2 = start_incremental_curation_gates(
+        spark, input_dir=in_dir, output_dir=out_dir, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_before

@@ -41,8 +41,53 @@ from cloud_ocr_summarizer_spark.session import get_spark  # noqa: E402
 
 N_LIGHT = 50_000
 N_MEGA = 8
-MEGA_SPANS = 150_000
+import sys as _sys
+MEGA_SPANS = int(_sys.argv[1]) if len(_sys.argv) > 1 else 150_000
+# simulated per-span parse cost (vectorized hash rounds) — 0 models the
+# engine's own lightweight extraction; >0 models real OCR/DOM parsing
+# where per-span work dominates (the reference's actual regime)
+WORK = int(_sys.argv[2]) if len(_sys.argv) > 2 else 0
 CHUNK = 2048
+
+
+def _with_work(extract_fn, work):
+    """Wrap the arrow-native extractor with vectorized busy work that
+    costs O(spans_in_this_task * work) — a faithful stand-in for an
+    expensive per-span parser running INSIDE the doc-level stage."""
+    if not work:
+        return extract_fn
+
+    import numpy as np
+    import pyarrow as pa
+
+    from cloud_ocr_summarizer_spark.operators import extract_arrow_native as EAN
+    from pyspark.sql import types as T
+
+    def wrapped(df):
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", df.schema["doc_id"].dataType),
+                T.StructField("seq", T.IntegerType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("media_ref", T.StringType()),
+                T.StructField("offset", T.IntegerType()),
+            ]
+        )
+
+        def run(batches):
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                out = EAN._extract_record_batch(rb, 0.0, 10 * 1024 * 1024)
+                x = np.arange(out.num_rows, dtype=np.uint64)
+                for _ in range(work):
+                    x = x * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+                yield out
+
+        return df.mapInArrow(run, schema=schema)
+
+    return wrapped
 
 
 def _force(df) -> None:
@@ -50,7 +95,7 @@ def _force(df) -> None:
 
 
 def build_corpus(spark, base: str) -> str:
-    path = os.path.join(base, "skew_corpus.parquet")
+    path = os.path.join(base, f"skew_corpus_{MEGA_SPANS}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     light = interleaved_docs(spark, N_LIGHT, seed=42, skew=False)
@@ -87,13 +132,15 @@ def main() -> int:
     spark = get_spark(app_name="bench-skew")
     corpus = spark.read.parquet(build_corpus(spark, cache_base))
 
+    extract = _with_work(extract_span_rows_arrow_native, WORK)
+
     def naive():
         df = corpus.repartition(32, "doc_id")
-        _force(extract_span_rows_arrow_native(df))
+        _force(extract(df))
 
     def split():
         chunked = split_heavy_docs(corpus, max_spans_per_chunk=CHUNK)
-        rows = extract_span_rows_arrow_native(
+        rows = extract(
             chunked.repartition(32, "doc_id", "chunk_id").select("doc_id", "spans")
         )
         w = Window.partitionBy("doc_id").orderBy("offset", "seq")
@@ -113,6 +160,7 @@ def main() -> int:
         "n_light": N_LIGHT,
         "n_mega": N_MEGA,
         "mega_spans": MEGA_SPANS,
+        "work": WORK,
         "chunk": CHUNK,
         **timings,
         "speedup": round(timings["naive_sec"] / timings["split_sec"], 2),

@@ -608,6 +608,38 @@ WHERE (l_suppkey * 37 + l_partkey * 11) % 100 > 0.5 * qty
 GROUP BY s_suppkey, s_name
 """
 
+# Multiset set operators: EXCEPT ALL / INTERSECT ALL preserve multiplicity.
+ORACLES["segments_setops_all"] = r"""
+WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
+     purchases AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+     surplus AS (
+       SELECT user_id, count(*) AS n_click_surplus
+       FROM (SELECT user_id FROM clicks EXCEPT ALL SELECT user_id FROM purchases)
+       GROUP BY user_id),
+     matched AS (
+       SELECT user_id, count(*) AS n_matched
+       FROM (SELECT user_id FROM clicks INTERSECT ALL SELECT user_id FROM purchases)
+       GROUP BY user_id)
+SELECT coalesce(s.user_id, m.user_id) AS user_id,
+       coalesce(n_click_surplus, 0) AS n_click_surplus,
+       coalesce(n_matched, 0) AS n_matched
+FROM surplus s FULL OUTER JOIN matched m ON s.user_id = m.user_id
+"""
+
+# Null-safe equality join: NULL keys match each other.
+ORACLES["null_safe_join"] = r"""
+WITH keyed AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 <> 0 THEN event_id % 5 END AS k
+  FROM events)
+SELECT a.k, count(*) AS n_pairs,
+       count(DISTINCT b.event_id) AS n_purchases
+FROM (SELECT * FROM keyed WHERE event_type = 'click') a
+JOIN (SELECT * FROM keyed WHERE event_type = 'purchase') b
+  ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+"""
+
 # RANGE-frame window: trailing hour by event time.
 ORACLES["events_trailing_hour"] = r"""
 SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -1536,6 +1536,48 @@ def q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segments_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operators (EXCEPT ALL / INTERSECT ALL): unlike the
+    distinct forms in user_segments_setops, these preserve MULTIPLICITY
+    (a user with 3 clicks and 1 purchase keeps 2 click_surplus rows) —
+    a different physical operator (Expand/aggregate-based replication)."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    surplus = clicks.exceptAll(purchases).groupBy("user_id").agg(
+        F.count("*").alias("n_click_surplus")
+    )
+    matched = clicks.intersectAll(purchases).groupBy("user_id").agg(
+        F.count("*").alias("n_matched")
+    )
+    return surplus.join(matched, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_click_surplus", F.lit(0)).alias("n_click_surplus"),
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+    )
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics CDC/merge pipelines need for
+    nullable business keys (a plain = join silently drops them)."""
+    ev = _read(spark, sf_dir, "events")
+    # nullable derived key: every 7th event carries NULL
+    keyed = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) != 0,
+               F.pmod(F.col("event_id"), F.lit(5))).alias("k"),
+    )
+    a = keyed.filter(F.col("event_type") == "click").alias("a")
+    b = keyed.filter(F.col("event_type") == "purchase").alias("b")
+    j = a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+    return j.groupBy(F.col("a.k").alias("k")).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct(F.col("b.event_id")).alias("n_purchases"),
+    )
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: the 20 most frequent lowercase
     tokens.  Canonical wordcount shape — explode, map-side partial agg,
@@ -1571,6 +1613,8 @@ BATCH_6 = {
     "excess_parts_suppliers": q_excess_parts_suppliers,
     "top_terms": q_top_terms,
     "events_trailing_hour": q_events_trailing_hour,
+    "segments_setops_all": q_segments_setops_all,
+    "null_safe_join": q_null_safe_join,
     "dedup_simhash_checked": q_dedup_simhash_checked,
     "kmv_distinct_users": q_kmv_distinct_users,
     "orders_grouping_sets": q_orders_grouping_sets,

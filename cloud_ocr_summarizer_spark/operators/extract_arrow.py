@@ -155,8 +155,11 @@ def _with_geometry(out: pd.DataFrame) -> pd.DataFrame:
             out[c] = pd.Series([], dtype="float64")
         return out
     seq = out["seq"].to_numpy(dtype=np.int64)
-    d = out["doc_id"].to_numpy()
-    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    # run boundaries = where seq restarts at 1: seq is per INPUT ROW
+    # (doc_idx), so this matches the JVM twin even when adjacent input
+    # rows carry the SAME doc_id (grouping on doc_id values would merge
+    # those rows into one band — wrong n)
+    starts = np.flatnonzero(seq == 1)
     counts = np.diff(np.r_[starts, len(out)])
     n = np.repeat(counts, counts).astype(np.float64)
     is_media = pd.notna(out["media_ref"].to_numpy(dtype=object))

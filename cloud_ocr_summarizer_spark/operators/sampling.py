@@ -47,19 +47,21 @@ def hash_sample(
         md5_hash31_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         F.lit(1_000_000),
     )
+    # round, don't truncate: int(0.29 * 1e6) is 289999 (binary float), a
+    # silent off-by-one vs any decimal-arithmetic SQL mirror of the rate
+    to_thr = lambda frac: F.lit(int(round(frac * 1_000_000)))  # noqa: E731
     if fractions is not None:
         if stratum_col is None:
             raise ValueError("fractions requires stratum_col")
         rate = None
         for name, frac in fractions.items():
-            thr = F.lit(int(frac * 1_000_000))
-            branch = F.when(F.col(stratum_col) == name, thr)
+            branch = F.when(F.col(stratum_col) == name, to_thr(frac))
             rate = branch if rate is None else rate.when(
-                F.col(stratum_col) == name, thr
+                F.col(stratum_col) == name, to_thr(frac)
             )
         rate = rate.otherwise(F.lit(0))
     elif fraction is not None:
-        rate = F.lit(int(fraction * 1_000_000))
+        rate = to_thr(fraction)
     else:
         raise ValueError("pass fraction or fractions")
     return df.filter(bucket < rate)

@@ -122,6 +122,13 @@ def curate_documents_full(
     runs on the deduped set (fewer docs to gram-join), redaction after
     the gates (quality scores see the original text), packing last (bins
     reflect the final kept set).
+
+    The curated core is persisted before the self-referencing stages:
+    decontamination anti-joins ``kept`` against grams OF ``kept``, and
+    packing joins the output back on doc_id — without the persist each
+    side of those joins would re-execute the whole dedup cascade.
+    Redaction is applied as an in-place regexp chain (row-local), never
+    a join.
     """
     from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
     from cloud_ocr_summarizer_spark.operators.dedup import ngram_contamination
@@ -129,9 +136,9 @@ def curate_documents_full(
         hash_sample,
         pack_sequences,
     )
-    from cloud_ocr_summarizer_spark.operators.textstats import redact_pii
+    from cloud_ocr_summarizer_spark.operators.textstats import PII_PATTERNS
 
-    kept = curate_documents(docs, **curate_kwargs)
+    kept = curate_documents(docs, **curate_kwargs).persist()
 
     if benchmark is not None:
         contaminated = (
@@ -141,12 +148,10 @@ def curate_documents_full(
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
 
-    redacted = redact_pii(kept).select("doc_id", "redacted")
-    kept = (
-        kept.drop("text")
-        .join(redacted, "doc_id")
-        .withColumnRenamed("redacted", "text")
-    )
+    redacted = F.col("text")
+    for _, pattern, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pattern, token)
+    kept = kept.withColumn("text", redacted)
 
     if mix_fractions is not None:
         kept = hash_sample(kept, stratum_col="source", fractions=mix_fractions)
@@ -159,6 +164,7 @@ def curate_documents_full(
         F.size(whitespace_tokens_col(F.col("text"))).alias("n_tokens"),
     )
     if pack_budget is not None:
+        out = out.persist()
         packed = pack_sequences(
             out.select("doc_id", "n_tokens"), budget=pack_budget
         ).drop("n_tokens")

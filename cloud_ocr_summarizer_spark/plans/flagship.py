@@ -44,6 +44,8 @@ def run_flagship(
     repartition_to: int | None = None,
     min_confidence: float = 0.0,
     sink=None,
+    raw_debug_sink=None,
+    lineage_sink=None,
 ) -> FlagshipResult:
     """Extract all pending documents, commit one snapshot + lineage rows.
 
@@ -53,11 +55,11 @@ def run_flagship(
     the docs processed this run are committed to a second SnapshotSink
     under the same run_id; when None (the default), nothing is written.
 
-    ``sink`` injects any object with the SnapshotSink surface
-    (append/read_committed/...): pass
+    ``sink`` / ``raw_debug_sink`` / ``lineage_sink`` inject any object
+    with the SnapshotSink surface (append/read_committed/...): pass
     ``sources.iceberg.IcebergSnapshotSink("cat.db.tbl")`` on a real
-    Iceberg deployment; defaults to the parquet stand-in at
-    ``output_root``.
+    Iceberg deployment — ALL THREE outputs take the swap, not just the
+    main one; each defaults to the parquet stand-in at its *_root path.
     """
     run_id = uuid.uuid4().hex
     sink = sink if sink is not None else SnapshotSink(output_root)
@@ -75,18 +77,24 @@ def run_flagship(
         return FlagshipResult(run_id=run_id, snapshot_id=None, docs_written=0)
 
     snapshot_id = sink.append(extracted, run_id=run_id)
-    if raw_debug_root:
+    if raw_debug_root or raw_debug_sink is not None:
         # debug capture of the raw input spans for THIS run's doc set
         # (left_semi against the committed output keeps it exactly the
         # processed docs even though `todo` re-executes lazily here)
         raw = input_df.join(
             extracted.select("doc_id"), on="doc_id", how="left_semi"
         )
-        SnapshotSink(raw_debug_root).append(raw, run_id=run_id)
-    if lineage_root:
+        rsink = raw_debug_sink if raw_debug_sink is not None else SnapshotSink(
+            raw_debug_root
+        )
+        rsink.append(raw, run_id=run_id)
+    if lineage_root or lineage_sink is not None:
         metrics = timed_partition_metrics(
             extracted, run_id=run_id, snapshot_id=snapshot_id
         )
-        SnapshotSink(lineage_root).append(metrics, run_id=run_id)
+        lsink = lineage_sink if lineage_sink is not None else SnapshotSink(
+            lineage_root
+        )
+        lsink.append(metrics, run_id=run_id)
     extracted.unpersist()
     return FlagshipResult(run_id=run_id, snapshot_id=snapshot_id, docs_written=docs)

@@ -1531,6 +1531,10 @@ def q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ts_us",
             F.count("*").over(w).alias("n_trailing_hour"),
+            # value is a plain 2-decimal column (verified on the testdata):
+            # per the header convention, round(sum(...), 2) of 2-decimal
+            # values is safe — ulp noise stays ~1e-9 from a boundary.
+            # Only multi-decimal PRODUCTS need the integer-cents form.
             F.round(F.sum("value").over(w), 2).alias("value_trailing_hour"),
         )
     )

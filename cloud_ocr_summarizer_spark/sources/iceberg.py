@@ -60,16 +60,19 @@ class IcebergSnapshotSink:
 
         The Iceberg commit is atomic: a killed job never exposes partial
         output (same invariant the parquet stand-in gets from its
-        manifest rename).  ``run_id`` lands in the snapshot summary via a
-        write option so lineage rows can join back to the table history.
+        manifest rename).  ``run_id`` (generated when not supplied) lands
+        in the snapshot summary, and the committed snapshot is resolved
+        BY that run_id — not by "latest committed_at", which returns the
+        wrong id under concurrent writers or same-millisecond commits.
         """
-        writer = df.writeTo(self.table)
-        if run_id:
-            writer = writer.option("snapshot-property.run_id", run_id)
-        writer.append()
+        import uuid as _uuid
+
+        rid = run_id or _uuid.uuid4().hex
+        df.writeTo(self.table).option("snapshot-property.run_id", rid).append()
         spark = df.sparkSession
         row = spark.sql(
             f"SELECT snapshot_id FROM {self.table}.snapshots "
+            f"WHERE summary['run_id'] = '{rid}' "
             "ORDER BY committed_at DESC LIMIT 1"
         ).first()
         return int(row["snapshot_id"])
@@ -106,12 +109,23 @@ class IcebergSnapshotSink:
         self, spark: SparkSession, *, keep_last: int = 1, catalog: str | None = None
     ) -> None:
         """Small-file compaction + history expiry via Iceberg procedures
-        (the stand-in's compact_snapshots analogue)."""
+        (the stand-in's compact_snapshots analogue).
+
+        ``older_than`` is pinned to NOW: without it Iceberg only expires
+        snapshots past its 5-day default, so keep_last would silently
+        retain every recent snapshot instead of mirroring the stand-in's
+        immediate-merge semantics.
+        """
+        from datetime import datetime, timezone
+
         cat = catalog or self.table.split(".")[0]
         spark.sql(
             f"CALL {cat}.system.rewrite_data_files(table => '{self.table}')"
         )
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
         spark.sql(
             f"CALL {cat}.system.expire_snapshots("
-            f"table => '{self.table}', retain_last => {int(keep_last)})"
+            f"table => '{self.table}', "
+            f"older_than => TIMESTAMP '{now}', "
+            f"retain_last => {int(keep_last)})"
         )

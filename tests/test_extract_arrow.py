@@ -214,3 +214,36 @@ def test_select_primary_language_semantics(spark):
         3: ("ja", True),
         4: ("fr", False),
     }
+
+
+def test_bbox_geometry_duplicate_doc_ids(spark):
+    """Regression: adjacent input rows sharing a doc_id must keep their
+    OWN y-bands (per input row, like the JVM twin) — grouping on doc_id
+    values merged them into one band and broke the tiling invariant."""
+    from cloud_ocr_summarizer_spark.operators.extract import extract_span_rows
+    from cloud_ocr_summarizer_spark.operators.extract_arrow import (
+        extract_span_rows_arrow,
+    )
+
+    span = lambda off, t: ("TEXT", t, None, off)  # noqa: E731
+    rows = [
+        (7, [span(0, "a"), span(1, "b")]),
+        (7, [span(0, "c")]),          # SAME doc_id, next row
+        (8, [span(0, "d"), span(1, "e"), span(2, "f")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    ).coalesce(1)  # one batch: adjacent rows
+    jvm = sorted(
+        (r["text"], r["bbox"][0]["y"], r["bbox"][2]["y"])
+        for r in extract_span_rows(df, include_bounding_boxes=True).collect()
+    )
+    arrow = sorted(
+        (r["text"], r["y0"], r["y1"])
+        for r in extract_span_rows_arrow(df, include_bounding_boxes=True).collect()
+    )
+    assert jvm == arrow
+    # per-row bands: the single-span second row spans the full page
+    assert ("c", 0.0, 1.0) in arrow

@@ -194,18 +194,8 @@ stream (at 10^9 queries it is noise).  On structureless uniform-random
 vectors the same setup measures recall@{K} = 0.37 — the coarse
 quantizer's documented worst case.
 """
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(path, encoding="utf-8") as f:
-        md = f.read()
-    if header in md:
-        start = md.index(header)
-        nxt = md.find("\n## ", start + len(header))
-        end = nxt + 1 if nxt != -1 else len(md)
-        md = md[:start] + section + "\n" + md[end:]
-    else:
-        md = md.rstrip("\n") + "\n\n" + section
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(md)
+    from tools.mdsection import replace_section
+    replace_section(os.path.join(REPO, "BENCH", "BASELINE.md"), header, section)
     return 0
 
 

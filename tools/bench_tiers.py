@@ -73,18 +73,8 @@ def main() -> int:
 
     # replace this tool's own section in place (appending blindly
     # duplicated the table in rounds 1 and 2); other sections untouched
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(path, encoding="utf-8") as f:
-        md = f.read()
-    if header in md:
-        start = md.index(header)
-        nxt = md.find("\n## ", start + len(header))
-        end = nxt + 1 if nxt != -1 else len(md)
-        md = md[:start] + section + "\n" + md[end:]
-    else:
-        md = md.rstrip("\n") + "\n\n" + section
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(md)
+    from tools.mdsection import replace_section
+    replace_section(os.path.join(REPO, "BENCH", "BASELINE.md"), header, section)
     return 0
 
 

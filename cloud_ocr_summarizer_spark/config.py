@@ -70,6 +70,13 @@ DEFAULT_LANGUAGE_JA = "ja"
 # --- batching ---------------------------------------------------------------
 # Reference: max_pages_per_request=5 (settings.py:90), batch_size=10
 # (settings.py:100).  In Spark these become Arrow batch sizing knobs.
+# Round-2 A/B note: a SEQUENTIAL sweep (2048..32768, ascending) showed a
+# ~30% "win" for bigger batches, but INTERLEAVED A/Bs in two sessions
+# (alternating 2048/8192, both orders) measure 2048 at 1.41-1.53 s vs
+# 8192 at 1.50-1.83 s on 1M docs — the sequential result was host-drift,
+# not amortization.  Keep 2048: no measured benefit above it, and batch
+# memory scales with spans (a span-heavy batch of 8k rows is 4x the
+# footprint).  Always interleave batch-size A/Bs on this host.
 ARROW_MAX_RECORDS_PER_BATCH = 2048
 
 # --- skew handling ----------------------------------------------------------

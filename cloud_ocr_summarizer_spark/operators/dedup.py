@@ -66,6 +66,23 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _distinct_gram_stream(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    block_col: str | None,
+    n: int,
+) -> DataFrame:
+    """(id[, blk], gram): one row per distinct word n-gram per doc —
+    shared by the Jaccard join and the gram-df cap-drop audit."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+        F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -89,12 +106,11 @@ def ngram_jaccard_pairs(
     gram sizes, so jaccard is computed consistently over the rare-gram
     sets (near-dups keep sharing plenty of rare grams; what the cap
     removes is corpus-wide boilerplate that carries no dedup signal —
-    standard MinHash-era practice).  ``None`` disables the cap.
+    standard MinHash-era practice).  ``None`` disables the cap.  Dropped
+    grams are observable via ``ngram_gram_df_drop_audit``.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram"),
+    grams = _distinct_gram_stream(
+        df, id_col=id_col, text_col=text_col, block_col=block_col, n=n
     )
     join_keys = ["gram"] + (["blk"] if block_col else [])
     # Materialize the gram stream behind one exchange: `grams` feeds the
@@ -361,6 +377,49 @@ def _affine_band_bucket(sig: Column, band: Column, rows_per_band: int) -> Column
     )
 
 
+def _lsh_banded(
+    base: DataFrame,
+    sig_udf,
+    bucket_fn,
+    *,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """base(id, grams) -> (id, band, bucket): signature + banded bucket
+    keys.  Shared by the pair expansion AND the cap-drop audit so the two
+    can never diverge on what lands in a bucket."""
+    rows_per_band = num_hashes // bands
+    sig = base.select("id", sig_udf(F.col("grams")).alias("sig"))
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    bucket_fn(F.col("sig"), b, rows_per_band).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _cap_drop_summary(
+    sizes: DataFrame, *, cap_name: str, cap: int, size_col: str = "bsz"
+) -> DataFrame:
+    """Group-size frame -> ONE row (cap_name, cap_value, dropped_groups,
+    dropped_rows): how many groups exceed the cap and how many member rows
+    they carried.  coalesce(0) so a cap that never fires still yields an
+    explicit zero row — silence is the failure mode being fixed."""
+    over = sizes.filter(F.col(size_col) > cap)
+    return over.agg(
+        F.lit(cap_name).alias("cap_name"),
+        F.lit(cap).cast("int").alias("cap_value"),
+        F.coalesce(F.count("*"), F.lit(0)).alias("dropped_groups"),
+        F.coalesce(F.sum(size_col), F.lit(0)).cast("long").alias("dropped_rows"),
+    )
+
+
 def _lsh_pairs_from_base(
     base: DataFrame,
     sig_udf,
@@ -380,21 +439,12 @@ def _lsh_pairs_from_base(
     on 10^10 pairs.  Buckets above the cap are dropped (their members are
     mass-duplicates that exact dedup catches far cheaper — run
     exact_duplicates first, as plans/curate.py does).  ``None`` disables.
+    Dropped buckets are observable via ``lsh_bucket_drop_audit`` (same
+    banding stage, aggregated over-cap counts).
     """
-    rows_per_band = num_hashes // bands
-    sig = base.select("id", sig_udf(F.col("grams")).alias("sig"))
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.cast("int").alias("band"),
-                    bucket_fn(F.col("sig"), b, rows_per_band).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _lsh_banded(
+        base, sig_udf, bucket_fn, num_hashes=num_hashes, bands=bands
+    )
 
     buckets = (
         banded.groupBy("band", "bucket")
@@ -433,6 +483,28 @@ def _lsh_pairs_from_base(
     )
 
 
+def _checked_minhash_base(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    parallelism: int | None,
+) -> DataFrame:
+    """(id, grams) base for the md5/affine LSH family — shared by the
+    pair expansion and the cap-drop audit."""
+    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par)  # spread the CPU-heavy gram stage
+        .select(
+            F.col(id_col).alias("id"),
+            md5_gram_hashes_col(F.col(text_col), n).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+        .repartition(par, "id")  # ReuseExchange materialization point
+    )
+
+
 def minhash_lsh_pairs_checked(
     df: DataFrame,
     *,
@@ -450,15 +522,8 @@ def minhash_lsh_pairs_checked(
     (plans/oracles.py "dedup_minhash_checked", which mirrors the
     ``max_bucket_size`` cap).  Marginally slower than minhash_lsh_pairs
     (md5 vs xxhash64 gram hashing); same semantics."""
-    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.repartition(par)  # spread the CPU-heavy gram stage
-        .select(
-            F.col(id_col).alias("id"),
-            md5_gram_hashes_col(F.col(text_col), n).alias("grams"),
-        )
-        .filter(F.size("grams") > 0)
-        .repartition(par, "id")  # ReuseExchange materialization point
+    base = _checked_minhash_base(
+        df, id_col=id_col, text_col=text_col, n=n, parallelism=parallelism
     )
     return _lsh_pairs_from_base(
         base,
@@ -622,23 +687,11 @@ def simhash_near_pairs(
     )
 
 
-def _simhash_pairs_from_fp(
-    fp: DataFrame,
-    *,
-    bits: int,
-    bands: int,
-    max_hamming: int,
-    max_bucket_size: int | None = 4096,
-) -> DataFrame:
-    """(id, bits) fingerprints -> (id_a, id_b, hamming) near pairs via
-    banded exact-block matching (one shuffle on (band, bucket)).
-
-    ``max_bucket_size`` drops degenerate hot buckets before the in-bucket
-    self-join (a bucket of k docs is k^2 join rows in one task); it also
-    prunes singleton buckets from the join input.  Mass-identical docs
-    belong to exact dedup, not here — see _lsh_pairs_from_base."""
+def _simhash_banded(fp: DataFrame, *, bits: int, bands: int) -> DataFrame:
+    """(id, bits) -> (id, bits, band, bucket): block-prefix bucket keys.
+    Shared by the pair join and the cap-drop audit."""
     block = bits // bands
-    banded = fp.select(
+    return fp.select(
         "id",
         "bits",
         F.explode(
@@ -654,7 +707,28 @@ def _simhash_pairs_from_fp(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "bits", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "id", "bits", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _simhash_pairs_from_fp(
+    fp: DataFrame,
+    *,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """(id, bits) fingerprints -> (id_a, id_b, hamming) near pairs via
+    banded exact-block matching (one shuffle on (band, bucket)).
+
+    ``max_bucket_size`` drops degenerate hot buckets before the in-bucket
+    self-join (a bucket of k docs is k^2 join rows in one task); it also
+    prunes singleton buckets from the join input.  Mass-identical docs
+    belong to exact dedup, not here — see _lsh_pairs_from_base.  Dropped
+    buckets are observable via ``simhash_bucket_drop_audit``."""
+    banded = _simhash_banded(fp, bits=bits, bands=bands)
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("band", "bucket")
@@ -691,6 +765,20 @@ def md5_word_hashes_col(text: Column) -> Column:
     return F.transform(whitespace_tokens_col(text), md5_hash31_col)
 
 
+def _checked_simhash_fp(
+    df: DataFrame, *, id_col: str, text_col: str, bits: int, bands: int
+) -> DataFrame:
+    """(id, bits) fingerprints for the cross-engine md5 SimHash family —
+    shared by the pair join and the cap-drop audit."""
+    if bits % bands or bits >= 31:
+        raise ValueError("bits must be < 31 and divisible by bands")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        md5_word_hashes_col(F.col(text_col)).alias("wh"),
+    ).filter(F.size("wh") > 0)
+    return base.select("id", _simhash_pandas(bits)(F.col("wh")).alias("bits"))
+
+
 def simhash_near_pairs_checked(
     df: DataFrame,
     *,
@@ -711,13 +799,7 @@ def simhash_near_pairs_checked(
     fingerprints on the vectorized pandas path, one shuffle on
     (band, bucket), Hamming verified only inside buckets.
     """
-    if bits % bands or bits >= 31:
-        raise ValueError("bits must be < 31 and divisible by bands")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        md5_word_hashes_col(F.col(text_col)).alias("wh"),
-    ).filter(F.size("wh") > 0)
-    fp = base.select("id", _simhash_pandas(bits)(F.col("wh")).alias("bits"))
+    fp = _checked_simhash_fp(df, id_col=id_col, text_col=text_col, bits=bits, bands=bands)
     return _simhash_pairs_from_fp(
         fp, bits=bits, bands=bands, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
@@ -771,4 +853,91 @@ def ngram_contamination(
             "n_hit_grams",
             (F.col("n_hit_grams") > 0).alias("contaminated"),
         )
+    )
+
+
+# --- cap-drop observability ----------------------------------------------
+# Every cap above (gram-df, LSH bucket, SimHash bucket) silently discards
+# data when it fires; at 10^12 docs the caps WILL fire, and a curation run
+# that skipped the most-duplicated content must be distinguishable from one
+# that didn't.  Each audit reuses the exact stage the cap filters (shared
+# helpers — the audit cannot diverge from the operator) and returns ONE row
+# (cap_name, cap_value, dropped_groups, dropped_rows).  plans/curate.py
+# unions them into the ``curation_audit`` query; lineage is the natural
+# sink in a deployed run.
+
+
+def ngram_gram_df_drop_audit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    max_gram_df: int = 256,
+) -> DataFrame:
+    """How much the ``max_gram_df`` cap of ``ngram_jaccard_pairs`` drops:
+    groups = distinct over-cap grams, rows = (doc, gram) pairs removed."""
+    grams = _distinct_gram_stream(
+        df, id_col=id_col, text_col=text_col, block_col=block_col, n=n
+    )
+    join_keys = ["gram"] + (["blk"] if block_col else [])
+    sizes = grams.groupBy(*join_keys).agg(F.count("*").alias("bsz"))
+    return _cap_drop_summary(
+        sizes, cap_name="ngram_gram_df", cap=max_gram_df
+    )
+
+
+def lsh_bucket_drop_audit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 4096,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """How much the ``max_bucket_size`` cap of
+    ``minhash_lsh_pairs_checked`` drops: groups = over-cap (band, bucket)
+    pairs, rows = doc memberships they carried (a doc in two hot buckets
+    counts twice — that is what the pair expansion would have seen).
+    Uses the md5/affine family so a DuckDB oracle value-checks the counts;
+    the xxhash production variant shares the banding code path."""
+    base = _checked_minhash_base(
+        df, id_col=id_col, text_col=text_col, n=n, parallelism=parallelism
+    )
+    banded = _lsh_banded(
+        base,
+        _sig_pandas_affine(num_hashes),
+        _affine_band_bucket,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    return _cap_drop_summary(
+        sizes, cap_name="minhash_lsh_bucket", cap=max_bucket_size
+    )
+
+
+def simhash_bucket_drop_audit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 24,
+    bands: int = 4,
+    max_bucket_size: int = 4096,
+) -> DataFrame:
+    """How much the ``max_bucket_size`` cap of
+    ``simhash_near_pairs_checked`` drops (same accounting as
+    ``lsh_bucket_drop_audit``)."""
+    fp = _checked_simhash_fp(
+        df, id_col=id_col, text_col=text_col, bits=bits, bands=bands
+    )
+    banded = _simhash_banded(fp, bits=bits, bands=bands)
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    return _cap_drop_summary(
+        sizes, cap_name="simhash_bucket", cap=max_bucket_size
     )

@@ -53,6 +53,11 @@ def hash_sample(
     if fractions is not None:
         if stratum_col is None:
             raise ValueError("fractions requires stratum_col")
+        # {} would leave the when-chain empty (rate=None -> AttributeError);
+        # the documented "missing strata are dropped" contract makes the
+        # all-drop intent of {} ambiguous enough to reject loudly instead.
+        if not fractions:
+            raise ValueError("fractions must name at least one stratum")
         rate = None
         for name, frac in fractions.items():
             branch = F.when(F.col(stratum_col) == name, to_thr(frac))

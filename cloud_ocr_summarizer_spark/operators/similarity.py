@@ -155,10 +155,20 @@ def kmeans_refine_centroids(
 
     Each iteration: assign every vector to its nearest centroid (broadcast
     join + rank-1 window) then recompute each centroid as the element-wise
-    mean of its members (posexplode -> groupBy(cluster, dim) -> avg ->
+    mean of its members (posexplode -> groupBy(cluster, dim) -> mean ->
     re-assemble).  Empty clusters keep their previous centroid.  All
     shuffles are on (cluster[, dim]) — small keys; the corpus is scanned
     ``iterations`` times, never collected.
+
+    Determinism contract: the mean is computed over components quantized
+    to 10^-6 fixed point and the result is re-quantized to 10^-6 — so the
+    per-cluster reduction is an exact INTEGER sum, identical in any
+    engine and any summation order.  Bound: |component| <= 128 keeps
+    |v*10^6| < 2^27, so 2^63 overflows only past ~6*10^10 members per
+    (cluster, dim) — far beyond any real cluster; the only doubles are
+    one correctly-rounded division and one +0.5/floor, both functions of
+    exactly-equal integers.  A float (24-bit mantissa) centroid loses
+    more precision than the 10^-6 quantization for |m| > ~2.
     """
     current = centroids
     for _ in range(iterations):
@@ -172,9 +182,15 @@ def kmeans_refine_centroids(
         dims = members.select(
             "cluster", F.posexplode(F.col("emb")).alias("dim", "v")
         )
+        mean6 = F.floor(
+            F.sum(F.round(F.col("v").cast("double") * 1e6).cast("long"))
+            .cast("double")
+            / F.count("*")
+            + F.lit(0.5)
+        ).cast("long")
         means = (
             dims.groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg((mean6 / 1e6).alias("m"))
             .groupBy("cluster")
             .agg(
                 F.transform(
@@ -273,7 +289,8 @@ def embedding_near_dup_pairs(
     block (one label covering the corpus) would pin a task on O(k^2)
     work.  Blocks above the cap are skipped — split such blocks with a
     finer key (e.g. LSH bucket of the embedding) before calling this.
-    ``None`` disables.
+    ``None`` disables.  Skipped blocks are observable via
+    ``embedding_block_drop_audit``.
     """
     src = df
     if max_block_size is not None:
@@ -303,4 +320,22 @@ def embedding_near_dup_pairs(
             F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_block_drop_audit(
+    df: DataFrame,
+    *,
+    block_col: str = "label",
+    max_block_size: int = 65536,
+) -> DataFrame:
+    """How much the ``max_block_size`` cap of ``embedding_near_dup_pairs``
+    skips: ONE row (cap_name, cap_value, dropped_groups, dropped_rows) —
+    over-cap blocks and the vectors they held.  Same group-by the operator
+    filters on, so the accounting cannot diverge from the cap."""
+    from cloud_ocr_summarizer_spark.operators.dedup import _cap_drop_summary
+
+    sizes = df.groupBy(F.col(block_col)).agg(F.count("*").alias("bsz"))
+    return _cap_drop_summary(
+        sizes, cap_name="embedding_block", cap=max_block_size
     )

@@ -106,6 +106,7 @@ def curate_documents_full(
     contamination_n: int = 8,
     mix_fractions: dict[str, float] | None = None,
     pack_budget: int | None = 2048,
+    persisted: list | None = None,
     **curate_kwargs,
 ) -> DataFrame:
     """The full pretraining-data pipeline around ``curate_documents``:
@@ -129,6 +130,12 @@ def curate_documents_full(
     side of those joins would re-execute the whole dedup cascade.
     Redaction is applied as an in-place regexp chain (row-local), never
     a join.
+
+    The cached frames outlive this function by design (the returned
+    DataFrame's plan references them).  Pass ``persisted=[]`` to receive
+    them and call ``.unpersist()`` after your terminal action — otherwise
+    they stay cached for the session (fine for one-shot jobs, a leak in a
+    long-lived service looping over corpora).
     """
     from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
     from cloud_ocr_summarizer_spark.operators.dedup import ngram_contamination
@@ -139,6 +146,8 @@ def curate_documents_full(
     from cloud_ocr_summarizer_spark.operators.textstats import PII_PATTERNS
 
     kept = curate_documents(docs, **curate_kwargs).persist()
+    if persisted is not None:
+        persisted.append(kept)
 
     if benchmark is not None:
         contaminated = (
@@ -165,8 +174,82 @@ def curate_documents_full(
     )
     if pack_budget is not None:
         out = out.persist()
+        if persisted is not None:
+            persisted.append(out)
         packed = pack_sequences(
             out.select("doc_id", "n_tokens"), budget=pack_budget
         ).drop("n_tokens")
         out = out.join(packed, "doc_id")
+    return out
+
+
+def curation_cap_audit(
+    docs: DataFrame,
+    *,
+    embeddings: DataFrame | None = None,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 4096,
+    max_gram_df: int = 256,
+    simhash_bits: int = 24,
+    simhash_bands: int = 4,
+    simhash_max_bucket_size: int | None = None,
+    embedding_block_col: str = "label",
+    max_block_size: int = 65536,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Drop accounting for every silent cap in the curation/dedup layer.
+
+    One row per cap — (cap_name, cap_value, dropped_groups, dropped_rows)
+    — including explicit zeros when a cap never fired: at 10^12 docs the
+    caps WILL fire, and a run that silently skipped the most-duplicated
+    content must be distinguishable from one that didn't.  Run it
+    alongside ``curate_documents_full`` with the SAME cap parameters and
+    sink the rows next to the lineage table.  Each audit reuses the exact
+    stage its cap filters (shared helpers in operators/dedup.py), so the
+    accounting cannot diverge from the operator.
+    """
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        lsh_bucket_drop_audit,
+        ngram_gram_df_drop_audit,
+        simhash_bucket_drop_audit,
+    )
+
+    audits = [
+        ngram_gram_df_drop_audit(docs, n=n, max_gram_df=max_gram_df),
+        lsh_bucket_drop_audit(
+            docs,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket_size=max_bucket_size,
+            parallelism=parallelism,
+        ),
+        simhash_bucket_drop_audit(
+            docs,
+            bits=simhash_bits,
+            bands=simhash_bands,
+            max_bucket_size=(
+                max_bucket_size
+                if simhash_max_bucket_size is None
+                else simhash_max_bucket_size
+            ),
+        ),
+    ]
+    if embeddings is not None:
+        from cloud_ocr_summarizer_spark.operators.similarity import (
+            embedding_block_drop_audit,
+        )
+
+        audits.append(
+            embedding_block_drop_audit(
+                embeddings,
+                block_col=embedding_block_col,
+                max_block_size=max_block_size,
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
     return out

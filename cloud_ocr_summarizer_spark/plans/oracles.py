@@ -1058,8 +1058,11 @@ WHERE rk <= 5
 
 # IVF ANN with ONE Lloyd refinement iteration — mirrors
 # operators/similarity.kmeans_refine_centroids: rank-1 assignment on
-# cosine rounded to 6, per-dim double mean cast to FLOAT (absorbs
-# engine summation-order ulp noise), empty clusters keep their seed.
+# cosine rounded to 6; the per-dim mean is an EXACT integer sum of
+# 10^-6-quantized components re-quantized via floor(sum/count + 0.5)
+# (cross-engine equality is exact integer arithmetic, not ulp luck —
+# the bound is proven in the operator docstring); empty clusters keep
+# their seed.
 ORACLES["knn_ivf_refined"] = r"""
 WITH q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE vec_id < 10),
@@ -1084,7 +1087,10 @@ WITH q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
        FROM asg a JOIN c ON c.id = a.id, unnest(range(len(c.e))) AS t(i)),
      means AS (
        SELECT cluster, list(CAST(m AS FLOAT) ORDER BY dim) AS new_ce
-       FROM (SELECT cluster, dim, avg(v) AS m FROM dims GROUP BY 1, 2)
+       FROM (SELECT cluster, dim,
+                    floor(CAST(sum(CAST(round(v * 1e6) AS BIGINT)) AS DOUBLE)
+                          / count(*) + 0.5) / 1e6 AS m
+             FROM dims GROUP BY 1, 2)
        GROUP BY cluster),
      ref AS (
        SELECT cen.cluster,
@@ -1587,4 +1593,86 @@ WHERE n1.n_name <> n2.n_name
   AND l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1, 2, 3
+"""
+
+
+# Cap-drop audit: mirrors plans/curate.curation_cap_audit with the tight
+# test-scale caps of queries.q_curation_audit (minhash bucket > 2, gram
+# df > 4, simhash(30,5) bucket > 16, embedding label block > 52).  Each
+# branch replays the SAME stage its cap filters — grams/signature/banding
+# CTEs are identical to the dedup_* oracles above.
+ORACLES["curation_audit"] = r"""
+WITH wordsrc AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), gramstr AS (
+  SELECT id, unnest(list_distinct(list_transform(range(greatest(len(words)-2, 0)),
+      i -> array_to_string(words[i+1 : i+3], ' ')))) AS gram
+  FROM wordsrc
+), gramsz AS (
+  SELECT gram, count(*) AS bsz FROM gramstr GROUP BY 1
+), mh_base AS (
+  SELECT id, grams FROM (
+    SELECT id, list_distinct(list_transform(range(greatest(len(words) - 2, 0)),
+        i -> ('0x' || substr(md5(array_to_string(words[i+1 : i+3], ' ')), 1, 14))::BIGINT
+             % 2147483647)) AS grams
+    FROM wordsrc)
+  WHERE len(grams) > 0
+), mh_sig AS (
+  SELECT id,
+         list_transform(range(32), h ->
+           list_min(list_transform(grams, g ->
+             ((((2654435761 * (h + 1)) % 2147483647) | 1) * g
+              + (40503 * (h + 7)) % 2147483647) % 2147483647))) AS sig
+  FROM mh_base
+), mh_banded AS (
+  SELECT id, unnest(list_transform(range(8), b -> struct_pack(
+      band := CAST(b AS INT),
+      bucket := list_reduce(
+        list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+        (acc, x) -> (acc * 131 + x) % 2147483647)))) AS bb
+  FROM mh_sig
+), mh_sz AS (
+  SELECT bb.band AS band, bb.bucket AS bucket, count(*) AS bsz
+  FROM mh_banded GROUP BY 1, 2
+), sh_base AS (
+  SELECT id, list_transform(words, w ->
+      ('0x' || substr(md5(w), 1, 14))::BIGINT % 2147483647) AS wh
+  FROM wordsrc WHERE len(words) > 0
+), sh_fp AS (
+  SELECT id, list_transform(range(30), b ->
+      CASE WHEN list_sum(list_transform(wh, h ->
+          CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      THEN 1 ELSE 0 END) AS bits
+  FROM sh_base
+), sh_banded AS (
+  SELECT id, unnest(list_transform(range(5), b -> struct_pack(
+      band := CAST(b AS INT),
+      bucket := list_reduce(
+        list_prepend(CAST(0 AS BIGINT), bits[b*6+1 : b*6+6]),
+        (acc, x) -> acc * 2 + x)))) AS bb
+  FROM sh_fp
+), sh_sz AS (
+  SELECT bb.band AS band, bb.bucket AS bucket, count(*) AS bsz
+  FROM sh_banded GROUP BY 1, 2
+), emb_sz AS (
+  SELECT label, count(*) AS bsz FROM embeddings GROUP BY 1
+)
+SELECT 'ngram_gram_df' AS cap_name, CAST(4 AS INT) AS cap_value,
+       CAST(count(*) AS BIGINT) AS dropped_groups,
+       CAST(coalesce(sum(bsz), 0) AS BIGINT) AS dropped_rows
+FROM gramsz WHERE bsz > 4
+UNION ALL
+SELECT 'minhash_lsh_bucket', CAST(2 AS INT),
+       CAST(count(*) AS BIGINT), CAST(coalesce(sum(bsz), 0) AS BIGINT)
+FROM mh_sz WHERE bsz > 2
+UNION ALL
+SELECT 'simhash_bucket', CAST(16 AS INT),
+       CAST(count(*) AS BIGINT), CAST(coalesce(sum(bsz), 0) AS BIGINT)
+FROM sh_sz WHERE bsz > 16
+UNION ALL
+SELECT 'embedding_block', CAST(52 AS INT),
+       CAST(count(*) AS BIGINT), CAST(coalesce(sum(bsz), 0) AS BIGINT)
+FROM emb_sz WHERE bsz > 52
 """

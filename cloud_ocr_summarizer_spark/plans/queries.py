@@ -1605,7 +1605,33 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(_read(spark, sf_dir, "documents"))
 
 
+def q_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-drop observability (VERDICT r2 "silent cap drops"): one row per
+    dedup/ANN cap — (cap_name, cap_value, dropped_groups, dropped_rows).
+    Caps here are deliberately TIGHT so every cap actually fires at test
+    scale and the DuckDB twin value-checks nonzero drop accounting; the
+    production defaults (4096/256/65536) fire only on degenerate mass-dup
+    corpora, which tests/test_dedup.py covers synthetically."""
+    from cloud_ocr_summarizer_spark.plans.curate import curation_cap_audit
+
+    return curation_cap_audit(
+        _read(spark, sf_dir, "documents"),
+        embeddings=_read(spark, sf_dir, "embeddings"),
+        n=3,
+        num_hashes=32,
+        bands=8,
+        max_bucket_size=2,
+        max_gram_df=4,
+        simhash_bits=30,
+        simhash_bands=5,
+        simhash_max_bucket_size=16,
+        max_block_size=52,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 BATCH_6 = {
+    "curation_audit": q_curation_audit,
     "decontaminate": q_decontaminate,
     "pii_redaction": q_pii_redaction,
     "sample_mix": q_sample_mix,

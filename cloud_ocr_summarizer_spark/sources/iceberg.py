@@ -28,7 +28,16 @@ any sink object with this surface (``run_flagship(sink=...)``).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Catalog-qualified identifier: dot-separated plain parts.  Snapshot-id
+# resolution and the maintenance procedures interpolate the table name
+# into SQL strings, so anything outside this shape is rejected up front
+# rather than quoted ad hoc per call site.
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+_RUN_ID_RE = re.compile(r"^[A-Za-z0-9_-]+$")
 
 
 class IcebergSnapshotSink:
@@ -40,6 +49,8 @@ class IcebergSnapshotSink:
     """
 
     def __init__(self, table: str) -> None:
+        if not _IDENT_RE.match(table):
+            raise ValueError(f"unsafe Iceberg table identifier: {table!r}")
         self.table = table
 
     # -- capability gate ----------------------------------------------------
@@ -68,6 +79,9 @@ class IcebergSnapshotSink:
         import uuid as _uuid
 
         rid = run_id or _uuid.uuid4().hex
+        if not _RUN_ID_RE.match(rid):
+            # rid is interpolated into the snapshot-lookup SQL below
+            raise ValueError(f"run_id must be [A-Za-z0-9_-]+, got {rid!r}")
         df.writeTo(self.table).option("snapshot-property.run_id", rid).append()
         spark = df.sparkSession
         row = spark.sql(
@@ -96,13 +110,27 @@ class IcebergSnapshotSink:
     def read_since(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
         """Incremental read of rows appended strictly after ``snapshot_id``
         (Iceberg incremental scan; raises if the start snapshot has been
-        expired — Iceberg's native analogue of min_readable_id)."""
-        df = (
+        expired — Iceberg's native analogue of min_readable_id).
+
+        The scan is pinned to the CURRENT snapshot as its end: without an
+        ``end-snapshot-id`` the window is open-ended, so two reads of the
+        same cursor could return different rows as new commits land —
+        diverging from the parquet stand-in's fixed-snapshot-set
+        semantics.  Callers advance their cursor to the returned window's
+        end, not to "whatever is latest at read time".
+        """
+        end_row = spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        if end_row is None or int(end_row["snapshot_id"]) == int(snapshot_id):
+            return None  # nothing committed after the cursor
+        return (
             spark.read.format("iceberg")
-            .option("start-snapshot-id", str(snapshot_id))
+            .option("start-snapshot-id", str(int(snapshot_id)))
+            .option("end-snapshot-id", str(int(end_row["snapshot_id"])))
             .load(self.table)
         )
-        return df
 
     # -- maintenance --------------------------------------------------------
     def compact_snapshots(

@@ -65,6 +65,7 @@ def main() -> int:
         neardup_threshold=args.neardup_threshold,
         parallelism=spark.sparkContext.defaultParallelism,
     )
+    persisted: list = []
     if args.benchmark or args.redact_pii or args.pack_budget:
         # full pipeline: decontam / scrub / packing around the same core
         # (redaction always runs in the full variant; --redact-pii just
@@ -77,11 +78,14 @@ def main() -> int:
             contamination_n=args.contamination_n,
             mix_fractions=None,
             pack_budget=args.pack_budget,
+            persisted=persisted,
             **core_kwargs,
         )
     else:
         curated = curate_documents(docs, **core_kwargs)
     curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    for df in persisted:  # release the pipeline's cached partitions
+        df.unpersist()
 
     out = spark.read.parquet(args.output)
     stats = {

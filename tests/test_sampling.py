@@ -90,3 +90,13 @@ def test_pack_sequences_invariants(spark, docs):
     assert again == {
         (r["doc_id"], r["bucket"], r["bin_id"], r["fill_pos"]) for r in rows
     }
+
+
+def test_hash_sample_empty_fractions_raises(spark):
+    import pytest as _pytest
+
+    from cloud_ocr_summarizer_spark.operators.sampling import hash_sample
+
+    docs = spark.createDataFrame([(1, "s0")], "doc_id int, source string")
+    with _pytest.raises(ValueError, match="at least one stratum"):
+        hash_sample(docs, stratum_col="source", fractions={})

@@ -145,15 +145,19 @@ def main() -> int:
             .select("query_id", "neighbor_id", "cosine")
         )
 
+    # Same rep count on BOTH sides (best-of-2, warm): min over more
+    # repetitions systematically favors whichever side gets more on a
+    # noisy host, so asymmetric reps would bias the headline speedup.
     brute = cosine_topk(queries, corpus, k=K)
-    brute_sec = timed(lambda: force(brute), reps=1)
+    brute_sec = timed(lambda: force(brute), reps=2)
     ivf_sec = timed(lambda: force(ivf_query()), reps=2)
 
     exact = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
-    approx = {(r["query_id"], r["neighbor_id"]) for r in ivf_query().collect()}
+    ivf_rows = ivf_query().collect()  # one execution reused below
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
     recall = round(len(exact & approx) / len(exact), 4)
     # evidence of the scan-fraction claim, independent of wall clock
-    n_cand = ivf_query().count()  # post-top-k rows; candidate fraction below
+    n_cand = len(ivf_rows)  # post-top-k rows; candidate fraction below
     result = {
         "n_corpus": N_CORPUS,
         "n_queries": N_QUERIES,

@@ -81,14 +81,21 @@ def _with_shipped(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Batch order rotates per round so that EVERY query eventually gets a
+    value-checked row in a committed CORRECTNESS_r*.json, not just a
+    fixed prefix (the sweep checks a bounded number per round).  Rounds
+    1-2 banked green rows for BATCH_1/UDF/2/3/4 and most of BATCH_5;
+    round 3 leads with the never-yet-checked queries — BATCH_6 (the
+    curation/relational additions) and BATCH_5's tail — per VERDICT r2
+    item 1.  The full map is identical either way; tests/check_oracles
+    cover all entries every round regardless of order.
+    """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # Order matters: the driver's correctness sweep may cap how many
-    # queries it value-checks, so the engine's core (flagship + Arrow
-    # extraction twins + main-content classifier + media plumbing) goes
-    # first, then the relational/dedup/ANN layers, then the long tail.
-    out.update(_queries.BATCH_1)
-    for extra in ("BATCH_UDF", "BATCH_2", "BATCH_3", "BATCH_4", "BATCH_5", "BATCH_6"):
+    out.update(getattr(_queries, "BATCH_6", {}))
+    out.update({"events_daily": _queries.q_events_daily})
+    for extra in ("BATCH_1", "BATCH_UDF", "BATCH_2", "BATCH_3", "BATCH_4", "BATCH_5"):
         out.update(getattr(_queries, extra, {}))
     return {name: _with_shipped(fn) for name, fn in out.items()}
 

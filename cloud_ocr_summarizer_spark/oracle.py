@@ -229,3 +229,40 @@ def structure_stats(spans: list[dict[str, Any]]) -> dict[str, Any]:
         "avg_confidence": (sum(confidences) / len(confidences)) if confidences else 0.0,
         "languages": sorted(langs),
     }
+
+
+def deep_tree_blocks(doc_id, pages) -> list[tuple]:
+    """Pure-Python reference walk of the 4-level deep tree — the executable
+    spec for operators/deeptree.py, transcribed from the reference's nested
+    loops (vision_processor.py:226-269; _process_block :279-326,
+    _process_paragraph :328-364, _process_word :366-402):
+
+    * word = ''.join(symbols)                      (:393-400)
+    * paragraph = ' '-concat of words, .strip()    (:356-363)
+    * block = '\n'-concat of paragraphs, .strip()  (:316-325)
+    * page_number / block_seq = 1-based arrival order (:241)
+
+    Returns [(doc_id, page_number, block_seq, kind, text), ...].
+    """
+    out = []
+    for page_idx, page in enumerate(pages or []):
+        for block_idx, block in enumerate(page.get("blocks") or []):
+            block_text = ""
+            for para in block.get("paragraphs") or []:
+                para_text = ""
+                for word in para.get("words") or []:
+                    word_text = ""
+                    for symbol in word.get("symbols") or []:
+                        word_text += symbol          # :396-400
+                    para_text += word_text + " "     # :356-361
+                block_text += para_text.strip() + "\n"  # :363, :316-323
+            out.append(
+                (
+                    doc_id,
+                    page_idx + 1,
+                    block_idx + 1,
+                    block.get("block_type"),
+                    block_text.strip(),              # :325
+                )
+            )
+    return out

@@ -1676,3 +1676,37 @@ SELECT 'embedding_block', CAST(52 AS INT),
        CAST(count(*) AS BIGINT), CAST(coalesce(sum(bsz), 0) AS BIGINT)
 FROM emb_sz WHERE bsz > 52
 """
+
+
+# Deep-tree flatten — mirrors operators/deeptree.py end to end: the
+# deriver's fan-out (4 words/paragraph, 3 paragraphs/block, 2 blocks/
+# page; symbols = word characters, so bottom-up assembly reconstructs
+# the words) composed with the extractor's output shape.  Tokens carry
+# no edge whitespace, so the strip points are no-ops here (they are
+# exercised adversarially in tests/test_deeptree.py).
+ORACLES["extract_deep_tree"] = r"""
+WITH wordsrc AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), sized AS (
+  SELECT doc_id, words, len(words) AS nw,
+         CAST(ceil(len(words) / 4.0) AS INT) AS nparas
+  FROM wordsrc WHERE len(words) > 0
+), blocks AS (
+  SELECT doc_id, words, nparas,
+         unnest(range(CAST(ceil(nparas / 3.0) AS INT))) AS b
+  FROM sized
+)
+SELECT doc_id,
+       CAST(b // 2 + 1 AS INT) AS page_number,
+       CAST(b % 2 + 1 AS INT) AS block_seq,
+       CASE WHEN (doc_id * 13 + b) % 7 = 3 THEN 'TABLE' ELSE 'TEXT' END AS kind,
+       array_to_string(
+         list_transform(range(b * 3, least(b * 3 + 3, nparas)),
+           p -> array_to_string(words[p * 4 + 1 : p * 4 + 4], ' ')),
+         chr(10)) AS text
+FROM blocks
+"""
+
+ORACLES["extract_deep_tree_arrow"] = ORACLES["extract_deep_tree"]

@@ -1630,8 +1630,37 @@ def q_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_deep_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-tree flatten (SURVEY E1's 4-level case, vision_processor.py
+    :226-269): derive a pages->blocks->paragraphs->words->symbols tree
+    from documents, flatten via chained posexplode, assemble text
+    bottom-up with the exact ''/' '/'\\n'+strip separators."""
+    from cloud_ocr_summarizer_spark.operators.deeptree import (
+        derive_deep_tree_from_documents,
+        extract_deep_tree,
+    )
+
+    return extract_deep_tree(
+        derive_deep_tree_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+def q_extract_deep_tree_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow twin of extract_deep_tree — same rows, one Arrow pass."""
+    from cloud_ocr_summarizer_spark.operators.deeptree import (
+        derive_deep_tree_from_documents,
+        extract_deep_tree_arrow,
+    )
+
+    return extract_deep_tree_arrow(
+        derive_deep_tree_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
 BATCH_6 = {
     "curation_audit": q_curation_audit,
+    "extract_deep_tree": q_extract_deep_tree,
+    "extract_deep_tree_arrow": q_extract_deep_tree_arrow,
     "decontaminate": q_decontaminate,
     "pii_redaction": q_pii_redaction,
     "sample_mix": q_sample_mix,

@@ -1529,15 +1529,23 @@ FROM documents d LEFT JOIN prof p ON d.doc_id = p.doc_id
 
 # BINARY payload plumbing twin: payload = unhex(md5(ref)) (16 bytes),
 # first byte = first two hex chars of the md5.
+# Mirrors multimodal.synth_image_payload_col + parse_image_dimensions:
+# the engine ENCODES w/h into real PNG/JPEG headers and DECODES them back
+# with a struct-only parser; the oracle recomputes the encoded values, so
+# a mismatch means the decoder misread actual container bytes.  n_bytes:
+# PNG sig+IHDR = 33, JPEG SOI+APP0+SOF0+EOI = 41, unknown md5 blob = 16.
 ORACLES["media_payload_features"] = SPANS_CTE + r"""
 SELECT doc_id, media_ref,
-       CAST(16 AS INT) AS n_bytes,
-       CAST(('0x' || substr(md5(media_ref), 1, 2))::BIGINT AS INT)
-         AS first_byte,
-       CAST(64 + (7 * ('0x' || substr(md5(media_ref), 1, 2))::BIGINT) % 512
-         AS INT) AS width,
-       CAST(64 + (11 * ('0x' || substr(md5(media_ref), 1, 2))::BIGINT) % 512
-         AS INT) AS height
+       CAST(CASE WHEN media_ref LIKE '%.png' THEN 33
+                 WHEN media_ref LIKE '%.jpg' THEN 41
+                 ELSE 16 END AS INT) AS n_bytes,
+       CASE WHEN media_ref LIKE '%.png' THEN 'png'
+            WHEN media_ref LIKE '%.jpg' THEN 'jpeg'
+            ELSE 'unknown' END AS format,
+       CAST(CASE WHEN media_ref LIKE '%.png' OR media_ref LIKE '%.jpg'
+                 THEN 16 + (7 * strlen(media_ref)) % 496 END AS INT) AS width,
+       CAST(CASE WHEN media_ref LIKE '%.png' OR media_ref LIKE '%.jpg'
+                 THEN 16 + (11 * strlen(media_ref)) % 496 END AS INT) AS height
 FROM __spans
 WHERE media_ref IS NOT NULL
 """

@@ -60,23 +60,69 @@ def test_frame_samples_small_frame_counts(spark):
     assert sorted(by_ref["r16"]) == [0, 4, 8, 12]
 
 
-def test_media_payload_binary_roundtrip(spark):
-    """The BINARY payload must arrive in pandas as real bytes: first_byte
-    equals the first byte of md5(ref)."""
-    import hashlib
-
+def test_media_payload_real_decode_roundtrip(spark):
+    """End-to-end real decode: valid PNG/JPEG headers synthesized JVM-side,
+    shipped as BINARY through Arrow, parsed back with the struct-only
+    container parser; unknown containers yield NULL dims, never fakes."""
     from cloud_ocr_summarizer_spark.operators.multimodal import (
         media_payload_features,
     )
 
     rows = spark.createDataFrame(
-        [(1, "gs://b/x.png"), (1, None)], "doc_id long, media_ref string"
+        [(1, "gs://b/x.png"), (1, "gs://b/y.jpg"), (1, "gs://b/z.bin"), (1, None)],
+        "doc_id long, media_ref string",
     )
-    got = media_payload_features(rows).collect()
-    assert len(got) == 1  # null media_ref filtered
-    r = got[0]
-    digest = hashlib.md5(b"gs://b/x.png").digest()
-    assert r["n_bytes"] == 16
-    assert r["first_byte"] == digest[0]
-    assert r["width"] == 64 + (7 * digest[0]) % 512
-    assert r["height"] == 64 + (11 * digest[0]) % 512
+    got = {r["media_ref"]: r for r in media_payload_features(rows).collect()}
+    assert len(got) == 3  # null media_ref filtered
+    png = got["gs://b/x.png"]
+    n = len("gs://b/x.png")
+    assert (png["format"], png["n_bytes"]) == ("png", 33)
+    assert (png["width"], png["height"]) == (16 + 7 * n % 496, 16 + 11 * n % 496)
+    jpg = got["gs://b/y.jpg"]
+    n = len("gs://b/y.jpg")
+    assert (jpg["format"], jpg["n_bytes"]) == ("jpeg", 41)
+    assert (jpg["width"], jpg["height"]) == (16 + 7 * n % 496, 16 + 11 * n % 496)
+    unk = got["gs://b/z.bin"]
+    assert (unk["format"], unk["n_bytes"]) == ("unknown", 16)
+    assert unk["width"] is None and unk["height"] is None
+
+
+def test_parse_image_dimensions_real_files():
+    """The parser reads REAL encoder output, not just our synthesized
+    headers: a 5x3 PNG from zlib-only encoding and a JPEG with multiple
+    leading segments before its SOF0 (the marker scan must skip them)."""
+    import struct
+    import zlib
+
+    from cloud_ocr_summarizer_spark.operators.multimodal import (
+        parse_image_dimensions,
+    )
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    raw = b"".join(b"\x00" + b"\x00\x00\x00" * 5 for _ in range(3))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert parse_image_dimensions(png) == ("png", 5, 3)
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x10" * 64  # DQT
+        + b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x00\x00"          # DHT (not SOF!)
+        + b"\xff\xc2" + struct.pack(">H", 11)                            # progressive SOF2
+        + b"\x08" + struct.pack(">HH", 77, 123) + b"\x01\x11\x00"
+    )
+    assert parse_image_dimensions(jpeg) == ("jpeg", 123, 77)
+    assert parse_image_dimensions(b"\x00\x01\x02") is None
+    assert parse_image_dimensions(b"\xff\xd8\xff\xd9") is None  # no SOF

@@ -49,6 +49,45 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
     )
 
 
+def purchase_click_left_join(
+    clicks: DataFrame, purchases: DataFrame, *, max_delay: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER twin of ``click_purchase_join`` with purchases as the
+    preserved side: every purchase emits, null-padded click columns when
+    no click preceded it within ``max_delay``.
+
+    In streaming mode the unmatched rows are emitted only once the
+    click-side WATERMARK passes the purchase's join window (the state
+    store must prove no matching click can still arrive) — so a purchase
+    with no clicks surfaces one watermark-advance later, not in the
+    micro-batch that read it.  That delay is the correctness price of
+    null-padding under out-of-order input; the test drives it by draining
+    twice with newer events in between.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {max_delay}
+            """
+        ),
+        "left_outer",
+    )
+
+
 def start_click_purchase_join(
     spark: SparkSession,
     *,
@@ -58,9 +97,11 @@ def start_click_purchase_join(
     checkpoint_dir: str,
     max_delay: str = "1 hour",
     late_threshold: str = "30 minutes",
+    join_type: str = "inner",
 ) -> StreamingQuery:
     """AvailableNow drain of the watermarked stream-stream join into an
-    exactly-once parquet sink."""
+    exactly-once parquet sink.  ``join_type``: "inner" (default) or
+    "left_outer" (purchases preserved, see purchase_click_left_join)."""
 
     def src(d: str) -> DataFrame:
         return (
@@ -70,9 +111,11 @@ def start_click_purchase_join(
             .withWatermark("ts", late_threshold)
         )
 
-    joined = click_purchase_join(
-        src(clicks_dir), src(purchases_dir), max_delay=max_delay
-    )
+    join_fn = {
+        "inner": click_purchase_join,
+        "left_outer": purchase_click_left_join,
+    }[join_type]
+    joined = join_fn(src(clicks_dir), src(purchases_dir), max_delay=max_delay)
     return (
         joined.writeStream.format("parquet")
         .option("path", output_dir)

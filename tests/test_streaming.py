@@ -310,3 +310,83 @@ def test_streaming_curation_gates_match_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_stream_stream_left_outer_null_padding(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a purchase with no preceding click
+    must eventually emit with NULL click columns — but only after the
+    click-side watermark proves no match can still arrive.  Drain 1 reads
+    the data (unmatched row held in state); drain 2, after newer clicks
+    advance the watermark, flushes it null-padded.  Final output equals
+    the batch left join on the on-time input."""
+    import datetime as dt
+
+    from cloud_ocr_summarizer_spark.streaming.join import (
+        purchase_click_left_join,
+        start_click_purchase_join,
+    )
+    from cloud_ocr_summarizer_spark.streaming.windowed import EVENT_SCHEMA
+
+    cdir = str(tmp_path / "clicks")
+    pdir = str(tmp_path / "purch")
+    out = str(tmp_path / "joined")
+    ck = str(tmp_path / "ckj")
+
+    def ev(i, user, hour, minute, etype, value=1.0):
+        return (i, dt.datetime(2026, 1, 1, hour, minute), user, etype, value)
+
+    clicks = [
+        ev(1, 7, 10, 0, "click"),
+        ev(2, 7, 10, 50, "click"),
+        ev(4, 7, 8, 0, "click"),  # > 1h before the purchase: no match
+    ]
+    purchases = [
+        ev(100, 7, 11, 0, "purchase", 42.0),
+        ev(101, 9, 11, 0, "purchase", 5.0),  # user with no clicks at all
+    ]
+    cdf = spark.createDataFrame(clicks, EVENT_SCHEMA)
+    pdf = spark.createDataFrame(purchases, EVENT_SCHEMA)
+    cdf.coalesce(1).write.parquet(cdir)
+    pdf.coalesce(1).write.parquet(pdir)
+
+    def drain():
+        q = start_click_purchase_join(
+            spark, clicks_dir=cdir, purchases_dir=pdir,
+            output_dir=out, checkpoint_dir=ck, join_type="left_outer",
+        )
+        q.awaitTermination(120)
+
+    drain()
+    matched_now = {
+        r["purchase_id"]
+        for r in spark.read.parquet(out).collect()
+        if r["click_id"] is not None
+    }
+    assert matched_now == {100}  # inner matches emit in drain 1
+
+    # Newer events on BOTH sides push the GLOBAL watermark (Spark takes
+    # the min across sources) past 11:00, so state for purchase 101 is
+    # provably unmatched -> null-padded emit.  Two cycles: the watermark
+    # computed at the END of one drain is what the NEXT drain evicts-and-
+    # emits against — streaming watermarks always apply one micro-batch
+    # later.  Flush users (1 clicks / 2 purchases) never join.
+    for i, hour in enumerate((14, 15)):
+        spark.createDataFrame(
+            [ev(900 + i, 1, hour, 0, "click")], EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(cdir)
+        spark.createDataFrame(
+            [ev(950 + i, 2, hour, 0, "purchase")], EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(pdir)
+        drain()
+
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+        if r["purchase_id"] in (100, 101)  # flush purchases may still sit in state
+    )
+    expected = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in purchase_click_left_join(cdf, pdf).collect()
+    )
+    assert got == expected
+    assert (101, None) in got  # the null-padded unmatched purchase

@@ -138,7 +138,7 @@ def curate_documents_full(
     long-lived service looping over corpora).
     """
     from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
-    from cloud_ocr_summarizer_spark.operators.dedup import ngram_contamination
+    from cloud_ocr_summarizer_spark.operators.dedup import contaminated_doc_ids
     from cloud_ocr_summarizer_spark.operators.sampling import (
         hash_sample,
         pack_sequences,
@@ -150,10 +150,15 @@ def curate_documents_full(
         persisted.append(kept)
 
     if benchmark is not None:
-        contaminated = (
-            ngram_contamination(kept, benchmark, n=contamination_n)
-            .filter("contaminated")
-            .select("doc_id")
+        # membership-only decontamination: identical contaminated set to
+        # ngram_contamination (any shared n-gram; membership equality
+        # verified at 10^6 docs) but non-hit grams die at the broadcast
+        # semi-join probe instead of flowing into a per-doc statistics
+        # aggregate.  Wall is explode-scan-bound so the gain is small
+        # (~2% at 10^6, interleaved A/B); the real win is state — no
+        # hash-agg over every (doc, gram) group, only the rare hit ids.
+        contaminated = contaminated_doc_ids(
+            kept, benchmark, n=contamination_n
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
 

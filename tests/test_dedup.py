@@ -422,3 +422,20 @@ def test_cap_audit_zero_when_cap_not_hit(spark, corpus):
     row = lsh_bucket_drop_audit(corpus, max_bucket_size=4096).collect()[0]
     # explicit zero row, never an empty frame — silence was the bug
     assert row["dropped_groups"] == 0 and row["dropped_rows"] == 0
+
+
+def test_contaminated_doc_ids_matches_stats_form(spark, corpus):
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        contaminated_doc_ids,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame([(0, NEAR)], "doc_id int, text string")
+    stats = {
+        r["doc_id"]
+        for r in ngram_contamination(corpus, bench, n=3)
+        .filter("contaminated")
+        .collect()
+    }
+    fast = {r["doc_id"] for r in contaminated_doc_ids(corpus, bench, n=3).collect()}
+    assert fast == stats and stats  # same membership, non-empty here

@@ -974,3 +974,78 @@ def contaminated_doc_ids(
         F.explode(word_ngrams_col(F.col(bench_text_col), n)).alias("gram")
     ).distinct()
     return cg.join(F.broadcast(bg), "gram", "left_semi").select(id_col).distinct()
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup pair edges (id_a, id_b) -> (doc_id, cluster_id): connected
+    components, cluster_id = the MIN doc id in each component.
+
+    Pair mining alone under-deduplicates chains: A~B and B~C pairs make
+    {A,B,C} one duplicate cluster even when (A,C) never co-bucketed.
+    Spark-first iterative min-label propagation (the simplified
+    small-star step of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): each round every node takes the
+    min label among itself and its neighbors — labels converge to the
+    component minimum in at most graph-diameter rounds (near-dup
+    components are shallow; 20 rounds covers diameter-20 chains, far
+    beyond real dup clusters).  Per round: one join edges x labels + one
+    min-aggregate, both shuffling on node ids; the driver-side loop only
+    reads a scalar convergence count (the standard iterative-fixpoint
+    pattern — no row data ever reaches the driver).  Early-exits when a
+    round changes nothing.
+
+    Each round's labels are localCheckpoint()ed: an iterative plan that
+    references its own previous iteration doubles in size every round
+    (labels feeds both the join and the convergence check), and by round
+    ~8 merely FORMATTING the logical plan OOMs the driver — lineage must
+    be truncated, not just cached.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels.id == neighbor_min.src, "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()  # truncate lineage, see docstring
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()

@@ -1718,3 +1718,23 @@ FROM blocks
 """
 
 ORACLES["extract_deep_tree_arrow"] = ORACLES["extract_deep_tree"]
+
+
+# Duplicate clusters = connected components over the checked-MinHash pair
+# edges: recursive-CTE transitive closure (terminates because UNION
+# dedups), component label = min reachable id — mirrors the fixpoint of
+# operators/dedup.duplicate_clusters' min-label propagation.
+ORACLES["dedup_clusters"] = (
+    "WITH RECURSIVE pairs AS (\n"
+    "  SELECT id_a, id_b FROM (\n" + ORACLES["dedup_minhash_checked"] + "\n  )\n"
+    "), edges AS (\n"
+    "  SELECT id_a AS s, id_b AS d FROM pairs\n"
+    "  UNION ALL SELECT id_b, id_a FROM pairs\n"
+    "), closure(s, d) AS (\n"
+    "  SELECT s, d FROM edges\n"
+    "  UNION\n"
+    "  SELECT c.s, e.d FROM closure c JOIN edges e ON c.d = e.s\n"
+    ")\n"
+    "SELECT s AS doc_id, least(s, min(d)) AS cluster_id\n"
+    "FROM closure GROUP BY s\n"
+)

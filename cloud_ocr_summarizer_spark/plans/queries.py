@@ -1657,10 +1657,32 @@ def q_extract_deep_tree_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    checked-MinHash near-dup edges (iterative min-label propagation —
+    chains A~B, B~C collapse into one cluster even when (A,C) never
+    co-bucketed).  DuckDB twin = recursive-CTE transitive closure."""
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs_checked,
+    )
+
+    pairs = minhash_lsh_pairs_checked(
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return duplicate_clusters(pairs.select("id_a", "id_b"))
+
+
 BATCH_6 = {
     "curation_audit": q_curation_audit,
     "extract_deep_tree": q_extract_deep_tree,
     "extract_deep_tree_arrow": q_extract_deep_tree_arrow,
+    "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "pii_redaction": q_pii_redaction,
     "sample_mix": q_sample_mix,

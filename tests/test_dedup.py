@@ -439,3 +439,20 @@ def test_contaminated_doc_ids_matches_stats_form(spark, corpus):
     }
     fast = {r["doc_id"] for r in contaminated_doc_ids(corpus, bench, n=3).collect()}
     assert fast == stats and stats  # same membership, non-empty here
+
+
+def test_duplicate_clusters_transitive_chains(spark):
+    from cloud_ocr_summarizer_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4 (never a direct 1-4 pair), separate pair 10-11,
+    # long chain 20..29 to force multiple propagation rounds
+    pairs = (
+        [(1, 2), (2, 3), (3, 4), (10, 11)]
+        + [(i, i + 1) for i in range(20, 29)]
+    )
+    df = spark.createDataFrame(pairs, "id_a int, id_b int")
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(df).collect()}
+    assert {got[i] for i in (1, 2, 3, 4)} == {1}
+    assert {got[i] for i in (10, 11)} == {10}
+    assert {got[i] for i in range(20, 30)} == {20}
+    assert len(got) == 16  # every node labeled exactly once

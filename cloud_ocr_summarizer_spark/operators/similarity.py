@@ -339,3 +339,184 @@ def embedding_block_drop_audit(
     return _cap_drop_summary(
         sizes, cap_name="embedding_block", cap=max_block_size
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook_row: DataFrame,
+    *,
+    id_col: str,
+    emb_col: str,
+    dims: int,
+    m: int,
+) -> DataFrame:
+    """(id, codes array<int>): product-quantization encoding.
+
+    Vector v splits into ``m`` contiguous subvectors; codes[j] = index of
+    the codebook entry whose j-th subvector is L2-nearest to v's (ties to
+    the smaller index).  Row-local HOFs against the broadcast one-row
+    codebook — m*k*(dims/m) flops per vector, no shuffle.  Distances are
+    quantized to 10^-6 integers before the argmin so the choice is exact
+    integer comparison in any engine.
+    """
+    sub = dims // m
+    cb = F.col("cb")  # array<struct<ci:int, e:array<float>>>
+
+    def dist_int(v: Column, c: Column, j: Column) -> Column:
+        d2 = F.aggregate(
+            F.sequence(j * sub + 1, j * sub + sub),
+            F.lit(0.0),
+            lambda acc, p: acc
+            + (
+                F.element_at(v, p).cast("double")
+                - F.element_at(c, p).cast("double")
+            )
+            ** 2,
+        )
+        return F.round(d2 * 1e6).cast("long")
+
+    v = F.col("_emb")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                cb,
+                lambda e: F.struct(
+                    dist_int(v, e["e"], j).alias("d"), e["ci"].alias("ci")
+                ),
+            )
+        )["ci"],
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"), F.col(emb_col).alias("_emb"))
+        .crossJoin(F.broadcast(codebook_row))
+        .select("id", codes.alias("codes"))
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame, *, id_col: str, emb_col: str, n_codebook: int = 16
+) -> DataFrame:
+    """ONE-row DataFrame with ``cb`` = array<struct<ci, e>>: the PQ
+    codebook, seeded from the ``n_codebook`` hash-smallest corpus vectors
+    (same deterministic selection as derive_centroids) and indexed 0..k-1
+    in hash order.  Built distributively (top-k + one tiny collect_list
+    aggregate), then broadcast — never a driver-side collect.
+    """
+    from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
+
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("sid"),
+            F.col(emb_col).alias("e"),
+            md5_hash31_col(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h", "sid")
+        .limit(n_codebook)
+    )
+    # unpartitioned window is fine HERE: it runs on the post-limit seed
+    # set (n_codebook rows, e.g. 16), never on the corpus
+    w = Window.orderBy("_h", "sid")
+    indexed = seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("ci"), "e"
+    )
+    return indexed.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ci"), F.col("e").alias("e")))
+        ).alias("cb")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dims: int = 64,
+    m: int = 8,
+    n_codebook: int = 16,
+    rerank: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., TPAMI 2011): ADC candidate
+    scoring over 8-byte codes + exact re-rank of the top ``rerank*k``.
+
+    The 100 TB memory path: the scan side holds ``m`` small ints per
+    vector (codes) instead of ``dims`` floats — a 32x shrink at
+    dims=64/m=8 — and each query x code score is m codebook dot-lookups
+    instead of a dims-length dot product.  Here ADC terms are computed
+    from the broadcast codebook directly (at real scale they'd be a
+    per-query LUT, same arithmetic).  Both the encode argmin and the ADC
+    ranking use 10^-6 integer quantization, so the candidate cutoff is
+    exact integer comparison in any engine; the final ordering re-ranks
+    candidates by EXACT cosine on the raw vectors.
+    Output: (query_id, rank, neighbor_id, cosine) — rank <= k.
+    """
+    sub = dims // m
+    codebook_row = pq_codebook(
+        corpus, id_col=id_col, emb_col=emb_col, n_codebook=n_codebook
+    )
+    codes = pq_encode(
+        corpus, codebook_row, id_col=id_col, emb_col=emb_col, dims=dims, m=m
+    ).select(F.col("id").alias("neighbor_id"), "codes")
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        )
+        .crossJoin(F.broadcast(codebook_row))
+    )
+
+    def term_int(qv: Column, c: Column, j: Column) -> Column:
+        dot = F.aggregate(
+            F.sequence(j * sub + 1, j * sub + sub),
+            F.lit(0.0),
+            lambda acc, p: acc
+            + F.element_at(qv, p).cast("double")
+            * F.element_at(c, p).cast("double"),
+        )
+        return F.round(dot * 1e6).cast("long")
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + term_int(
+            F.col("q_emb"),
+            F.element_at(F.col("cb"), F.element_at(F.col("codes"), j + 1) + 1)["e"],
+            j,
+        ),
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .select("query_id", "neighbor_id", "q_emb", adc.alias("adc_e6"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= rerank * k)
+        .drop("_rk", "adc_e6")
+    )
+    c_emb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
+    )
+    exact = shortlist.join(c_emb, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 4).alias("cosine"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"),
+            "neighbor_id", "cosine",
+        )
+    )

@@ -1738,3 +1738,61 @@ ORACLES["dedup_clusters"] = (
     "SELECT s AS doc_id, least(s, min(d)) AS cluster_id\n"
     "FROM closure GROUP BY s\n"
 )
+
+
+# Product-quantization ANN — mirrors operators/similarity.pq_topk step
+# for step: hash-seeded codebook (same md5 family/order as
+# derive_centroids), per-subspace L2 argmin encode (10^-6 integer
+# distances, ties to the smaller index), ADC shortlist of 10^-6 integer
+# dot terms summed exactly, exact-cosine re-rank of the top rerank*k=40.
+# m=16 subspaces of 4 dims over the 64-d embeddings, 16 codebook entries.
+ORACLES["knn_pq"] = r"""
+WITH q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id >= 10),
+     seeds AS (
+       SELECT row_number() OVER (ORDER BY h, id) - 1 AS ci, e
+       FROM (SELECT id, e,
+                    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 14))::BIGINT
+                      % 2147483647 AS h
+             FROM c)
+       ORDER BY h, id LIMIT 16),
+     cand AS (
+       SELECT c.id, j.j, s.ci,
+              CAST(round(1e6 * list_sum(list_transform(range(4), d ->
+                (c.e[j.j*4 + d + 1] - s.e[j.j*4 + d + 1])
+                * (c.e[j.j*4 + d + 1] - s.e[j.j*4 + d + 1]))))
+                AS BIGINT) AS dist
+       FROM c, range(16) j(j), seeds s),
+     codes AS (
+       SELECT id, j, ci FROM (
+         SELECT *, row_number() OVER (PARTITION BY id, j
+                     ORDER BY dist ASC, ci ASC) AS rk
+         FROM cand)
+       WHERE rk = 1),
+     adc AS (
+       SELECT q.id AS query_id, codes.id AS neighbor_id,
+              sum(CAST(round(1e6 * list_sum(list_transform(range(4), d ->
+                q.e[codes.j*4 + d + 1] * s.e[codes.j*4 + d + 1])))
+                AS BIGINT)) AS adc_e6
+       FROM q, codes JOIN seeds s ON s.ci = codes.ci
+       GROUP BY 1, 2),
+     shortlist AS (
+       SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_e6 DESC, neighbor_id ASC) AS rk
+         FROM adc) WHERE rk <= 40),
+     sims AS (
+       SELECT s.query_id, s.neighbor_id,
+              round(list_dot_product(q.e, c.e) /
+                (sqrt(list_dot_product(q.e, q.e)) *
+                 sqrt(list_dot_product(c.e, c.e))), 4) AS cosine
+       FROM shortlist s
+       JOIN q ON q.id = s.query_id
+       JOIN c ON c.id = s.neighbor_id)
+SELECT query_id, CAST(rk AS INT) AS "rank", neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM sims)
+WHERE rk <= 5
+"""

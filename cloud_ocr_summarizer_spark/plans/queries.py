@@ -1678,11 +1678,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs.select("id_a", "id_b"))
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the 100 TB memory path: 8-byte codes
+    instead of float vectors): hash-seeded per-subspace codebooks ->
+    integer-quantized ADC shortlist -> exact cosine re-rank.  Every
+    cutoff is integer arithmetic, fully replayed by the DuckDB twin."""
+    from cloud_ocr_summarizer_spark.operators.similarity import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5,
+        dims=64,
+        m=16,
+        n_codebook=16,
+        rerank=8,
+    )
+
+
 BATCH_6 = {
     "curation_audit": q_curation_audit,
     "extract_deep_tree": q_extract_deep_tree,
     "extract_deep_tree_arrow": q_extract_deep_tree_arrow,
     "dedup_clusters": q_dedup_clusters,
+    "knn_pq": q_knn_pq,
     "decontaminate": q_decontaminate,
     "pii_redaction": q_pii_redaction,
     "sample_mix": q_sample_mix,

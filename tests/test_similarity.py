@@ -307,3 +307,40 @@ def test_embedding_neardup_block_cap(spark):
     assert capped.count() == 0
     uncapped = embedding_near_dup_pairs(df, threshold=0.5, max_block_size=None)
     assert uncapped.count() == 400 * 399 // 2  # identical vectors, cos=1
+
+
+def test_pq_topk_recall_and_code_shape(spark):
+    """PQ ANN: codes are m small ints (the 100 TB memory path), the ADC
+    shortlist + exact re-rank recovers a solid fraction of the true
+    top-k, and every query returns exactly k ranked rows."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.similarity import (
+        cosine_topk,
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+
+    cb = pq_codebook(c, id_col="vec_id", emb_col="embedding", n_codebook=16)
+    codes = pq_encode(
+        c, cb, id_col="vec_id", emb_col="embedding", dims=64, m=16
+    ).collect()
+    assert len(codes) == c.count()
+    assert all(len(r["codes"]) == 16 for r in codes)
+    assert all(0 <= ci < 16 for r in codes for ci in r["codes"])
+
+    got = pq_topk(q, c, k=5, dims=64, m=16, n_codebook=16, rerank=8)
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, c, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # measured 0.74 with these params; floor with margin

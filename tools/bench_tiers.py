@@ -22,7 +22,7 @@ from cloud_ocr_summarizer_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    tiers = [10_000, 100_000, 1_000_000, 4_000_000]
+    tiers = [10_000, 100_000, 1_000_000, 4_000_000, 10_000_000]
     cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
     os.makedirs(cache, exist_ok=True)
     spark = get_spark(app_name="bench-tiers", cores=32)

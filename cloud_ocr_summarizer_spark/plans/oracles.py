@@ -1796,3 +1796,35 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM sims)
 WHERE rk <= 5
 """
+
+
+# Per-doc distinctive terms: integer tf-rarity score tf * (N - df) — the
+# TF-IDF ranking shape with no log(), so the cutoff is exact integers.
+ORACLES["doc_keywords"] = r"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(
+      regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, score FROM (
+  SELECT tf.doc_id, tf.term, tf.tf * (n.n_docs - dfreq.df) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf * (n.n_docs - dfreq.df) DESC, tf.term ASC) AS rk
+  FROM tf JOIN dfreq USING (term), n)
+WHERE rk <= 3
+"""
+
+# Exactly-5-per-source deterministic sample (hash-order reservoir).
+ORACLES["stratified_sample_exact"] = r"""
+SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY
+           ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+             % 2147483647 ASC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 5
+"""

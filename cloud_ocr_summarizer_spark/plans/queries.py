@@ -1697,12 +1697,67 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document, ranked by the integer
+    tf-rarity score tf * (N_docs - doc_freq) — the TF-IDF shape (frequent
+    in the doc, rare in the corpus) kept in exact integer arithmetic so
+    the ranking can never diverge across engines on a log() ulp (the
+    repo's integer-cents rule).  Plan: explode -> (doc, term) tf agg ->
+    term df agg -> 1-row N broadcast -> per-doc window top-k."""
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(whitespace_tokens_col(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * (F.col("n_docs") - F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "score")
+    )
+
+
+def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sampling (the distributed
+    reservoir analogue): per source keep the 5 docs with the smallest
+    cross-engine hash — reproducible across runs/engines/partitionings,
+    unlike rate-based sampling (hash_sample) which only approximates a
+    per-stratum COUNT."""
+    from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
+
+    docs = _read(spark, sf_dir, "documents")
+    h = md5_hash31_col(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", h.alias("_h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 BATCH_6 = {
     "curation_audit": q_curation_audit,
     "extract_deep_tree": q_extract_deep_tree,
     "extract_deep_tree_arrow": q_extract_deep_tree_arrow,
     "dedup_clusters": q_dedup_clusters,
     "knn_pq": q_knn_pq,
+    "doc_keywords": q_doc_keywords,
+    "stratified_sample_exact": q_stratified_sample_exact,
     "decontaminate": q_decontaminate,
     "pii_redaction": q_pii_redaction,
     "sample_mix": q_sample_mix,

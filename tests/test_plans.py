@@ -94,3 +94,30 @@ def test_knn_ivf_centroids_take_ordered_not_full_sort(spark, Q):
 def test_sample_mix_is_pure_filter(spark, Q):
     p = _plan(Q.q_sample_mix(spark, SF))
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_deep_tree_extract_is_zero_shuffle(spark, Q):
+    """Chained posexplode + HOF assembly must stay a pure map stage:
+    scan -> generate -> generate -> project, no Exchange."""
+    p = _plan(Q.q_extract_deep_tree(spark, SF))
+    assert "Exchange" not in p
+    assert p.count("Generate") == 2  # pages, blocks — inner levels stay row-local
+
+
+def test_pq_encode_is_map_side_only(spark, Q):
+    """PQ encoding joins only the broadcast one-row codebook: the corpus
+    must not shuffle (the single tiny exchange belongs to the codebook
+    aggregate, not the corpus scan)."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = pq_codebook(emb, id_col="vec_id", emb_col="embedding", n_codebook=16)
+    p = _plan(pq_encode(emb, cb, id_col="vec_id", emb_col="embedding", dims=64, m=16))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # no hash-partitioning of the corpus by any key
+    assert "hashpartitioning(id" not in p and "hashpartitioning(vec_id" not in p

@@ -79,8 +79,12 @@ def run_flagship(
     snapshot_id = sink.append(extracted, run_id=run_id)
     if raw_debug_root or raw_debug_sink is not None:
         # debug capture of the raw input spans for THIS run's doc set
-        # (left_semi against the committed output keeps it exactly the
-        # processed docs even though `todo` re-executes lazily here)
+        # (left_semi against the PERSISTED extracted ids keeps it exactly
+        # the processed docs even though `todo` re-executes lazily here).
+        # Deliberate trade: this re-scans the input once — only when the
+        # debug sink is enabled.  The alternative (carrying raw spans
+        # through extraction) would widen every row of every run to save
+        # a scan on the rare debug run.
         raw = input_df.join(
             extracted.select("doc_id"), on="doc_id", how="left_semi"
         )

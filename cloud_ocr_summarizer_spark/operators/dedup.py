@@ -1044,6 +1044,16 @@ def duplicate_clusters(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            # exhausted max_iterations with labels still moving: returning
+            # them would silently under-merge clusters (tail docs keep
+            # non-minimal labels and survive keep-one-per-cluster dedup)
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_iterations} "
+                f"iterations ({changed} labels still changing) — the edge "
+                "graph has a component with diameter > max_iterations; "
+                "raise max_iterations"
+            )
         return labels.select(
             F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
         )

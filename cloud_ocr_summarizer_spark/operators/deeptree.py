@@ -50,6 +50,12 @@ DEEP_TREE_SCHEMA = (
     "paragraphs:array<struct<words:array<struct<symbols:array<string>>>>>>>>>"
 )
 
+# The engine's whitespace contract is ASCII (Java \s = [ \t\n\x0b\f\r],
+# functions/text.py module caveat); every Python-side strip in this
+# module must use THIS set, not bare str.strip() (which also eats
+# Unicode whitespace and would desync from the JVM twin).
+_ASCII_WS = " \t\n\x0b\f\r"
+
 
 def _strip_ws(text: Column) -> Column:
     """Python ``str.strip()`` twin for the ASCII-whitespace contract
@@ -133,12 +139,16 @@ def extract_deep_tree_arrow(tree: DataFrame) -> DataFrame:
                                 "".join(w["symbols"] or [])
                                 for w in para["words"] or []
                             ]
-                            paras.append(" ".join(words).strip())
+                            # ASCII strip, matching the JVM twin's Java
+                            # \s — bare str.strip() also eats Unicode
+                            # whitespace (NBSP, U+2028, ...) and would
+                            # desync the two extractors on such symbols
+                            paras.append(" ".join(words).strip(_ASCII_WS))
                         out_doc.append(doc_id)
                         out_page.append(page_idx + 1)
                         out_seq.append(block_idx + 1)
                         out_kind.append(block["block_type"])
-                        out_text.append("\n".join(paras).strip())
+                        out_text.append("\n".join(paras).strip(_ASCII_WS))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_doc, type=id_pa),

@@ -56,6 +56,8 @@ def parse_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
     dimension.
     """
     if payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+        if len(payload) < 24:  # truncated/corrupt upload: unknown, not a crash
+            return None
         w, h = struct.unpack(">II", payload[16:24])
         return ("png", w, h)
     if payload[:2] == b"\xff\xd8":

@@ -242,8 +242,14 @@ def deep_tree_blocks(doc_id, pages) -> list[tuple]:
     * block = '\n'-concat of paragraphs, .strip()  (:316-325)
     * page_number / block_seq = 1-based arrival order (:241)
 
+    Strips use the engine's ASCII-whitespace contract (Java \\s — see
+    functions/text.py module caveat), not bare str.strip(): the
+    reference's Python strip also eats Unicode whitespace, which the
+    JVM extractor cannot match; the contract pins ASCII.
+
     Returns [(doc_id, page_number, block_seq, kind, text), ...].
     """
+    ascii_ws = " \t\n\x0b\f\r"
     out = []
     for page_idx, page in enumerate(pages or []):
         for block_idx, block in enumerate(page.get("blocks") or []):
@@ -255,14 +261,14 @@ def deep_tree_blocks(doc_id, pages) -> list[tuple]:
                     for symbol in word.get("symbols") or []:
                         word_text += symbol          # :396-400
                     para_text += word_text + " "     # :356-361
-                block_text += para_text.strip() + "\n"  # :363, :316-323
+                block_text += para_text.strip(ascii_ws) + "\n"  # :363, :316-323
             out.append(
                 (
                     doc_id,
                     page_idx + 1,
                     block_idx + 1,
                     block.get("block_type"),
-                    block_text.strip(),              # :325
+                    block_text.strip(ascii_ws),      # :325
                 )
             )
     return out

@@ -203,6 +203,7 @@ def curation_cap_audit(
     embedding_block_col: str = "label",
     max_block_size: int = 65536,
     parallelism: int | None = None,
+    after_exact_dedup: bool = True,
 ) -> DataFrame:
     """Drop accounting for every silent cap in the curation/dedup layer.
 
@@ -212,19 +213,37 @@ def curation_cap_audit(
     content must be distinguishable from one that didn't.  Run it
     alongside ``curate_documents_full`` with the SAME cap parameters and
     sink the rows next to the lineage table.  Each audit reuses the exact
-    stage its cap filters (shared helpers in operators/dedup.py), so the
-    accounting cannot diverge from the operator.
+    stage its cap filters (shared helpers in operators/dedup.py).
+
+    Positioning and family, honestly stated: with ``after_exact_dedup``
+    (default) the LSH/SimHash audits run on the exact-dedup survivors —
+    the same frame ``curate_documents`` feeds its near-dup stage, so a
+    mass of byte-identical docs doesn't show up as LSH drops that the
+    pipeline never actually took.  The audits use the md5/affine
+    (checked) hash family: exact accounting for the ``checked=True``
+    pipeline (the one the driver value-checks); for xxhash production
+    runs, over-cap DEGENERATE buckets (near-identical docs) coincide by
+    construction, but non-degenerate bucket membership can differ —
+    treat those counts as directional, not bit-exact.  The gram-df audit
+    runs on the raw corpus (ngram_jaccard_pairs is a standalone
+    operator, not a pipeline stage).
     """
     from cloud_ocr_summarizer_spark.operators.dedup import (
+        exact_duplicates,
         lsh_bucket_drop_audit,
         ngram_gram_df_drop_audit,
         simhash_bucket_drop_audit,
     )
 
+    lsh_input = docs
+    if after_exact_dedup:
+        keepers = exact_duplicates(docs).select(F.col("keeper").alias("doc_id"))
+        lsh_input = docs.join(keepers, "doc_id", "left_semi")
+
     audits = [
         ngram_gram_df_drop_audit(docs, n=n, max_gram_df=max_gram_df),
         lsh_bucket_drop_audit(
-            docs,
+            lsh_input,
             n=n,
             num_hashes=num_hashes,
             bands=bands,
@@ -232,7 +251,7 @@ def curation_cap_audit(
             parallelism=parallelism,
         ),
         simhash_bucket_drop_audit(
-            docs,
+            lsh_input,
             bits=simhash_bits,
             bands=simhash_bands,
             max_bucket_size=(

@@ -1536,18 +1536,19 @@ FROM documents d LEFT JOIN prof p ON d.doc_id = p.doc_id
 # PNG sig+IHDR = 33, JPEG SOI+APP0+SOF0+EOI = 41, unknown md5 blob = 16.
 ORACLES["media_payload_features"] = SPANS_CTE + r"""
 SELECT doc_id, media_ref,
-       CAST(CASE WHEN media_ref LIKE '%.png' THEN 33
-                 WHEN media_ref LIKE '%.jpg' THEN 41
+       CAST(CASE WHEN ext = '.png' THEN 33
+                 WHEN ext IN ('.jpg', '.jpeg') THEN 41
                  ELSE 16 END AS INT) AS n_bytes,
-       CASE WHEN media_ref LIKE '%.png' THEN 'png'
-            WHEN media_ref LIKE '%.jpg' THEN 'jpeg'
+       CASE WHEN ext = '.png' THEN 'png'
+            WHEN ext IN ('.jpg', '.jpeg') THEN 'jpeg'
             ELSE 'unknown' END AS format,
-       CAST(CASE WHEN media_ref LIKE '%.png' OR media_ref LIKE '%.jpg'
+       CAST(CASE WHEN ext IN ('.png', '.jpg', '.jpeg')
                  THEN 16 + (7 * strlen(media_ref)) % 496 END AS INT) AS width,
-       CAST(CASE WHEN media_ref LIKE '%.png' OR media_ref LIKE '%.jpg'
+       CAST(CASE WHEN ext IN ('.png', '.jpg', '.jpeg')
                  THEN 16 + (11 * strlen(media_ref)) % 496 END AS INT) AS height
-FROM __spans
-WHERE media_ref IS NOT NULL
+FROM (SELECT doc_id, media_ref,
+             lower(regexp_extract(media_ref, '(\.[^./]+)$', 1)) AS ext
+      FROM __spans WHERE media_ref IS NOT NULL)
 """
 
 # TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact table.
@@ -1614,6 +1615,16 @@ WITH wordsrc AS (
   SELECT doc_id AS id,
          list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
   FROM documents
+), keepers AS (
+  -- the LSH/SimHash audits run on the exact-dedup survivors, the same
+  -- frame curate_documents feeds its near-dup stage
+  SELECT min(doc_id) AS id FROM documents
+  GROUP BY md5(regexp_replace(regexp_replace(
+    array_to_string(list_transform(string_split(text, chr(10)),
+      p -> array_to_string(list_filter(regexp_split_to_array(p, '\s+'),
+        w -> w <> ''), ' ')), chr(10)), '^\s+', ''), '\s+$', ''))
+), kept_wordsrc AS (
+  SELECT w.* FROM wordsrc w JOIN keepers USING (id)
 ), gramstr AS (
   SELECT id, unnest(list_distinct(list_transform(range(greatest(len(words)-2, 0)),
       i -> array_to_string(words[i+1 : i+3], ' ')))) AS gram
@@ -1625,7 +1636,7 @@ WITH wordsrc AS (
     SELECT id, list_distinct(list_transform(range(greatest(len(words) - 2, 0)),
         i -> ('0x' || substr(md5(array_to_string(words[i+1 : i+3], ' ')), 1, 14))::BIGINT
              % 2147483647)) AS grams
-    FROM wordsrc)
+    FROM kept_wordsrc)
   WHERE len(grams) > 0
 ), mh_sig AS (
   SELECT id,
@@ -1647,7 +1658,7 @@ WITH wordsrc AS (
 ), sh_base AS (
   SELECT id, list_transform(words, w ->
       ('0x' || substr(md5(w), 1, 14))::BIGINT % 2147483647) AS wh
-  FROM wordsrc WHERE len(words) > 0
+  FROM kept_wordsrc WHERE len(words) > 0
 ), sh_fp AS (
   SELECT id, list_transform(range(30), b ->
       CASE WHEN list_sum(list_transform(wh, h ->

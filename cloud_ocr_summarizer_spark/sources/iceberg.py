@@ -118,10 +118,16 @@ class IcebergSnapshotSink:
         diverging from the parquet stand-in's fixed-snapshot-set
         semantics.  Callers advance their cursor to the returned window's
         end, not to "whatever is latest at read time".
+
+        The end snapshot comes from the table's ``main`` branch ref — the
+        authoritative head pointer — not from ordering ``.snapshots`` by
+        ``committed_at``, which is millisecond-granular and ties under
+        concurrent/fast appends (an arbitrary tie-pick could return the
+        older snapshot and permanently skip the newer one's rows).
         """
         end_row = spark.sql(
-            f"SELECT snapshot_id FROM {self.table}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self.table}.refs "
+            "WHERE name = 'main' AND type = 'BRANCH'"
         ).first()
         if end_row is None or int(end_row["snapshot_id"]) == int(snapshot_id):
             return None  # nothing committed after the cursor

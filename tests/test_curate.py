@@ -153,3 +153,35 @@ def test_new_operators_handle_empty_inputs(spark):
         [], "doc_id int, languages array<struct<lang:string,conf:double>>"
     )
     assert select_primary_language(langs_empty, default="en").count() == 0
+
+
+def test_curation_cap_audit_matches_pipeline_position(spark):
+    """The audit must account for drops the PIPELINE would take: a mass
+    of byte-identical docs is collapsed by exact dedup before the
+    near-dup stage, so with after_exact_dedup (the default) it must NOT
+    appear as LSH bucket drops — while the raw-operator view does see
+    them."""
+    from cloud_ocr_summarizer_spark.plans.curate import curation_cap_audit
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "near the warm fire and the birds sing in the tall green trees"
+    )
+    rows = [(i, base) for i in range(40)] + [
+        (100 + i, f"completely different text number {i} {i} {i} with tail")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def lsh_row(df):
+        return {
+            r["cap_name"]: r
+            for r in df.collect()
+        }["minhash_lsh_bucket"]
+
+    piped = lsh_row(curation_cap_audit(docs, max_bucket_size=8))
+    assert piped["dropped_groups"] == 0  # dedup already collapsed the 40
+    raw = lsh_row(
+        curation_cap_audit(docs, max_bucket_size=8, after_exact_dedup=False)
+    )
+    assert raw["dropped_groups"] >= 8  # the operator-level view does fire

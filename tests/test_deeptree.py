@@ -104,6 +104,27 @@ def test_deep_tree_strip_points():
     assert rows == [("d", 1, 1, "TEXT", "ab c\nx")]
 
 
+def test_unicode_whitespace_symbols_stay(spark):
+    """The engine's whitespace contract is ASCII (Java \\s): a NBSP
+    symbol at a paragraph edge must survive the strip in BOTH extractors
+    AND the Python oracle walk — bare str.strip() would eat it in the
+    Python paths only, silently desyncing the twins."""
+    doc = [
+        {
+            "blocks": [
+                block("TEXT", {"words": [{"symbols": [" ", "x"]}]})
+            ]
+        }
+    ]
+    tree = spark.createDataFrame(
+        [("u1", doc)], f"doc_id string, pages {DEEP_TREE_SCHEMA}"
+    )
+    want = [("u1", 1, 1, "TEXT", " x")]
+    assert _got(extract_deep_tree(tree)) == want
+    assert _got(extract_deep_tree_arrow(tree)) == want
+    assert deep_tree_blocks("u1", doc) == want
+
+
 def test_derived_tree_twins_agree(spark):
     docs = spark.createDataFrame(
         [

@@ -178,14 +178,15 @@ def main() -> int:
     brute_sec = timed(lambda: force(brute), reps=2)
     ivf_sec = timed(lambda: force(ivf_query()), reps=2)
     pq_sec = timed(lambda: force(pq_query()), reps=2)
+
+    # one brute-force execution reused for BOTH recall computations (the
+    # same single-collect rule applied to ivf_rows below)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     pq_rows = pq_query().collect()
     pq_recall = round(
-        len({(r["query_id"], r["neighbor_id"]) for r in pq_rows}
-            & {(r["query_id"], r["neighbor_id"]) for r in brute.collect()})
+        len({(r["query_id"], r["neighbor_id"]) for r in pq_rows} & exact)
         / (N_QUERIES * K), 4,
     )
-
-    exact = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     ivf_rows = ivf_query().collect()  # one execution reused below
     approx = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
     recall = round(len(exact & approx) / len(exact), 4)

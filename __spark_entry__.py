@@ -95,6 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(getattr(_queries, "BATCH_6", {}))
     out.update({"events_daily": _queries.q_events_daily})
+    # BATCH_7 (late round-3 TPC-H shapes) follows the earlier never-checked
+    # block in insertion order; whatever misses this round's window is
+    # front-of-queue next round, and check_oracles covers it now.
+    out.update(getattr(_queries, "BATCH_7", {}))
     for extra in ("BATCH_1", "BATCH_UDF", "BATCH_2", "BATCH_3", "BATCH_4", "BATCH_5"):
         out.update(getattr(_queries, extra, {}))
     return {name: _with_shipped(fn) for name, fn in out.items()}

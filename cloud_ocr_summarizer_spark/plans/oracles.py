@@ -1839,3 +1839,154 @@ SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
   FROM documents)
 WHERE rk <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# BATCH_7 — remaining TPC-H shapes (schema-adapted; see queries.py).
+# ---------------------------------------------------------------------------
+
+# TPC-H Q2 shape: correlated MIN via window over deduped supply pairs.
+ORACLES["min_cost_supplier"] = r"""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ranked AS (
+  SELECT p.l_partkey, p.l_suppkey, s.s_name, s.s_acctbal,
+         row_number() OVER (PARTITION BY p.l_partkey
+                            ORDER BY s.s_acctbal, p.l_suppkey) AS rk
+  FROM pairs p JOIN supplier s ON p.l_suppkey = s.s_suppkey)
+SELECT pt.p_partkey, pt.p_name,
+       r.l_suppkey AS s_suppkey, r.s_name,
+       round(r.s_acctbal, 2) AS s_acctbal
+FROM ranked r JOIN part pt ON r.l_partkey = pt.p_partkey
+WHERE r.rk = 1
+"""
+
+# TPC-H Q4 shape: EXISTS with a non-equi residual.
+ORACLES["priority_late_orders"] = r"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+# TPC-H Q8 shape: conditional agg over the 7-table join; share emitted as
+# the two exact integer-cent sums (see the query docstring).
+ORACLES["market_share"] = r"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       floor((sum(CASE WHEN n2.n_name = 'NATION_7'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT) ELSE 0 END) + 50) / 100.0) / 100.0
+         AS nation_revenue,
+       floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) + 50) / 100.0) / 100.0 AS total_revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY o_year
+"""
+
+# TPC-H Q9 shape: LIKE part filter + profit by supplier nation / year.
+ORACLES["product_profit"] = r"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       - round(p_retailprice * l_quantity * 5000)
+                      AS BIGINT)) + 50) / 100.0) / 100.0 AS profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+# TPC-H Q10 shape: top-20 by exact integer-cent revenue, then dollars.
+ORACLES["returned_item_ranking"] = r"""
+WITH per_cust AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+         n_name AS nation,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS rev_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name)
+SELECT c_custkey, c_name, c_acctbal, nation,
+       floor((rev_cents + 50) / 100.0) / 100.0 AS revenue
+FROM per_cust
+ORDER BY rev_cents DESC, c_custkey
+LIMIT 20
+"""
+
+# TPC-H Q11 shape: HAVING vs scalar subquery, all-integer mean-relative
+# threshold (1.5x mean per-part revenue).
+ORACLES["important_parts"] = r"""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS value_cents
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts
+        FROM per_part)
+SELECT l_partkey AS p_partkey,
+       floor((value_cents + 50) / 100.0) / 100.0 AS value
+FROM per_part, tot
+WHERE value_cents * 2 * n_parts > 3 * total_cents
+"""
+
+# TPC-H Q12 shape: conditional counting by l_linestatus.
+ORACLES["linestatus_priority_counts"] = r"""
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate
+GROUP BY l_linestatus
+"""
+
+# TPC-H Q14 shape: promo vs total revenue for one month, exact sums.
+ORACLES["promo_revenue"] = r"""
+SELECT floor((sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT) ELSE 0 END) + 50) / 100.0) / 100.0
+         AS promo_revenue,
+       floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) + 50) / 100.0) / 100.0 AS total_revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+# TPC-H Q16 shape: anti-join blacklist + per-group distinct count.
+ORACLES["supplier_cnt"] = r"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0))
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type, p_size
+"""

@@ -1833,3 +1833,322 @@ BATCH_1 = {
     "primary_language_by_source": q_primary_language_by_source,
     "latest_event_per_user": q_latest_event_per_user,
 }
+
+
+# ---------------------------------------------------------------------------
+# BATCH_7 — the remaining TPC-H query shapes, adapted to this schema
+# (no partsupp / l_shipmode / receipt dates; each docstring notes the
+# adaptation).  Same idiom as the earlier relational batches: integer-cent
+# sums for money, deterministic tiebreaks before any top-k cutoff, dims
+# broadcast so the fact table shuffles at most once.
+# ---------------------------------------------------------------------------
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for each part, the
+    cheapest supplier that has actually supplied it.  No partsupp table
+    here, so "supplies" = distinct (l_partkey, l_suppkey) pairs from
+    lineitem and "cost" = s_acctbal.  Expressed as min-per-group via a
+    row_number window over the deduped pair table (O(parts) groups, one
+    shuffle on partkey); part + supplier dims broadcast."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    j = pairs.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    best = (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return best.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_partkey",
+        "p_name",
+        "s_suppkey",
+        "s_name",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join from orders into lineitem with a
+    non-equi residual — count Q1-1996 orders per priority that had at
+    least one line shipped after the order date ("late" proxy; this
+    schema has no commit/receipt dates)."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    late = window.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional aggregation over the full 7-table join
+    (lineitem-orders-customer-nation-region + supplier-nation) — per
+    order year, NATION_7-supplied revenue vs total revenue into EUROPE
+    customers.  Q8's share ratio is deliberately emitted as the two
+    exact integer-cent sums instead of a float division (the repo's
+    integer-cents rule: a ratio of two large exact ints reintroduces the
+    cross-engine rounding-boundary risk the rule exists to kill)."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    n_cust = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_supp = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    europe = r.filter(F.col("r_name") == "EUROPE").select(
+        F.col("r_regionkey").alias("c_rk")
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(europe), "c_rk")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    half_up = lambda col: (F.floor((col + 50) / 100.0) / 100.0)  # noqa: E731
+    return (
+        j.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            cents.alias("cents"),
+            F.when(F.col("supp_nation") == "NATION_7", cents)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("nation_cents"),
+        )
+        .groupBy("o_year")
+        .agg(
+            half_up(F.sum("nation_cents")).alias("nation_revenue"),
+            half_up(F.sum("cents")).alias("total_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: LIKE-filtered part join + profit aggregation by
+    supplier nation and order year.  No ps_supplycost here, so cost =
+    p_retailprice * l_quantity / 2 (quantities are integral, retailprice
+    2-dec — the per-row cents are exact in both engines); profit may go
+    negative, which exercises the half-up formula on negative sums."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    part = _read(spark, sf_dir, "part")
+    red = part.filter(F.col("p_name").like("%red%"))
+    j = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    profit_cents = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        - F.round(F.col("p_retailprice") * F.col("l_quantity") * 5000)
+    ).cast("long")
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit_cents.alias("pc"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            (F.floor((F.sum("pc") + 50) / 100.0) / 100.0).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') for Q1-1996 orders.  The cutoff orders by the
+    EXACT integer-cent revenue desc then c_custkey — deterministic, so
+    the top-20 SET is engine-independent; dollars emitted after the
+    cutoff."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    per_cust = (
+        j.select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+            cents.alias("cents"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    return (
+        per_cust.orderBy(F.col("rev_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "nation",
+            (F.floor((F.col("rev_cents") + 50) / 100.0) / 100.0).alias("revenue"),
+        )
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar-aggregate subquery — parts
+    whose lineitem revenue exceeds 1.5x the MEAN per-part revenue.  A
+    mean-relative threshold (unlike Q11's fixed total fraction) stays
+    non-trivial at every SF tier, since the part count scales with SF.
+    The compare is value_cents * 2 * n_parts > 3 * total_cents — pure
+    int64 arithmetic on both engines (no float fraction anywhere; at true
+    100 TB part counts, hoist to decimal(38) before the multiply); the
+    1-row total broadcast cross-joins, so the per-part aggregate never
+    reshuffles."""
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 10000).cast("long")
+    per_part = (
+        li.select("l_partkey", cents.alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("value_cents"))
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * 2 * F.col("n_parts")
+            > 3 * F.col("total_cents")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.floor((F.col("value_cents") + 50) / 100.0) / 100.0).alias("value"),
+        )
+    )
+
+
+def q_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional counting by category — per
+    l_linestatus (shipmode stand-in: this schema has no l_shipmode),
+    late 1996-shipped lines split into high-priority (URGENT/HIGH) vs
+    lower-priority order counts."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_shipdate") > F.col("o_orderdate"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: single-month conditional aggregation over a
+    broadcast part join — promo-type revenue alongside total revenue.
+    Q14's percentage is emitted as the two exact integer-cent-derived
+    sums, not a float ratio (same reasoning as q_market_share)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    half_up = lambda col: (F.floor((col + 50) / 100.0) / 100.0)  # noqa: E731
+    return j.agg(
+        half_up(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        ).alias("promo_revenue"),
+        half_up(F.sum(cents)).alias("total_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN anti-join + per-group distinct count —
+    distinct suppliers per (brand, type, size) over actually-supplied
+    parts, excluding Brand#1 parts and suppliers in the "complaints"
+    blacklist (s_acctbal < 0 stands in for the LIKE '%Complaints%'
+    comment filter this schema lacks)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+    )
+    j = pairs.join(
+        F.broadcast(part.filter(F.col("p_brand") != "Brand#1")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+BATCH_7 = {
+    "min_cost_supplier": q_min_cost_supplier,
+    "priority_late_orders": q_priority_late_orders,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "returned_item_ranking": q_returned_item_ranking,
+    "important_parts": q_important_parts,
+    "linestatus_priority_counts": q_linestatus_priority_counts,
+    "promo_revenue": q_promo_revenue,
+    "supplier_cnt": q_supplier_cnt,
+}

@@ -121,3 +121,35 @@ def test_pq_encode_is_map_side_only(spark, Q):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     # no hash-partitioning of the corpus by any key
     assert "hashpartitioning(id" not in p and "hashpartitioning(vec_id" not in p
+
+
+def test_batch7_fact_joins_broadcast_dims(spark, Q):
+    """BATCH_7 TPC-H shapes: every dimension hop broadcasts — the fact
+    table shuffles only for its aggregate, never to co-locate a dim."""
+    for q in (Q.q_market_share, Q.q_product_profit, Q.q_returned_item_ranking,
+              Q.q_promo_revenue, Q.q_supplier_cnt):
+        p = _plan(q(spark, SF))
+        assert "BroadcastHashJoin" in p, q.__name__
+
+
+def test_returned_item_ranking_take_ordered(spark, Q):
+    """Q10's top-20 must be TakeOrderedAndProject (per-partition heap +
+    driver merge of 20 rows), not a global Sort of all customers."""
+    p = _plan(Q.q_returned_item_ranking(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_important_parts_threshold_is_broadcast(spark, Q):
+    """Q11's scalar threshold joins as a broadcast nested loop over one
+    row, and at runtime AQE reuses the per-part aggregate's exchange for
+    the total rollup — lineitem is scanned and aggregated ONCE, not once
+    per branch (the initial plan shows two scans; the executed one must
+    not)."""
+    df = Q.q_important_parts(spark, SF)
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" in p
+    df.collect()
+    final = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ReusedExchange" in final

@@ -390,3 +390,58 @@ def test_stream_stream_left_outer_null_padding(spark, tmp_path):
     )
     assert got == expected
     assert (101, None) in got  # the null-padded unmatched purchase
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: near-in-time duplicates suppressed,
+    state EVICTED once the watermark passes (a far-later duplicate
+    re-emits — the documented bounded-state trade vs
+    streaming_first_occurrence), and sub-watermark late rows drop."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from cloud_ocr_summarizer_spark.streaming.dedup import dedup_within_watermark
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = T.StructType(
+        [
+            T.StructField("fingerprint", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            dedup_within_watermark(stream, delay="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # fA duplicated within 5 min -> one row; fC at 12:00 pushes the
+    # watermark to 11:30 at end of drain
+    run_batch([("fA", t(10, 0)), ("fA", t(10, 5)), ("fB", t(10, 1)),
+               ("fC", t(12, 0))])
+    got1 = [r["fingerprint"] for r in spark.read.parquet(out).collect()]
+    assert sorted(got1) == ["fA", "fB", "fC"]
+
+    # drain 2: fA's state (10:00 + 30m < 11:30 watermark) was evicted ->
+    # the 12:01 duplicate RE-EMITS; fB's 10:02 repeat is below the
+    # watermark -> dropped entirely, never re-emitted
+    run_batch([("fA", t(12, 1)), ("fB", t(10, 2))])
+    got2 = sorted(r["fingerprint"] for r in spark.read.parquet(out).collect())
+    assert got2 == ["fA", "fA", "fB", "fC"]

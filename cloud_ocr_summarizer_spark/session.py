@@ -55,3 +55,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def runtime_bloom_filter_conf(
+    *,
+    creation_side_threshold: str = "100MB",
+    application_side_threshold: str = "10GB",
+) -> dict[str, str]:
+    """Configs enabling Catalyst's runtime row-level bloom filtering.
+
+    On a shuffle join whose build side carries a selective filter, the
+    optimizer injects bloom_filter_agg on the build side and
+    might_contain on the probe side — probe rows that cannot match are
+    dropped BEFORE the probe shuffle.  This is the big-big join lever at
+    100 TB (broadcast joins don't need it; they prune at the hash table):
+    a dim filtered to 1% cuts the fact shuffle ~99% without any manual
+    pre-join or semi-join stage.
+
+    Spark's defaults only fire when the probe scan exceeds 10 GB, so the
+    effect is invisible at test SF tiers; tests pass
+    ``application_side_threshold="0"`` to force injection and assert the
+    plan shape (test_plans).  Production should keep the defaults and
+    simply merge this dict into ``get_spark(extra_conf=...)``.
+    """
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            creation_side_threshold
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": (
+            application_side_threshold
+        ),
+    }

@@ -153,3 +153,36 @@ def test_important_parts_threshold_is_broadcast(spark, Q):
         df._jdf.queryExecution(), "formatted"
     )
     assert "ReusedExchange" in final
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """runtime_bloom_filter_conf: a selectively-filtered build side of a
+    shuffle join injects bloom_filter_agg / might_contain so probe rows
+    are dropped before the probe-side shuffle (thresholds forced to fire
+    at test scale; production keeps the 10 GB probe default)."""
+    from cloud_ocr_summarizer_spark.session import runtime_bloom_filter_conf
+
+    conf = runtime_bloom_filter_conf(application_side_threshold="0")
+    saved = {}
+    saved_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for k, v in conf.items():
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF}/part.parquet").filter(F.col("p_size") <= 3)
+        j = (
+            li.join(part.hint("merge"), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .count()
+        )
+        p = _plan(j)
+        assert "bloom_filter_agg" in p and "might_contain" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bcast)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

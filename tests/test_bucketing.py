@@ -117,3 +117,62 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert all("event_type=click" in r[0] for r in sel)
     total = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
     assert len(sel) < total and n_types > 1
+
+
+def test_write_zordered_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order contract: a range predicate on the SECOND key alone prunes
+    files (single-key clustering cannot — every file spans that key's
+    full domain).  Verified from the parquet footers, the stats a
+    reader's pruning actually uses."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cloud_ocr_summarizer_spark.sources.layout import (
+        write_clustered,
+        write_zordered,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    single = str(tmp_path / "single")
+    zpath = str(tmp_path / "zorder")
+    write_clustered(events, single, by="user_id", n_files=16)
+    write_zordered(events, zpath, by=("user_id", "event_id"), n_files=16)
+
+    def file_ranges(path, col):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            if mins:
+                out.append((min(mins), max(maxs)))
+        return out
+
+    lo, hi = events.selectExpr(
+        "min(event_id)", "max(event_id)"
+    ).first()
+    # query: bottom ~20% of event_id, no user_id predicate
+    q_hi = lo + (hi - lo) // 5
+
+    def touched(path):
+        rs = file_ranges(path, "event_id")
+        assert len(rs) >= 8
+        return sum(1 for (mn, mx) in rs if mn <= q_hi and mx >= lo), len(rs)
+
+    t_single, n_single = touched(single)
+    t_z, n_z = touched(zpath)
+    assert t_single == n_single  # single-key layout: zero second-dim pruning
+    assert t_z <= n_z // 2  # z-order: the same predicate skips >= half
+
+    # layout must not change content
+    got = spark.read.parquet(zpath)
+    assert got.count() == events.count()
+    assert sorted(got.columns) == sorted(events.columns)

@@ -1990,3 +1990,27 @@ FROM pairs JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1'
 GROUP BY p_brand, p_type, p_size
 """
+
+
+# Grouped-map recursive integer EWMA: DuckDB replays the per-user
+# recursion with WITH RECURSIVE (the construct Spark SQL lacks, just as
+# DuckDB lacks applyInPandas — each engine on its own strength).  Values
+# are non-negative so // (truncation) == floor on both sides.
+ORACLES["events_ewma"] = r"""
+WITH RECURSIVE seqd AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+counts AS (
+  SELECT user_id, max(rn) AS n_events FROM seqd GROUP BY user_id),
+rec AS (
+  SELECT user_id, rn, c AS s FROM seqd WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, (r.s + s.c) // 2
+  FROM rec r JOIN seqd s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT r.user_id, cnt.n_events, r.s AS ewma_cents
+FROM rec r JOIN counts cnt
+  ON r.user_id = cnt.user_id AND r.rn = cnt.n_events
+"""

@@ -2152,3 +2152,18 @@ BATCH_7 = {
     "promo_revenue": q_promo_revenue,
     "supplier_cnt": q_supplier_cnt,
 }
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user recursive integer EWMA — the
+    one sequential-state shape Spark SQL cannot express (no recursion;
+    the per-step floor kills any weighted-sum closed form).  The DuckDB
+    twin replays it with WITH RECURSIVE; integer arithmetic makes the
+    engines bit-equal.  See operators/sequence.py for why this is the
+    engine's single sanctioned per-row-Python loop."""
+    from cloud_ocr_summarizer_spark.operators.sequence import ewma_per_user
+
+    return ewma_per_user(_read(spark, sf_dir, "events"))
+
+
+BATCH_7["events_ewma"] = q_events_ewma

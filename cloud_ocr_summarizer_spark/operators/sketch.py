@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from cloud_ocr_summarizer_spark.functions.hashing import M31, md5_hash31_col
 
-__all__ = ["kmv_distinct", "md5_hash31_col"]
+__all__ = ["kmv_distinct", "md5_hash31_col", "histogram_quantiles"]
 
 _M = M31  # backward-compatible alias
 
@@ -96,4 +96,74 @@ def kmv_distinct(
                 2,
             ).alias("est_distinct"),
         )
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Bounded-state quantile estimation: fixed-width histogram sketch.
+
+    Spark's exact ``percentile`` (q_value_quantiles) buffers every value
+    of a group in one aggregation buffer — O(group size) memory, the
+    kind of state this engine bans at 10^12 rows.  This sketch caps the
+    state at n_bins counters per group, is trivially mergeable
+    (map-side partial counts combine by addition), and is DETERMINISTIC,
+    unlike percentile_approx's merge-order-dependent GK sketch — so the
+    DuckDB oracle reproduces it bit-for-bit.
+
+    Estimate: value domain is min/max-scaled into n_bins equal bins
+    (one tiny global agg, broadcast back); the q-quantile reports the
+    LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(q * n) — error bounded by one bin width of the global range.
+    All boundary arithmetic is identical IEEE ops on both engines.
+
+    Shape: one shuffle on (group, bin) [state n_bins x groups], a
+    per-group cumulative window over <= n_bins rows, one final agg.
+    """
+    span = F.col("_mx") - F.col("_mn")
+    denom = F.greatest(span, F.lit(1e-9))
+    stats = df.agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+    binned = df.crossJoin(F.broadcast(stats)).select(
+        F.col(group_col).alias("grp"),
+        F.least(
+            F.floor((F.col(value_col) - F.col("_mn")) * n_bins / denom),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("grp", "bin").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = counts.select(
+        "grp",
+        "bin",
+        F.sum("c").over(w_cum).alias("cumc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    edge = lambda b: F.round(  # noqa: E731
+        F.col("_mn") + b * (F.col("_mx") - F.col("_mn")) / n_bins, 4
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in quantiles:
+        target = F.ceil(F.lit(q) * F.col("n"))
+        b = F.min(F.when(F.col("cumc") >= target, F.col("bin")))
+        aggs.append(edge(b).alias(f"p{round(q * 100)}_est"))
+    return (
+        cum.crossJoin(F.broadcast(stats))
+        .groupBy(F.col("grp").alias(group_col), "_mn", "_mx")
+        .agg(*aggs)
+        .drop("_mn", "_mx")
     )

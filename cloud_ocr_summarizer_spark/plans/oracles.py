@@ -2014,3 +2014,32 @@ SELECT r.user_id, cnt.n_events, r.s AS ewma_cents
 FROM rec r JOIN counts cnt
   ON r.user_id = cnt.user_id AND r.rn = cnt.n_events
 """
+
+
+# Histogram quantile sketch: identical binning + cumulative-threshold
+# arithmetic (all exact-rounded IEEE ops), so the estimate is bit-equal.
+ORACLES["value_quantiles_sketch"] = r"""
+WITH stats AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+binned AS (
+  SELECT event_type,
+         CAST(least(floor((value - mn) * 1024 / greatest(mx - mn, 1e-9)),
+                    1023) AS INT) AS bin
+  FROM events, stats),
+counts AS (
+  SELECT event_type, bin, count(*) AS c FROM binned GROUP BY event_type, bin),
+cum AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cumc,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM counts)
+SELECT event_type,
+       max(n) AS n,
+       round(mn + min(CASE WHEN cumc >= ceil(0.5 * n) THEN bin END)
+                  * (mx - mn) / 1024, 4) AS p50_est,
+       round(mn + min(CASE WHEN cumc >= ceil(0.9 * n) THEN bin END)
+                  * (mx - mn) / 1024, 4) AS p90_est,
+       round(mn + min(CASE WHEN cumc >= ceil(0.99 * n) THEN bin END)
+                  * (mx - mn) / 1024, 4) AS p99_est
+FROM cum, stats
+GROUP BY event_type, mn, mx
+"""

@@ -2167,3 +2167,17 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["events_ewma"] = q_events_ewma
+
+
+def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state histogram quantile sketch per event type — the
+    10^12-row twin of q_value_quantiles' exact percentile (which buffers
+    whole groups).  Deterministic by construction, so fully
+    value-checked; estimates are bin lower edges (error <= one bin of
+    the global range)."""
+    from cloud_ocr_summarizer_spark.operators.sketch import histogram_quantiles
+
+    return histogram_quantiles(_read(spark, sf_dir, "events"))
+
+
+BATCH_7["value_quantiles_sketch"] = q_value_quantiles_sketch

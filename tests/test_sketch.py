@@ -29,3 +29,40 @@ def test_kmv_partition_invariant(spark):
     a = sorted(map(tuple, kmv_distinct(df.repartition(13), "g", "v").collect()))
     b = sorted(map(tuple, kmv_distinct(df.coalesce(1), "g", "v").collect()))
     assert a == b
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark):
+    """Sketch accuracy contract: the estimate is the LOWER EDGE of the
+    bin holding the ceil(q*n)-th smallest value — so it is bounded by
+    that order statistic from above and by one bin width from below.
+    (Interpolated percentile() is a different convention whose distance
+    from any order statistic is unbounded in a sparse tail — compare
+    against the statistic the sketch actually targets.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.sketch import histogram_quantiles
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_bins = 1024
+    lo, hi = events.agg(F.min("value"), F.max("value")).first()
+    bin_w = (hi - lo) / n_bins
+
+    est = {
+        r["event_type"]: r
+        for r in histogram_quantiles(events, n_bins=n_bins).collect()
+    }
+    vals = {
+        r["event_type"]: r["vs"]
+        for r in events.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vs"))
+        .collect()
+    }
+    assert est.keys() == vals.keys() and len(est) >= 2
+    for et, vs in vals.items():
+        n = len(vs)
+        for q in (0.5, 0.9, 0.99):
+            stat = vs[math.ceil(q * n) - 1]
+            e = est[et][f"p{round(q * 100)}_est"]
+            assert stat - bin_w <= e <= stat + 1e-4, (et, q, e, stat)

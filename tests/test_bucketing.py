@@ -176,3 +176,30 @@ def test_write_zordered_prunes_on_both_dimensions(spark, tmp_path):
     got = spark.read.parquet(zpath)
     assert got.count() == events.count()
     assert sorted(got.columns) == sorted(events.columns)
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """The JVM bit-expression Morton key equals a reference Python
+    interleave on 10k seeded random pairs, and is bijective on them."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.sources.layout import zorder_key_col
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(10_000)]
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x int, y int").select(
+        "x", "y", zorder_key_col(F.col("x"), F.col("y")).alias("z")
+    )
+    rows = df.collect()
+    assert all(r["z"] == ref(r["x"], r["y"]) for r in rows)
+    assert len({r["z"] for r in rows}) == len({(x, y) for x, y in pairs})

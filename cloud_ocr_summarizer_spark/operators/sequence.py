@@ -70,3 +70,52 @@ def ewma_per_user(
     return prepped.groupBy("user_id").applyInPandas(
         fold, schema="user_id long, n_events long, ewma_cents long"
     )
+
+
+def ewma_per_user_arrow(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """applyInArrow twin of ewma_per_user: same rows, no pandas layer.
+
+    One pa.Table per group; sort + fold on the Arrow buffers directly
+    (sort_indices/take), skipping the Arrow->pandas conversion tax the
+    pandas twin pays per group.  Exists for API parity the same way the
+    extraction family ships mapInPandas AND mapInArrow twins.
+    """
+    import pyarrow as pa
+
+    prepped = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+
+    def fold(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            table, sort_keys=[("_ts", "ascending"), ("_tb", "ascending")]
+        )
+        cents = table.column("_cents").take(idx).to_pylist()
+        s = cents[0]
+        for c in cents[1:]:
+            s = (s + c) // 2
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [table.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_events": pa.array([len(cents)], pa.int64()),
+                "ewma_cents": pa.array([s], pa.int64()),
+            }
+        )
+
+    return prepped.groupBy("user_id").applyInArrow(
+        fold, schema="user_id long, n_events long, ewma_cents long"
+    )

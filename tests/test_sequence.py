@@ -48,3 +48,16 @@ def test_ewma_order_is_event_time_not_arrival(spark):
         spark.createDataFrame(rows[::-1], SCHEMA).repartition(3)
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ewma_arrow_twin_matches_pandas(spark):
+    """applyInArrow twin: identical rows to the pandas grouped-map on
+    real data."""
+    from cloud_ocr_summarizer_spark.operators.sequence import (
+        ewma_per_user_arrow,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sorted(map(tuple, ewma_per_user(events).collect()))
+    b = sorted(map(tuple, ewma_per_user_arrow(events).collect()))
+    assert a == b and len(a) > 0

@@ -203,3 +203,18 @@ def test_zorder_key_matches_python_interleave(spark):
     rows = df.collect()
     assert all(r["z"] == ref(r["x"], r["y"]) for r in rows)
     assert len({r["z"] for r in rows}) == len({(x, y) for x, y in pairs})
+
+
+def test_write_zordered_empty_input(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from cloud_ocr_summarizer_spark.sources.layout import write_zordered
+
+    schema = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("y", T.LongType())]
+    )
+    out = str(tmp_path / "z_empty")
+    write_zordered(
+        spark.createDataFrame([], schema), out, by=("x", "y"), n_files=4
+    )
+    assert spark.read.parquet(out).count() == 0

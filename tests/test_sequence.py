@@ -61,3 +61,8 @@ def test_ewma_arrow_twin_matches_pandas(spark):
     a = sorted(map(tuple, ewma_per_user(events).collect()))
     b = sorted(map(tuple, ewma_per_user_arrow(events).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ewma_empty_input(spark):
+    empty = spark.createDataFrame([], SCHEMA)
+    assert ewma_per_user(empty).count() == 0

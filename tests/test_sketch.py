@@ -66,3 +66,25 @@ def test_histogram_quantiles_within_one_bin_of_exact(spark):
             stat = vs[math.ceil(q * n) - 1]
             e = est[et][f"p{round(q * 100)}_est"]
             assert stat - bin_w <= e <= stat + 1e-4, (et, q, e, stat)
+
+
+def test_histogram_quantiles_empty_and_constant(spark):
+    """Empty input -> empty output; a constant column (zero span) must
+    not divide by zero and reports the constant for every quantile."""
+    from pyspark.sql import types as T
+
+    from cloud_ocr_summarizer_spark.operators.sketch import histogram_quantiles
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    assert histogram_quantiles(spark.createDataFrame([], schema)).count() == 0
+
+    const = spark.createDataFrame([("a", 5.0)] * 7 + [("b", 5.0)], schema)
+    rows = {r["event_type"]: r for r in histogram_quantiles(const).collect()}
+    assert rows["a"]["n"] == 7 and rows["b"]["n"] == 1
+    for r in rows.values():
+        assert r["p50_est"] == r["p90_est"] == r["p99_est"] == 5.0

@@ -166,13 +166,16 @@ def derive_doc_languages(docs: DataFrame) -> DataFrame:
     )
 
 
-def derive_spans_from_documents(docs: DataFrame) -> DataFrame:
+def derive_spans_from_documents(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """documents(doc_id, text, ...) -> (doc_id, spans) interleaved table.
 
     Deterministic word-chunk interleaver (config: SPAN_WORDS_PER_CHUNK words
     per span, every MEDIA_EVERY-th span of doc d — phase d*31 — is media).
     Mirrored 1:1 by the DuckDB SQL in __spark_entry__.oracle_sql, so keep
-    the two in lockstep when editing.
+    the two in lockstep when editing.  ``keep`` carries extra document
+    columns (e.g. ``source``) through as-is — a projection, not a join, so
+    operators that need doc metadata alongside spans never pay a doc_id
+    re-join shuffle.
     """
     k = config.SPAN_WORDS_PER_CHUNK
     words = whitespace_tokens_col(F.col("text"))
@@ -212,4 +215,6 @@ def derive_spans_from_documents(docs: DataFrame) -> DataFrame:
     spans = F.when(n_spans > 0, F.transform(
         F.sequence(F.lit(0).cast("int"), n_spans - 1), make_span
     )).otherwise(empty)
-    return docs.select(d.alias("doc_id"), spans.alias("spans"))
+    return docs.select(
+        d.alias("doc_id"), spans.alias("spans"), *[F.col(c) for c in keep]
+    )

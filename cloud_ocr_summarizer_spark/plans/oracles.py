@@ -2043,3 +2043,49 @@ SELECT event_type,
 FROM cum, stats
 GROUP BY event_type, mn, mx
 """
+
+
+# boilerplate removal: mirror operators/boilerplate.py — per-source df of
+# md5(lower(trim(text))) over DISTINCT docs, drop TEXT spans whose
+# fingerprint reaches min_df=2, renumber seq in offset order.
+ORACLES["boilerplate_removal"] = SPANS_CTE + r"""
+, __src AS (
+  SELECT s.doc_id, d.source, s.off, s.kind, s.text, s.media_ref
+  FROM __spans s JOIN documents d USING (doc_id)
+), __fps AS (
+  SELECT DISTINCT source, md5(lower(trim(text))) AS fp, doc_id
+  FROM __src WHERE kind = 'TEXT' AND text IS NOT NULL
+), __dict AS (
+  SELECT source, fp FROM __fps GROUP BY source, fp HAVING count(*) >= 2
+), __kept AS (
+  SELECT doc_id, off, kind, text, media_ref
+  FROM __src s
+  WHERE NOT (kind = 'TEXT' AND EXISTS (
+    SELECT 1 FROM __dict d
+    WHERE d.source = s.source AND d.fp = md5(lower(trim(s.text)))))
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) AS INT) AS seq,
+       kind, text, media_ref, off AS "offset"
+FROM __kept
+"""
+
+ORACLES["boilerplate_audit"] = SPANS_CTE + r"""
+, __src AS (
+  SELECT s.doc_id, d.source, s.kind, s.text
+  FROM __spans s JOIN documents d USING (doc_id)
+), __fps AS (
+  SELECT DISTINCT source, md5(lower(trim(text))) AS fp, doc_id
+  FROM __src WHERE kind = 'TEXT' AND text IS NOT NULL
+), __rk AS (
+  SELECT source, fp, df,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY df DESC, fp ASC) AS rk
+  FROM (SELECT source, fp, count(*) AS df
+        FROM __fps GROUP BY source, fp HAVING count(*) >= 2)
+)
+SELECT 'boilerplate_dict' AS cap_name, CAST(2 AS INT) AS cap_value,
+       count(*) AS dropped_groups,
+       CAST(coalesce(sum(df), 0) AS BIGINT) AS dropped_rows
+FROM __rk WHERE rk > 2
+"""

@@ -2181,3 +2181,41 @@ def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["value_quantiles_sketch"] = q_value_quantiles_sketch
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate span removal (CCNet/RefinedWeb-style
+    line-dedup adapted to the interleaved spans table): a TEXT span whose
+    normalized content appears in >= 2 distinct docs of the same source
+    is boilerplate and is dropped; survivors are renumbered in offset
+    order.  Corpus is never shuffled — the fingerprint dictionary is one
+    agg over hashes, broadcast back as one row per source (see
+    operators/boilerplate.py docstring for the 100 TB plan)."""
+    from cloud_ocr_summarizer_spark.operators.boilerplate import (
+        remove_boilerplate_spans,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_boilerplate_spans(
+        derive_spans_from_documents(docs, keep=("source",)), min_df=2
+    )
+
+
+BATCH_7["boilerplate_removal"] = q_boilerplate_removal
+
+
+def q_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-drop audit for the boilerplate dictionary: max_dict tightened
+    to 2 so the rank cap fires at test tiers and the audit row is
+    value-checked nonzero — caps never fire silently."""
+    from cloud_ocr_summarizer_spark.operators.boilerplate import (
+        boilerplate_drop_audit,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return boilerplate_drop_audit(
+        derive_spans_from_documents(docs, keep=("source",)), min_df=2, max_dict=2
+    )
+
+
+BATCH_7["boilerplate_audit"] = q_boilerplate_audit

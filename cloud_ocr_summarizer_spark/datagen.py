@@ -218,3 +218,42 @@ def derive_spans_from_documents(docs: DataFrame, keep: tuple[str, ...] = ()) -> 
     return docs.select(
         d.alias("doc_id"), spans.alias("spans"), *[F.col(c) for c in keep]
     )
+
+
+def derive_html_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, html): deterministic tag-soup wrapper.
+
+    The document's words are the ONLY non-boilerplate text, split across
+    two <p> blocks with head/nav/header/aside/footer/script/style
+    boilerplate around and between them — so a correct DOM strip
+    (operators/dom.py) must reproduce exactly the whitespace-normalized
+    original text.  The DuckDB oracle therefore computes the expected
+    output from documents.text directly: the value check is a full
+    synthesize->tokenize->strip->reassemble round trip.
+    """
+    d = F.col("doc_id")
+    words = whitespace_tokens_col(F.col("text"))
+    n = F.size(words)
+    half = F.ceil(n / F.lit(2)).cast("int")
+    p1 = F.array_join(F.slice(words, F.lit(1), half), " ")
+    p2 = F.when(
+        n > half, F.array_join(F.slice(words, half + 1, n - half), " ")
+    ).otherwise(F.lit(""))
+    src = F.coalesce(F.col("source"), F.lit("unknown"))
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        d.cast("string"),
+        F.lit('</title><script>var x=1;</script><style>p { color: red; }'
+              '</style></head>\n<body><header><h1>Site '),
+        src,
+        F.lit('</h1></header><nav><a href="http://nav/home">Home</a> '
+              '<a href="http://nav/about">About</a></nav>'
+              '<!-- begin content --><div class="main"><p>'),
+        p1,
+        F.lit('</p><aside>Sponsored http://spam.example <b>ads</b></aside><p>'),
+        p2,
+        F.lit('</p><br/></div><footer>(c) 2026 '),
+        src,
+        F.lit('</footer></body></html>'),
+    )
+    return docs.select(d.alias("doc_id"), html.alias("html"))

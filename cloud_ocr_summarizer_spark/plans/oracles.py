@@ -2089,3 +2089,21 @@ SELECT 'boilerplate_dict' AS cap_name, CAST(2 AS INT) AS cap_value,
        CAST(coalesce(sum(df), 0) AS BIGINT) AS dropped_rows
 FROM __rk WHERE rk > 2
 """
+
+
+# DOM strip round trip: the HTML synthesizer's only non-boilerplate text
+# is the document's own words, so the expected main_text is simply the
+# whitespace-normalized original — computed here without any HTML.
+_HTML_MAIN = (
+    r"""
+SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> ''), ' ') AS main_text,
+       CAST("""
+    + _TOKENS.format(col="text")
+    + r""" AS INT) AS n_tokens
+FROM documents
+"""
+)
+ORACLES["html_main_content"] = _HTML_MAIN
+ORACLES["html_main_content_simple"] = _HTML_MAIN

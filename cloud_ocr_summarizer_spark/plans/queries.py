@@ -2219,3 +2219,36 @@ def q_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["boilerplate_audit"] = q_boilerplate_audit
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM tokenize + boilerplate strip, canonical vectorized path: every
+    document's words are wrapped in a deterministic HTML template (head/
+    nav/header/aside/footer/script/style boilerplate around two <p>
+    blocks), then the Arrow-batched tokenizer rebuilds the main content
+    via per-container depth counters (operators/dom.py).  The oracle
+    computes the expected text straight from documents.text — the value
+    check is a full synthesize->parse->strip round trip."""
+    from cloud_ocr_summarizer_spark.datagen import derive_html_from_documents
+    from cloud_ocr_summarizer_spark.operators.dom import extract_html_main
+
+    return extract_html_main(
+        derive_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["html_main_content"] = q_html_main_content
+
+
+def q_html_main_content_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-regex twin of html_main_content (zero Python, WholeStageCodegen
+    end to end); golden-equal on non-nested containers — same oracle."""
+    from cloud_ocr_summarizer_spark.datagen import derive_html_from_documents
+    from cloud_ocr_summarizer_spark.operators.dom import extract_html_main_simple
+
+    return extract_html_main_simple(
+        derive_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["html_main_content_simple"] = q_html_main_content_simple

@@ -2107,3 +2107,53 @@ FROM documents
 )
 ORACLES["html_main_content"] = _HTML_MAIN
 ORACLES["html_main_content_simple"] = _HTML_MAIN
+
+
+# Layout parse twins (operators/layout.py): the same integer-milli
+# two-column geometry, gap segmentation, and newspaper reading order,
+# re-derived in SQL.  Everything is integer arithmetic, so the value
+# check is exact in both engines.
+_LAYOUT_BLOCKS_CTES = SPANS_CTE + r"""
+, __r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1
+              AS BIGINT) AS k,
+         coalesce(text, media_ref) AS repr
+  FROM __spans
+), __g AS (
+  SELECT doc_id, repr,
+         CAST(k % 2 AS INT) AS col,
+         CAST((k // 2) // 9 AS INT) AS page,
+         ((k // 2) % 9) * 60 + (((k // 2) % 9) // 3) * 50 AS y0
+  FROM __r
+), __b AS (
+  SELECT *, y0 + 40 AS y1,
+         CASE WHEN lag(y0 + 40) OVER w IS NULL
+                   OR y0 - lag(y0 + 40) OVER w > 50
+              THEN 1 ELSE 0 END AS opens
+  FROM __g WINDOW w AS (PARTITION BY doc_id, page, col ORDER BY y0)
+), __bb AS (
+  SELECT *, CAST(sum(opens) OVER (PARTITION BY doc_id, page, col ORDER BY y0
+                                  ROWS UNBOUNDED PRECEDING) AS INT) AS block_id
+  FROM __b
+), __blocks AS (
+  SELECT doc_id, page, col, block_id,
+         CAST(min(y0) AS INT) AS y_top,
+         CAST(max(y1) AS INT) AS y_bottom,
+         CAST(count(*) AS INT) AS span_cnt,
+         string_agg(repr, ' ' ORDER BY y0) AS block_text
+  FROM __bb GROUP BY doc_id, page, col, block_id
+)
+"""
+
+ORACLES["layout_blocks"] = _LAYOUT_BLOCKS_CTES + r"""
+SELECT * FROM __blocks
+"""
+
+ORACLES["layout_reading_order"] = _LAYOUT_BLOCKS_CTES + r"""
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY page, col, y_top) AS INT) AS reading_seq,
+       page, col, block_text
+FROM __blocks
+"""

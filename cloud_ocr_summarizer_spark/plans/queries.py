@@ -2252,3 +2252,44 @@ def q_html_main_content_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["html_main_content_simple"] = q_html_main_content_simple
+
+
+def _layout_blocks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_ocr_summarizer_spark.operators.layout import (
+        block_rollup,
+        derive_two_column_geometry,
+        segment_blocks,
+    )
+
+    rows = extract_span_rows(_documents_spans(spark, sf_dir))
+    return block_rollup(segment_blocks(derive_two_column_geometry(rows)))
+
+
+def q_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout parse stage 1 — block segmentation (operators/layout.py):
+    deterministic two-column integer-milli geometry over the flagship
+    span rows, gap-threshold segmentation per (doc, page, column), one
+    hash-agg rollup per block with text assembled in top-down order.
+    The reference receives blocks pre-segmented from the Vision API
+    (vision_processor.py:226-269); this operator RECOVERS them from raw
+    span geometry.  One shuffle, keyed (doc_id, page, col)."""
+    return _layout_blocks_df(spark, sf_dir)
+
+
+BATCH_7["layout_blocks"] = q_layout_blocks
+
+
+def q_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout parse stage 2 — newspaper reading order: blocks ordered
+    page -> column -> top-down, numbered per document.  For two-column
+    pages this genuinely differs from byte-offset order (spans alternate
+    columns in offset order), which is exactly what a layout parser
+    exists to fix."""
+    from cloud_ocr_summarizer_spark.operators.layout import assemble_reading_order
+
+    return assemble_reading_order(_layout_blocks_df(spark, sf_dir)).select(
+        "doc_id", "reading_seq", "page", "col", "block_text"
+    )
+
+
+BATCH_7["layout_reading_order"] = q_layout_reading_order

@@ -110,3 +110,65 @@ def pack_sequences(
 
 
 __all__ = ["hash_sample", "pack_sequences", "M31"]
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping fixed-token context windows.
+
+    The complement of :func:`pack_sequences`: packing fills a token
+    budget with whole SHORT documents; chunking SPLITS a long document
+    into training windows of ``chunk_tokens`` whitespace tokens whose
+    starts advance by ``stride`` (overlap = chunk_tokens - stride keeps
+    boundary context in two windows, the standard pretraining treatment
+    of >context-length docs).
+
+    Chunk count: 1 when n <= chunk_tokens, else
+    1 + ceil((n - chunk_tokens) / stride) — full coverage, every token
+    in >=1 chunk, last chunk length in (chunk_tokens - stride,
+    chunk_tokens].  All integer arithmetic.
+
+    Scale: tokenize + sequence + posexplode + slice, all JVM expressions
+    inside one codegen stage; zero shuffles, zero Python.  Output rows
+    ~= corpus_tokens / stride — linear in input bytes regardless of how
+    skewed individual document lengths are (a 1 GB document becomes
+    ~300k independent rows, not one straggler task's private problem).
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        (F.lit(1) + F.floor((n - chunk_tokens + stride - 1) / stride)).cast("int")
+    )
+    base = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        n.alias("n_tokens"),
+        n_chunks.alias("n_chunks"),
+    )
+    start = F.col("chunk_id") * stride  # 0-based token start
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_id", "_i"
+        ),
+        "_toks",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "n_chunks",
+        F.least(F.lit(chunk_tokens), F.col("n_tokens") - start)
+        .cast("int")
+        .alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("_toks"), start + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+    )

@@ -2157,3 +2157,25 @@ SELECT doc_id,
        page, col, block_text
 FROM __blocks
 """
+
+
+# Context-window chunking twin (operators/sampling.chunk_documents):
+# same 64/48 window arithmetic, all integer, list-slice mirrored.
+ORACLES["chunk_documents"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 64 THEN 1
+              ELSE CAST(1 + (len(toks) - 64 + 47) // 48 AS INT) END AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(n_chunks AS INT) AS n_chunks,
+       CAST(least(64, n - i * 48) AS INT) AS chunk_len,
+       array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+FROM (SELECT *, unnest(range(n_chunks)) AS i FROM c)
+"""

@@ -2293,3 +2293,17 @@ def q_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["layout_reading_order"] = q_layout_reading_order
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/sampling.chunk_documents):
+    every document split into 64-token windows advancing by 48 (16-token
+    overlap), the standard pretraining treatment of longer-than-context
+    documents.  Zero shuffles, zero Python — one codegen stage of
+    tokenize + sequence + posexplode + slice."""
+    from cloud_ocr_summarizer_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(_read(spark, sf_dir, "documents"))
+
+
+BATCH_7["chunk_documents"] = q_chunk_documents

@@ -100,3 +100,46 @@ def test_hash_sample_empty_fractions_raises(spark):
     docs = spark.createDataFrame([(1, "s0")], "doc_id int, source string")
     with _pytest.raises(ValueError, match="at least one stratum"):
         hash_sample(docs, stratum_col="source", fractions={})
+
+
+def test_chunk_documents_boundaries(spark):
+    import pytest as _pytest
+
+    from cloud_ocr_summarizer_spark.operators.sampling import chunk_documents
+
+    def doc(i, n):
+        return (i, " ".join(f"w{k}" for k in range(n)))
+
+    # n=10 (< chunk), n=64 (== chunk), n=65 (one past), n=160 (3 chunks)
+    docs = spark.createDataFrame(
+        [doc(1, 10), doc(2, 64), doc(3, 65), doc(4, 160)],
+        "doc_id int, text string",
+    )
+    rows = chunk_documents(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r.chunk_id)
+
+    assert [len(by_doc[d]) for d in (1, 2, 3, 4)] == [1, 1, 2, 3]
+    assert by_doc[1][0].chunk_len == 10
+    assert by_doc[2][0].chunk_len == 64
+    # 65 tokens: chunk 0 = tokens 0..63, chunk 1 = tokens 48..64 (17)
+    assert [r.chunk_len for r in by_doc[3]] == [64, 17]
+    assert by_doc[3][1].chunk_text.split() == [f"w{k}" for k in range(48, 65)]
+    # 160 tokens: starts 0, 48, 96; last covers through token 159
+    assert [r.chunk_len for r in by_doc[4]] == [64, 64, 64]
+    assert by_doc[4][2].chunk_text.split()[-1] == "w159"
+    # overlap: each chunk's first 16 tokens repeat the previous one's tail
+    c0, c1 = by_doc[4][0].chunk_text.split(), by_doc[4][1].chunk_text.split()
+    assert c0[-16:] == c1[:16]
+    # full coverage of every token for every doc
+    for d, n in ((1, 10), (2, 64), (3, 65), (4, 160)):
+        seen = set()
+        for r in by_doc[d]:
+            seen.update(r.chunk_text.split())
+        assert seen == {f"w{k}" for k in range(n)}
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=32, stride=40)

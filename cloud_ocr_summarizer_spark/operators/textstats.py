@@ -303,3 +303,49 @@ def redact_pii(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         )
         current = F.regexp_replace(current, pattern, token)
     return out.select("doc_id", current.alias("redacted"), *counts)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1024,
+) -> DataFrame:
+    """Corpus vocabulary induction + per-document OOV accounting.
+
+    Derives the top-``vocab_size`` lowercase tokens by corpus frequency
+    (ties broken lexicographically, so the vocabulary is deterministic
+    in any engine) and scores every document's coverage against it:
+    (n_tokens, n_oov, oov_permille).  The permille is integer floor
+    division — no float ratio crosses the engine boundary.
+
+    Scale: the vocabulary is one wordcount shuffle + a distributed
+    top-k (orderBy+limit = TakeOrdered, never a global sort), bounded
+    at ``vocab_size`` rows INDEPENDENT of corpus size — so the join
+    back is always broadcast.  The per-doc rollup is one shuffle keyed
+    by doc id.  Two passes over the token stream (one to build the
+    vocabulary, one to score) is inherent to the semantics; both are
+    map-side-partial aggregations.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("term"),
+    )
+    vocab = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    scored = words.join(F.broadcast(vocab), "term", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.floor(oov * 1000 / n).cast("int").alias("oov_permille"),
+    )

@@ -2179,3 +2179,25 @@ SELECT doc_id,
        array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
 FROM (SELECT *, unnest(range(n_chunks)) AS i FROM c)
 """
+
+
+# Vocabulary induction + OOV twin (operators/textstats.vocab_coverage).
+ORACLES["vocab_coverage"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), v AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM w GROUP BY term
+  ) ORDER BY n DESC, term ASC LIMIT 1024
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000
+            // count(*) AS INT) AS oov_permille
+FROM w LEFT JOIN v ON w.term = v.term
+GROUP BY w.doc_id
+"""

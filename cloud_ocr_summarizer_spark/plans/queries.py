@@ -2307,3 +2307,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["chunk_documents"] = q_chunk_documents
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + per-doc OOV rate
+    (operators/textstats.vocab_coverage): top-1024 corpus tokens become
+    the vocabulary (deterministic ties), every document scored for
+    out-of-vocabulary tokens.  Vocabulary size is corpus-independent so
+    the scoring join is always broadcast."""
+    from cloud_ocr_summarizer_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_read(spark, sf_dir, "documents"))
+
+
+BATCH_7["vocab_coverage"] = q_vocab_coverage

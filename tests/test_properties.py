@@ -78,3 +78,32 @@ def test_rollup_contract(texts):
         assert out == "\n".join(contributing)
     else:
         assert out is None
+
+
+def test_vocab_coverage_model(spark):
+    """vocab_coverage vs a pure-Python model on a corpus where the
+    vocabulary cut and ties both matter."""
+    from collections import Counter
+
+    from cloud_ocr_summarizer_spark.operators.textstats import vocab_coverage
+
+    texts = {
+        1: "a a a b b c rare1",
+        2: "b c c d rare2 rare2",
+        3: "a d d d e",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id int, text string"
+    )
+    cnt = Counter(w for t in texts.values() for w in t.split())
+    vocab = {
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_permille)
+        for r in vocab_coverage(docs, vocab_size=4).collect()
+    }
+    for d, t in texts.items():
+        ws = t.split()
+        oov = sum(1 for w in ws if w not in vocab)
+        assert got[d] == (len(ws), oov, oov * 1000 // len(ws)), (d, vocab)

@@ -112,6 +112,21 @@ def main() -> int:
     )
     # q9: text analysis battery (trigram language ID + profile) on documents
     timed("q9_language_id", lambda: _force(Q.q_language_id_ngram(spark, sf_dir)))
+    # q10: HTML DOM tokenize + boilerplate-container strip (north-star
+    # "HTML boilerplate strip" path; Arrow-batched tokenizer)
+    timed("q10_html_main_content", lambda: _force(Q.q_html_main_content(spark, sf_dir)))
+    # q11: layout parse — block segmentation + newspaper reading order
+    timed(
+        "q11_layout_reading_order",
+        lambda: _force(Q.q_layout_reading_order(spark, sf_dir)),
+    )
+    # q11b: zero-shuffle fused row-local twin of q11
+    timed(
+        "q11b_layout_rowlocal",
+        lambda: _force(Q.q_layout_reading_order_rowlocal(spark, sf_dir)),
+    )
+    # q12: context-window chunking (64/48 overlapping training windows)
+    timed("q12_chunk_documents", lambda: _force(Q.q_chunk_documents(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)

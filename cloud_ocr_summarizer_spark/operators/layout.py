@@ -132,3 +132,96 @@ def assemble_reading_order(block_rows: DataFrame) -> DataFrame:
     return block_rows.withColumn(
         "reading_seq", F.row_number().over(w).cast("int")
     )
+
+
+_BLOCK_ACC_TYPE = (
+    "ARRAY<STRUCT<page:INT,col:INT,y_top:INT,y_bottom:INT,"
+    "span_cnt:INT,block_text:STRING>>"
+)
+
+
+def reading_order_rowlocal(
+    extracted: DataFrame,
+    *,
+    spans_col: str = "spans_out",
+    gap_threshold: int = GAP_THRESHOLD,
+) -> DataFrame:
+    """Fused row-local twin of the segment/rollup/reading-order chain.
+
+    When layout parse runs directly downstream of extraction, every
+    document's ordered span array is already complete in ONE row — so
+    geometry, gap segmentation, and newspaper ordering are a transform
+    + array_sort + one aggregate fold, and the whole parse is a single
+    zero-shuffle codegen stage.  Same output contract and oracle as
+    ``assemble_reading_order`` over the flat path; use the flat
+    operators when spans arrive pre-flattened.
+
+    The fold's accumulator holds at most blocks-per-doc entries
+    (hundreds) and each step touches only the LAST entry — O(spans)
+    per document with O(blocks) state.
+    """
+
+    def geo(s, k):
+        r_global = F.floor(k / 2).cast("long")
+        r = (r_global % PAGE_ROWS).cast("long")
+        y0 = (r * ROW_PITCH + F.floor(r / BLOCK_ROWS).cast("long") * BLOCK_EXTRA_GAP)
+        return F.struct(
+            F.floor(r_global / PAGE_ROWS).cast("int").alias("page"),
+            (k % 2).cast("int").alias("col"),
+            y0.cast("int").alias("y0"),
+            (y0 + ROW_HEIGHT).cast("int").alias("y1"),
+            F.coalesce(s["text"], s["media_ref"]).alias("repr"),
+        )
+
+    def fold(acc, s):
+        last = F.element_at(acc, -1)
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    s["page"].alias("page"),
+                    s["col"].alias("col"),
+                    last["y_top"].alias("y_top"),
+                    s["y1"].alias("y_bottom"),
+                    (last["span_cnt"] + 1).alias("span_cnt"),
+                    F.concat_ws(" ", last["block_text"], s["repr"]).alias(
+                        "block_text"
+                    ),
+                )
+            ),
+        )
+        opened = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["page"].alias("page"),
+                    s["col"].alias("col"),
+                    s["y0"].alias("y_top"),
+                    s["y1"].alias("y_bottom"),
+                    F.lit(1).alias("span_cnt"),
+                    s["repr"].alias("block_text"),
+                )
+            ),
+        )
+        same_block = (
+            (F.size(acc) > 0)
+            & (last["page"] == s["page"])
+            & (last["col"] == s["col"])
+            & (s["y0"] - last["y_bottom"] <= gap_threshold)
+        )
+        return F.when(same_block, merged).otherwise(opened)
+
+    blocks = F.aggregate(
+        F.array_sort(F.transform(F.col(spans_col), geo)),
+        F.expr(f"CAST(array() AS {_BLOCK_ACC_TYPE})"),
+        fold,
+    )
+    return extracted.select(
+        "doc_id", F.posexplode(blocks).alias("pos", "b")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("reading_seq"),
+        F.col("b.page").alias("page"),
+        F.col("b.col").alias("col"),
+        F.col("b.block_text").alias("block_text"),
+    )

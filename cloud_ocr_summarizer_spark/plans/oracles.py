@@ -2201,3 +2201,5 @@ SELECT w.doc_id,
 FROM w LEFT JOIN v ON w.term = v.term
 GROUP BY w.doc_id
 """
+
+ORACLES["layout_reading_order_rowlocal"] = ORACLES["layout_reading_order"]

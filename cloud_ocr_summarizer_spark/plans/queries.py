@@ -2321,3 +2321,19 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["vocab_coverage"] = q_vocab_coverage
+
+
+def q_layout_reading_order_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle fused twin of layout_reading_order
+    (operators/layout.reading_order_rowlocal): geometry, gap
+    segmentation, and newspaper ordering computed per document from its
+    complete span array — transform + array_sort + one aggregate fold in
+    a single codegen stage.  Same oracle as the flat two-shuffle path."""
+    from cloud_ocr_summarizer_spark.operators.layout import reading_order_rowlocal
+
+    return reading_order_rowlocal(
+        extract_spans(_documents_spans(spark, sf_dir), with_stats=False)
+    )
+
+
+BATCH_7["layout_reading_order_rowlocal"] = q_layout_reading_order_rowlocal

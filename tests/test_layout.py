@@ -118,3 +118,30 @@ def test_layout_partitioning_invariance(spark):
         )
 
     assert run(rows.repartition(7)) == run(rows.coalesce(1))
+
+
+def test_rowlocal_twin_equals_flat_path(spark):
+    """reading_order_rowlocal must be row-for-row identical to the
+    segment/rollup/assemble chain on the same extracted spans."""
+    from cloud_ocr_summarizer_spark.datagen import derive_spans_from_documents
+    from cloud_ocr_summarizer_spark.operators.extract import (
+        extract_span_rows,
+        extract_spans,
+    )
+    from cloud_ocr_summarizer_spark.operators.layout import reading_order_rowlocal
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"d{d}w{k}" for k in range(5 + (d * 7) % 90)))
+         for d in range(1, 40)],
+        "doc_id long, text string",
+    )
+    spans = derive_spans_from_documents(docs)
+    flat = assemble_reading_order(
+        block_rollup(segment_blocks(derive_two_column_geometry(
+            extract_span_rows(spans)
+        )))
+    ).select("doc_id", "reading_seq", "page", "col", "block_text")
+    fused = reading_order_rowlocal(extract_spans(spans, with_stats=False))
+    a = sorted(map(tuple, flat.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b and len(a) > 40

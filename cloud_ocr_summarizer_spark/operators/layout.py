@@ -140,26 +140,15 @@ _BLOCK_ACC_TYPE = (
 )
 
 
-def reading_order_rowlocal(
-    extracted: DataFrame,
-    *,
-    spans_col: str = "spans_out",
-    gap_threshold: int = GAP_THRESHOLD,
-) -> DataFrame:
-    """Fused row-local twin of the segment/rollup/reading-order chain.
-
-    When layout parse runs directly downstream of extraction, every
-    document's ordered span array is already complete in ONE row — so
-    geometry, gap segmentation, and newspaper ordering are a transform
-    + array_sort + one aggregate fold, and the whole parse is a single
-    zero-shuffle codegen stage.  Same output contract and oracle as
-    ``assemble_reading_order`` over the flat path; use the flat
-    operators when spans arrive pre-flattened.
-
-    The fold's accumulator holds at most blocks-per-doc entries
-    (hundreds) and each step touches only the LAST entry — O(spans)
-    per document with O(blocks) state.
-    """
+def blocks_rowlocal_col(
+    spans_col: str = "spans_out", *, gap_threshold: int = GAP_THRESHOLD
+) -> Column:
+    """Reading-ordered block array, computed per document from its
+    complete span array: transform (geometry) + array_sort (newspaper
+    order) + one aggregate fold (gap segmentation).  Shared by
+    :func:`reading_order_rowlocal` and the doc-level summary so the two
+    cannot diverge.  The fold touches only the LAST accumulator entry —
+    O(spans) work, O(blocks) state per document."""
 
     def geo(s, k):
         r_global = F.floor(k / 2).cast("long")
@@ -211,11 +200,29 @@ def reading_order_rowlocal(
         )
         return F.when(same_block, merged).otherwise(opened)
 
-    blocks = F.aggregate(
+    return F.aggregate(
         F.array_sort(F.transform(F.col(spans_col), geo)),
         F.expr(f"CAST(array() AS {_BLOCK_ACC_TYPE})"),
         fold,
     )
+
+
+def reading_order_rowlocal(
+    extracted: DataFrame,
+    *,
+    spans_col: str = "spans_out",
+    gap_threshold: int = GAP_THRESHOLD,
+) -> DataFrame:
+    """Fused row-local twin of the segment/rollup/reading-order chain.
+
+    When layout parse runs directly downstream of extraction, every
+    document's ordered span array is already complete in ONE row — so
+    the whole parse is a single zero-shuffle codegen stage
+    (:func:`blocks_rowlocal_col`).  Same output contract and oracle as
+    ``assemble_reading_order`` over the flat path; use the flat
+    operators when spans arrive pre-flattened.
+    """
+    blocks = blocks_rowlocal_col(spans_col, gap_threshold=gap_threshold)
     return extracted.select(
         "doc_id", F.posexplode(blocks).alias("pos", "b")
     ).select(

@@ -2203,3 +2203,32 @@ GROUP BY w.doc_id
 """
 
 ORACLES["layout_reading_order_rowlocal"] = ORACLES["layout_reading_order"]
+
+
+# Composed web-extraction pipeline (plans/extract_web.py): DOM strip +
+# span stats + layout parse joined per document.  Reuses the exact CTEs
+# of the single-operator oracles so the composition cannot diverge from
+# the pieces it is built from.
+ORACLES["extract_web"] = _LAYOUT_BLOCKS_CTES + r"""
+, __span_stats AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_spans,
+         CAST(sum(CASE WHEN media_ref IS NOT NULL THEN 1 ELSE 0 END)
+              AS INT) AS n_media
+  FROM __spans GROUP BY doc_id
+), __block_stats AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_blocks,
+         min(CASE WHEN rk = 1 THEN block_text END) AS first_block
+  FROM (SELECT doc_id, block_text,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY page, col, y_top) AS rk
+        FROM __blocks)
+  GROUP BY doc_id
+), __dom AS (""" + _HTML_MAIN + r""")
+SELECT d.doc_id, d.main_text, d.n_tokens,
+       s.n_spans, s.n_media, b.n_blocks, b.first_block
+FROM __dom d
+JOIN __span_stats s USING (doc_id)
+JOIN __block_stats b USING (doc_id)
+"""

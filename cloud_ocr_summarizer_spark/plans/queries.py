@@ -2337,3 +2337,17 @@ def q_layout_reading_order_rowlocal(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 BATCH_7["layout_reading_order_rowlocal"] = q_layout_reading_order_rowlocal
+
+
+def q_extract_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule pipeline composed as ONE job
+    (plans/extract_web.py): DOM boilerplate strip (Arrow branch) +
+    row-local span extraction / kind tagging / layout parse (JVM
+    branch), joined 1:1 on doc_id — the equi-join is the only shuffle.
+    One output row per document."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import extract_web_documents
+
+    return extract_web_documents(_read(spark, sf_dir, "documents"))
+
+
+BATCH_7["extract_web"] = q_extract_web

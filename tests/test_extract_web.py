@@ -1,0 +1,68 @@
+"""Composed web-extraction pipeline (plans/extract_web.py): the
+north-rule job as one call — DOM strip + span extraction + layout parse
+joined per document.  The DuckDB oracle (plans/oracles.py
+``extract_web``) covers cross-engine values; these tests pin the
+composition against its own single-operator branches and the plan shape.
+"""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _web(spark):
+    from cloud_ocr_summarizer_spark.plans.extract_web import extract_web_documents
+
+    return extract_web_documents(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+
+
+def test_one_row_per_document_and_branch_consistency(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    web = _web(spark).cache()
+    try:
+        assert web.count() == docs.count()
+
+        # DOM branch identical to the standalone query
+        from cloud_ocr_summarizer_spark.plans import queries as Q
+
+        dom = Q.q_html_main_content(spark, SF)
+        assert (
+            web.select("doc_id", "main_text", "n_tokens")
+            .exceptAll(dom.select(F.col("doc_id").cast("long"), "main_text", "n_tokens"))
+            .count()
+            == 0
+        )
+
+        # layout branch consistent with the standalone reading-order twin
+        ro = (
+            Q.q_layout_reading_order_rowlocal(spark, SF)
+            .groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+            .agg(
+                F.count("*").cast("int").alias("n_blocks"),
+                F.min(F.when(F.col("reading_seq") == 1, F.col("block_text"))).alias(
+                    "first_block"
+                ),
+            )
+        )
+        assert (
+            web.select("doc_id", "n_blocks", "first_block").exceptAll(ro).count() == 0
+        )
+
+        # media tagging: every document interleaves media spans
+        row = web.agg(
+            F.min("n_media").alias("lo"), F.max("n_spans").alias("hi")
+        ).first()
+        assert row["lo"] >= 0 and row["hi"] > 0
+    finally:
+        web.unpersist()
+
+
+def test_extract_web_single_join_is_only_shuffle(spark):
+    """Both branches are map stages; the 1:1 doc_id equi-join is the
+    pipeline's only shuffle boundary (one Exchange per join side), and
+    nothing reintroduces a Window sort."""
+    p = _web(spark)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") <= 2
+    assert "Window" not in p

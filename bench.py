@@ -127,6 +127,10 @@ def main() -> int:
     )
     # q12: context-window chunking (64/48 overlapping training windows)
     timed("q12_chunk_documents", lambda: _force(Q.q_chunk_documents(spark, sf_dir)))
+    # q13: the north-rule pipeline composed as ONE job — DOM strip +
+    # span extraction + layout parse joined per document (the only
+    # shuffle is the 1:1 doc_id join)
+    timed("q13_extract_web", lambda: _force(Q.q_extract_web(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)

@@ -23,7 +23,9 @@ Arrow batches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud_ocr_summarizer_spark.datagen import (
@@ -58,3 +60,91 @@ def extract_web_documents(docs: DataFrame) -> DataFrame:
         F.element_at(blocks, 1)["block_text"].alias("first_block"),
     )
     return dom.join(span_branch, "doc_id")
+
+
+def web_partition_metrics(
+    web: DataFrame, *, run_id: str, snapshot_id: int = 0
+) -> DataFrame:
+    """LINEAGE_SCHEMA-compatible rows for the composed output.
+
+    Same contract as ``lineage.partition_metrics`` (one row per
+    partition: run, snapshot, doc/span counts, bytes), computed over the
+    composed schema — span_count from the span branch, bytes from the
+    stripped main text.  wall_time_s is null on this cheap path, exactly
+    as on the flagship's.
+    """
+    return (
+        web.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce(F.octet_length("main_text"), F.lit(0))
+            .cast("long")
+            .alias("n_bytes"),
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_spans").cast("long").alias("span_count"),
+            F.sum("n_bytes").cast("long").alias("bytes"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+            "partition_id",
+            "doc_count",
+            "span_count",
+            "bytes",
+            F.lit(None).cast("double").alias("wall_time_s"),
+        )
+    )
+
+
+def run_web(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    output_root: str,
+    lineage_root: str | None = None,
+    repartition_to: int | None = None,
+    sink=None,
+    lineage_sink=None,
+):
+    """Resumable composed extraction: same snapshot/lineage contract as
+    ``plans.flagship.run_flagship``, over the one-job web pipeline.
+
+    Pending docs are the anti-join against the committed output
+    (idempotent rerun); an optional salted repartition balances
+    media-heavy documents across the Arrow workers of the DOM branch.
+    Returns a ``FlagshipResult``.
+    """
+    from cloud_ocr_summarizer_spark.operators.skew import salted_repartition
+    from cloud_ocr_summarizer_spark.plans.flagship import FlagshipResult
+    from cloud_ocr_summarizer_spark.sources.checkpoint import (
+        SnapshotSink,
+        pending_docs,
+    )
+
+    run_id = uuid.uuid4().hex
+    sink = sink if sink is not None else SnapshotSink(output_root)
+    todo = pending_docs(docs, sink, spark)
+    if repartition_to:
+        todo = salted_repartition(todo, repartition_to)
+    web = extract_web_documents(todo).persist()
+    try:
+        n = web.count()
+        if n == 0:
+            return FlagshipResult(run_id=run_id, snapshot_id=None, docs_written=0)
+        snapshot_id = sink.append(web, run_id=run_id)
+        if lineage_root or lineage_sink is not None:
+            lsink = (
+                lineage_sink
+                if lineage_sink is not None
+                else SnapshotSink(lineage_root)
+            )
+            lsink.append(
+                web_partition_metrics(web, run_id=run_id, snapshot_id=snapshot_id),
+                run_id=run_id,
+            )
+        return FlagshipResult(run_id=run_id, snapshot_id=snapshot_id, docs_written=n)
+    finally:
+        web.unpersist()

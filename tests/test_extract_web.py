@@ -59,6 +59,31 @@ def test_one_row_per_document_and_branch_consistency(spark):
         web.unpersist()
 
 
+def test_run_web_idempotent_resume(spark, tmp_path):
+    """Second run over the same input writes nothing; lineage totals
+    cover exactly the committed docs (same contract as run_flagship)."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import run_web
+    from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+
+    r1 = run_web(spark, docs, output_root=out, lineage_root=lin)
+    assert r1.docs_written == 60 and r1.snapshot_id is not None
+
+    r2 = run_web(spark, docs, output_root=out, lineage_root=lin)
+    assert r2.docs_written == 0 and r2.snapshot_id is None
+
+    committed = SnapshotSink(out).read_committed(spark)
+    assert committed.count() == 60
+    metrics = SnapshotSink(lin).read_committed(spark)
+    agg = metrics.agg(
+        F.sum("doc_count").alias("d"), F.sum("span_count").alias("s")
+    ).first()
+    assert agg["d"] == 60
+    assert agg["s"] == committed.agg(F.sum("n_spans")).first()[0]
+
+
 def test_extract_web_single_join_is_only_shuffle(spark):
     """Both branches are map stages; the 1:1 doc_id equi-join is the
     pipeline's only shuffle boundary (one Exchange per join side), and

@@ -56,8 +56,13 @@ def build_corpus(spark, n_docs: int) -> str:
         source = F.concat(
             F.lit("src"), F.pmod(F.xxhash64("doc_id", F.lit("src")), F.lit(20))
         )
+        # operators cast doc_id to long (the documents table is numeric);
+        # the interleaved generator's ids are 'doc_<n>' — keep the numeric
+        # suffix so the derivers' integer id arithmetic applies here too
         docs.select(
-            "doc_id", text.alias("text"), source.alias("source")
+            F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            text.alias("text"),
+            source.alias("source"),
         ).write.mode("overwrite").parquet(path)
     return path
 

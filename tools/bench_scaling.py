@@ -143,15 +143,18 @@ row-local extraction (q1), the Arrow/pandas classifier boundary (q2),
 aggregation/join/window relational ops (q3-q5), MinHash LSH dedup (q6)
 and brute-force kNN (q7).
 
-**Round-3 suite extension: bench.py adds q10-q12**, so BENCH_r03+
+**Round-3 suite extension: bench.py adds q10-q13**, so BENCH_r03+
 totals are NOT comparable to BENCH_r01/r02 without subtracting the new
 entries: q10_html_main_content (Arrow DOM tokenize + boilerplate strip),
 q11_layout_reading_order / q11b_layout_rowlocal (block segmentation +
 newspaper reading order, flat two-shuffle vs fused zero-shuffle),
-q12_chunk_documents (64/48 context windows).  Reference local run
-(best-of-3, sf0.1, local[32]): total 15.365 s with q10-q12 contributing
-4.932 s; legacy q1-q9 subtotal 10.433 s, consistent with the round-3
-record (10.253 s).
+q12_chunk_documents (64/48 context windows), q13_extract_web (the
+north-rule pipeline composed as one job: DOM strip + span extraction +
+layout parse, single doc_id equi-join).  Reference local run
+(best-of-3, sf0.1, local[32]): legacy q1-q9 subtotal 10.433 s,
+consistent with the round-3 record (10.253 s); q10-q12 contribute
+4.932 s (q13 added after that run — see the driver's BENCH_r03.json
+for the full extended suite).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w", encoding="utf-8") as f:
         f.write(md + preserved)

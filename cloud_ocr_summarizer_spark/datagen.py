@@ -257,3 +257,70 @@ def derive_html_from_documents(docs: DataFrame) -> DataFrame:
         F.lit('</footer></body></html>'),
     )
     return docs.select(d.alias("doc_id"), html.alias("html"))
+
+
+def derive_linked_html_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, html) with per-block link-density classes.
+
+    The document's words are split into 8-word <p> blocks; block i of
+    doc d draws its class from (d*31 + i) % 5:
+
+      class 0 — every word wrapped in one <a> (link density 1: a nav/
+                related-links block in Readability terms; MUST be
+                dropped by the density rule 2*link_tokens > tokens)
+      class 1 — the first floor(n/2) words inside <a> (density <= 0.5:
+                legitimate prose with citations; MUST be kept whole)
+      else    — plain prose (kept)
+
+    Boilerplate containers wrap the blocks so the density operator also
+    exercises the container strip.  The DuckDB oracle re-derives the
+    kept set from documents.text with the same integer arithmetic —
+    keep the two in lockstep (oracles.py ``html_main_dense``).
+    """
+    d = F.col("doc_id")
+    words = whitespace_tokens_col(F.col("text"))
+    k = config.SPAN_WORDS_PER_CHUNK
+    n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+
+    def make_block(i: Column) -> Column:
+        cls = F.pmod(d * 31 + i, F.lit(5))
+        chunk = F.slice(words, i.cast("int") * k + 1, k)
+        n = F.size(chunk)
+        half = F.floor(n / 2).cast("int")
+        full_link = F.concat(
+            F.lit('<p><a href="http://x/'),
+            i.cast("string"),
+            F.lit('">'),
+            F.array_join(chunk, " "),
+            F.lit("</a></p>"),
+        )
+        half_link = F.concat(
+            F.lit('<p><a href="http://x/h">'),
+            F.array_join(F.slice(chunk, F.lit(1), half), " "),
+            F.lit("</a> "),
+            F.array_join(F.slice(chunk, half + 1, n - half), " "),
+            F.lit("</p>"),
+        )
+        plain = F.concat(F.lit("<p>"), F.array_join(chunk, " "), F.lit("</p>"))
+        return (
+            F.when(cls == 0, full_link).when(cls == 1, half_link).otherwise(plain)
+        )
+
+    body = F.when(
+        n_blocks > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>D"),
+        d.cast("string"),
+        F.lit('</title></head><body><nav><a href="http://nav/home">Home'
+              "</a></nav><!-- content -->"),
+        body,
+        F.lit("<footer>(c) 2026</footer></body></html>"),
+    )
+    return docs.select(d.alias("doc_id"), html.alias("html"))

@@ -2205,6 +2205,49 @@ GROUP BY w.doc_id
 ORACLES["layout_reading_order_rowlocal"] = ORACLES["layout_reading_order"]
 
 
+# Link-density block classification (operators/dom.extract_html_dense):
+# datagen.derive_linked_html_from_documents renders block i of doc d
+# with class (d*31+i)%5 — class 0 is fully anchor-wrapped (density 1,
+# dropped by the 2*link > total rule), class 1 half-wrapped (kept),
+# else plain (kept).  The oracle re-derives the kept set from
+# documents.text with the same integer arithmetic, no HTML parsing.
+_DENSE = r"""
+WITH __base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), __chunks AS (
+  SELECT doc_id, c.i AS i, c.dropped AS dropped, c.chunk AS chunk, c.n AS n
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range((len(words) + 7) // 8),
+             i -> struct_pack(
+                  i := CAST(i AS INT),
+                  dropped := ((doc_id * 31 + i) % 5 = 0),
+                  chunk := array_to_string(words[i*8+1 : i*8+8], ' '),
+                  n := len(words[i*8+1 : i*8+8])))) AS c
+    FROM __base
+  )
+), __agg AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY i) FILTER (WHERE NOT dropped)
+           AS main_text,
+         sum(n) FILTER (WHERE NOT dropped) AS n_tokens,
+         count(*) AS n_blocks,
+         count(*) FILTER (WHERE dropped) AS n_dropped
+  FROM __chunks GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.main_text, '') AS main_text,
+       CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(coalesce(a.n_blocks, 0) AS INT) AS n_blocks,
+       CAST(coalesce(a.n_dropped, 0) AS INT) AS n_dropped
+FROM __base b LEFT JOIN __agg a USING (doc_id)
+"""
+ORACLES["html_main_dense"] = _DENSE
+ORACLES["html_main_dense_simple"] = _DENSE
+
+
 # Composed web-extraction pipeline (plans/extract_web.py): DOM strip +
 # span stats + layout parse joined per document.  Reuses the exact CTEs
 # of the single-operator oracles so the composition cannot diverge from

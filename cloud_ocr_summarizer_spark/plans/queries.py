@@ -2351,3 +2351,34 @@ def q_extract_web(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["extract_web"] = q_extract_web
+
+
+def q_html_main_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability-style link-density block classification
+    (operators/dom.extract_html_dense): documents rendered as <p> blocks
+    with deterministic per-block link classes; blocks where anchor
+    tokens exceed half the block's tokens (2*link > total, integer
+    rule) are dropped as nav/related-link boilerplate.  Arrow path."""
+    from cloud_ocr_summarizer_spark.datagen import derive_linked_html_from_documents
+    from cloud_ocr_summarizer_spark.operators.dom import extract_html_dense
+
+    return extract_html_dense(
+        derive_linked_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["html_main_dense"] = q_html_main_dense
+
+
+def q_html_main_dense_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-expression twin of html_main_dense (regexp_extract_all blocks
+    + HOF density filter; WholeStageCodegen, zero Python)."""
+    from cloud_ocr_summarizer_spark.datagen import derive_linked_html_from_documents
+    from cloud_ocr_summarizer_spark.operators.dom import extract_html_dense_simple
+
+    return extract_html_dense_simple(
+        derive_linked_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["html_main_dense_simple"] = q_html_main_dense_simple

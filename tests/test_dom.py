@@ -80,3 +80,81 @@ def test_empty_input(spark):
     empty = spark.createDataFrame([], SCHEMA)
     assert extract_html_main(empty).count() == 0
     assert extract_html_main_simple(empty).count() == 0
+
+
+# ---- link-density block classification (extract_html_dense twins) ----
+
+from cloud_ocr_summarizer_spark.operators.dom import (  # noqa: E402
+    extract_html_dense,
+    extract_html_dense_simple,
+)
+
+
+def _run_dense(spark, fn, rows):
+    df = fn(spark.createDataFrame(rows, SCHEMA))
+    return {
+        r["doc_id"]: (r["main_text"], r["n_tokens"], r["n_blocks"], r["n_dropped"])
+        for r in df.collect()
+    }
+
+
+DENSE = (
+    "<html><head><title>t</title></head><body>"
+    '<nav><a href="#">Home</a> <a href="#">About</a></nav>'
+    '<p><a href="#">all</a> <a href="#">words</a> <a href="#">linked</a></p>'
+    '<p><a href="#">half here</a> and half plain</p>'
+    "<p>plain prose block</p>"
+    "<p></p>"
+    "</body></html>"
+)
+
+
+def test_density_rule_boundaries_both_paths(spark):
+    # block 1: 3/3 linked -> dropped; block 2: 2/5 linked -> kept;
+    # block 3: 0/3 -> kept; block 4: empty (0/0) -> kept, no text.
+    # nav anchors are inside a boilerplate container: never counted.
+    for fn in (extract_html_dense, extract_html_dense_simple):
+        out = _run_dense(spark, fn, [(1, DENSE)])
+        assert out[1] == ("half here and half plain plain prose block", 8, 4, 1), (
+            fn.__name__
+        )
+
+
+def test_density_exactly_half_is_kept(spark):
+    # 2 of 4 tokens linked: 2*2 <= 4 -> kept (the boundary is inclusive)
+    html = '<body><p><a href="#">one two</a> three four</p></body>'
+    for fn in (extract_html_dense, extract_html_dense_simple):
+        assert _run_dense(spark, fn, [(1, html)])[1] == (
+            "one two three four", 4, 1, 0,
+        ), fn.__name__
+
+
+def test_density_majority_linked_is_dropped(spark):
+    # 3 of 5 tokens linked: 2*3 > 5 -> dropped
+    html = '<body><p><a href="#">one two three</a> four five</p></body>'
+    for fn in (extract_html_dense, extract_html_dense_simple):
+        assert _run_dense(spark, fn, [(1, html)])[1] == ("", 0, 1, 1), fn.__name__
+
+
+def test_dense_null_and_blockless_input(spark):
+    rows = [(1, None), (2, "no tags at all"), (3, "")]
+    for fn in (extract_html_dense, extract_html_dense_simple):
+        out = _run_dense(spark, fn, rows)
+        # text outside any <p> block is not part of any block's density
+        # decision and not emitted (the <p>-contents-only contract)
+        assert out[1] == ("", 0, 0, 0) and out[2] == ("", 0, 0, 0)
+        assert out[3] == ("", 0, 0, 0), fn.__name__
+
+
+def test_dense_golden_equal_on_synthesized_corpus(spark):
+    from cloud_ocr_summarizer_spark.datagen import derive_linked_html_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    html = derive_linked_html_from_documents(docs)
+    a = sorted(map(tuple, extract_html_dense(html).collect()))
+    b = sorted(map(tuple, extract_html_dense_simple(html).collect()))
+    assert a == b and len(a) == 200
+    # the deriver's class arithmetic guarantees some of each outcome
+    dropped = sum(r[4] for r in a)
+    blocks = sum(r[3] for r in a)
+    assert 0 < dropped < blocks

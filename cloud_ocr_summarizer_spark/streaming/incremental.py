@@ -81,6 +81,49 @@ DOCS_SCHEMA = T.StructType(
 )
 
 
+def start_incremental_extract_web(
+    spark: SparkSession,
+    *,
+    input_dir: str,
+    output_root: str,
+    checkpoint_dir: str,
+    lineage_root: str | None = None,
+) -> StreamingQuery:
+    """AvailableNow streaming twin of the composed web-extraction job.
+
+    The composed pipeline joins its DOM and span branches 1:1 on doc_id;
+    as a native stream-stream self-join that would need join state and
+    watermarks for a join that is logically per-row.  Instead each
+    micro-batch runs the BATCH pipeline via ``foreachBatch`` +
+    ``plans.extract_web.run_web``: the snapshot sink's anti-join pending
+    filter makes a retried batch a no-op, so source offsets (stream
+    checkpoint) + manifest commits give exactly-once end-to-end without
+    any streaming state store.
+    """
+    from cloud_ocr_summarizer_spark.plans.extract_web import run_web
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        run_web(
+            batch_df.sparkSession,
+            batch_df,
+            output_root=output_root,
+            lineage_root=lineage_root,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_incremental_curation_gates(
     spark: SparkSession,
     *,

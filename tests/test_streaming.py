@@ -445,3 +445,52 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     run_batch([("fA", t(12, 1)), ("fB", t(10, 2))])
     got2 = sorted(r["fingerprint"] for r in spark.read.parquet(out).collect())
     assert got2 == ["fA", "fA", "fB", "fC"]
+
+
+def test_available_now_incremental_extract_web(spark, tmp_path):
+    """Composed web pipeline under AvailableNow: each drain runs the
+    batch job via foreachBatch; the sink's anti-join keeps re-drains and
+    batch retries exactly-once."""
+    from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink
+    from cloud_ocr_summarizer_spark.streaming.incremental import (
+        start_incremental_extract_web,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter("doc_id < 60").select("doc_id", "source", "text").write.mode(
+        "append"
+    ).parquet(inp)
+
+    q = start_incremental_extract_web(
+        spark, input_dir=inp, output_root=out, checkpoint_dir=ckpt,
+        lineage_root=lin,
+    )
+    q.awaitTermination(120)
+    committed = SnapshotSink(out).read_committed(spark)
+    assert committed.count() == 60
+
+    # more documents land; the restart drains ONLY the new files
+    docs.filter("doc_id >= 60 and doc_id < 100").select(
+        "doc_id", "source", "text"
+    ).write.mode("append").parquet(inp)
+    q2 = start_incremental_extract_web(
+        spark, input_dir=inp, output_root=out, checkpoint_dir=ckpt,
+        lineage_root=lin,
+    )
+    q2.awaitTermination(120)
+    committed = SnapshotSink(out).read_committed(spark)
+    assert committed.count() == 100
+    assert committed.select("doc_id").distinct().count() == 100
+
+    # a third drain with nothing new is a no-op (no extra snapshots rows)
+    q3 = start_incremental_extract_web(
+        spark, input_dir=inp, output_root=out, checkpoint_dir=ckpt,
+        lineage_root=lin,
+    )
+    q3.awaitTermination(120)
+    assert SnapshotSink(out).read_committed(spark).count() == 100

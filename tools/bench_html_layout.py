@@ -103,9 +103,13 @@ def child(cores: int, n_docs: int, path: str) -> dict:
 def main() -> int:
     from cloud_ocr_summarizer_spark.datagen import (
         derive_html_from_documents,
+        derive_linked_html_from_documents,
         derive_spans_from_documents,
     )
-    from cloud_ocr_summarizer_spark.operators.dom import extract_html_main
+    from cloud_ocr_summarizer_spark.operators.dom import (
+        extract_html_dense,
+        extract_html_main,
+    )
     from cloud_ocr_summarizer_spark.operators.extract import extract_spans
     from cloud_ocr_summarizer_spark.operators.layout import reading_order_rowlocal
     from cloud_ocr_summarizer_spark.session import get_spark
@@ -126,6 +130,9 @@ def main() -> int:
         path = build_corpus(spark, n)
         docs = spark.read.parquet(path)
         html_s = timed(lambda: extract_html_main(derive_html_from_documents(docs)))
+        dense_s = timed(
+            lambda: extract_html_dense(derive_linked_html_from_documents(docs))
+        )
         layout_s = timed(
             lambda: reading_order_rowlocal(
                 extract_spans(derive_spans_from_documents(docs), with_stats=False)
@@ -135,6 +142,8 @@ def main() -> int:
             "n_docs": n,
             "html_sec": round(html_s, 3),
             "html_docs_per_sec": round(n / html_s, 1),
+            "dense_sec": round(dense_s, 3),
+            "dense_docs_per_sec": round(n / dense_s, 1),
             "layout_sec": round(layout_s, 3),
             "layout_docs_per_sec": round(n / layout_s, 1),
         }
@@ -164,16 +173,18 @@ def main() -> int:
     header = "## HTML strip + layout parse: tiers and N->4N scaling"
     lines = [
         header, "",
-        "HTML DOM strip (Arrow-batched Python tokenizer) and fused",
-        "row-local layout parse (pure JVM fold), local[32], seed=42,",
-        "best-of-3 warm:", "",
-        "| docs | HTML strip | docs/s | layout parse | docs/s |",
-        "|---|---|---|---|---|",
+        "HTML DOM strip (Arrow-batched Python tokenizer), link-density",
+        "block classification (same tokenizer + block/anchor depth",
+        "counters), and fused row-local layout parse (pure JVM fold),",
+        "local[32], seed=42, best-of-3 warm:", "",
+        "| docs | HTML strip | docs/s | link-density | docs/s | layout parse | docs/s |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in tiers:
         lines.append(
             f"| {r['n_docs']:,} | {r['html_sec']} s | "
-            f"{r['html_docs_per_sec']:,} | {r['layout_sec']} s | "
+            f"{r['html_docs_per_sec']:,} | {r.get('dense_sec', '—')} s | "
+            f"{r.get('dense_docs_per_sec', '—'):,} | {r['layout_sec']} s | "
             f"{r['layout_docs_per_sec']:,} |"
         )
     lines += [

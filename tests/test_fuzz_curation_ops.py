@@ -114,3 +114,56 @@ def test_ngram_contamination_fuzz_vs_python(spark, rng):
         for r in ngram_contamination(corpus, bench, n=n).collect()
     }
     assert got == want
+
+
+def test_html_dense_fuzz_vs_python(spark, rng):
+    """Link-density classifier vs a directly-computed model: random
+    block structures (word/link counts, whitespace noise, attributes,
+    self-closing tags, boiler wrappers) rendered to HTML, expected
+    output derived from the structure — never from parsing."""
+    from cloud_ocr_summarizer_spark.operators.dom import (
+        extract_html_dense,
+        extract_html_dense_simple,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows, expected = [], {}
+    for i in range(250):
+        blocks, html_parts, kept_words = [], [], []
+        for _ in range(rng.randrange(0, 6)):
+            n = rng.randrange(0, 7)
+            n_link = rng.randrange(0, n + 1)
+            toks = [rng.choice(words) for _ in range(n)]
+            linked, plain = toks[:n_link], toks[n_link:]
+            attr = rng.choice(["", ' class="c"', " id=z"])
+            inner = ""
+            if linked:
+                inner += f'<a href="#">{" ".join(linked)}</a>'
+            if plain:
+                inner += ("  " if linked else "") + " ".join(plain)
+            html_parts.append(f"<p{attr}>{inner}</p>")
+            blocks.append((n, n_link))
+            if not 2 * n_link > n:
+                kept_words.extend(toks)
+        noise = rng.choice(
+            ["", "<nav><a href='#'>x y z</a></nav>", "<br/>", "<!-- c -->"]
+        )
+        html = "<body>" + noise + "".join(html_parts) + "</body>"
+        rows.append((i, html))
+        n_dropped = sum(1 for n, l in blocks if 2 * l > n)
+        expected[i] = (
+            " ".join(kept_words),
+            len(kept_words),
+            len(blocks),
+            n_dropped,
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    for fn in (extract_html_dense, extract_html_dense_simple):
+        got = {
+            r["doc_id"]: (
+                r["main_text"], r["n_tokens"], r["n_blocks"], r["n_dropped"]
+            )
+            for r in fn(df).collect()
+        }
+        assert got == expected, fn.__name__

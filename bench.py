@@ -131,6 +131,12 @@ def main() -> int:
     # span extraction + layout parse joined per document (the only
     # shuffle is the 1:1 doc_id join)
     timed("q13_extract_web", lambda: _force(Q.q_extract_web(spark, sf_dir)))
+    # q13b: zero-shuffle fused twin — span/layout stats carried through
+    # the DOM Arrow stage (one documents scan, no join)
+    timed(
+        "q13b_extract_web_fused",
+        lambda: _force(Q.q_extract_web_fused(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)

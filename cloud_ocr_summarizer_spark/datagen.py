@@ -220,8 +220,10 @@ def derive_spans_from_documents(docs: DataFrame, keep: tuple[str, ...] = ()) -> 
     )
 
 
-def derive_html_from_documents(docs: DataFrame) -> DataFrame:
+def derive_html_from_documents(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """documents -> (doc_id, html): deterministic tag-soup wrapper.
+    ``keep`` carries extra input columns through unchanged (same
+    convention as derive_spans_from_documents).
 
     The document's words are the ONLY non-boilerplate text, split across
     two <p> blocks with head/nav/header/aside/footer/script/style
@@ -256,7 +258,9 @@ def derive_html_from_documents(docs: DataFrame) -> DataFrame:
         src,
         F.lit('</footer></body></html>'),
     )
-    return docs.select(d.alias("doc_id"), html.alias("html"))
+    return docs.select(
+        d.alias("doc_id"), html.alias("html"), *[F.col(c) for c in keep]
+    )
 
 
 def derive_linked_html_from_documents(docs: DataFrame) -> DataFrame:

@@ -96,16 +96,32 @@ def _strip_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def extract_html_main(df: DataFrame, *, html_col: str = "html") -> DataFrame:
-    """(doc_id, html) -> (doc_id, main_text, n_tokens), canonical path."""
-    src = df.select(F.col("doc_id").cast("long"), F.col(html_col).alias("html"))
+def extract_html_main(
+    df: DataFrame, *, html_col: str = "html", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, html) -> (doc_id, main_text, n_tokens), canonical path.
+
+    ``carry`` passes extra input columns through the Arrow stage
+    unchanged (output rows are 1:1 positional with input rows), so a
+    fused pipeline can keep row-local results alongside the strip
+    without a doc_id re-join.
+    """
+    src = df.select(
+        F.col("doc_id").cast("long"),
+        F.col(html_col).alias("html"),
+        *[F.col(c) for c in carry],
+    )
+    schema = T.StructType(list(_OUT_SCHEMA.fields) + [src.schema[c] for c in carry])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _strip_batch(pdf)
+                out = _strip_batch(pdf)
+                for c in carry:
+                    out[c] = pdf[c].reset_index(drop=True)
+                yield out
 
-    return src.mapInPandas(run, schema=_OUT_SCHEMA)
+    return src.mapInPandas(run, schema=schema)
 
 
 def extract_html_main_simple(df: DataFrame, *, html_col: str = "html") -> DataFrame:

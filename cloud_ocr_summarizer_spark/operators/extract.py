@@ -107,6 +107,7 @@ def extract_spans(
     min_confidence: float = config.MIN_CONFIDENCE_THRESHOLD,
     max_text_bytes: int = config.MAX_DOC_TEXT_BYTES,
     with_stats: bool = True,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Row-local flagship extraction (zero shuffles).
 
@@ -114,6 +115,9 @@ def extract_spans(
     Output: doc_id, spans_out (ordered canonical spans) [+ n_spans, n_tokens]
     Oversize docs (raw text > ``max_text_bytes``) are rejected, mirroring
     the reference's 10 MB gate (vision_processor.py:43-48).
+    ``keep`` carries extra input columns through unchanged (same
+    convention as datagen.derive_spans_from_documents) so downstream
+    row-local stages never pay a doc_id re-join shuffle.
     """
     gated = df.filter(_doc_text_bytes(spans_col) <= F.lit(max_text_bytes))
     spans = _confidence_filtered(gated, spans_col, min_confidence)
@@ -129,7 +133,7 @@ def extract_spans(
                 lambda acc, s: acc + token_count_col(s["text"]),
             ).alias("n_tokens"),
         ]
-    return out.select(*cols)
+    return out.select(*cols, *[F.col(c) for c in keep])
 
 
 def extract_spans_exploded(

@@ -62,6 +62,40 @@ def extract_web_documents(docs: DataFrame) -> DataFrame:
     return dom.join(span_branch, "doc_id")
 
 
+def extract_web_documents_fused(docs: DataFrame) -> DataFrame:
+    """Zero-shuffle twin of :func:`extract_web_documents` — same output
+    contract and oracle, better plan at scale.
+
+    Every span-branch column is row-local, so instead of a second scan
+    plus a 1:1 join, the stats are computed first and CARRIED through
+    the DOM strip's Arrow stage (``extract_html_main(carry=...)``): ONE
+    pruned documents scan, one codegen stage, one Arrow map stage, zero
+    Exchanges.  At 100 TB this halves the input IO and removes the only
+    shuffle of the flat plan; keep the flat variant for inputs whose
+    branches genuinely come from different tables.
+    """
+    blocks = blocks_rowlocal_col("spans_out")
+    stats = extract_spans(
+        derive_spans_from_documents(docs, keep=("text", "source")),
+        with_stats=False,
+        keep=("text", "source"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "source",
+        F.size("spans_out").cast("int").alias("n_spans"),
+        F.size(
+            F.filter(F.col("spans_out"), lambda s: s["media_ref"].isNotNull())
+        ).cast("int").alias("n_media"),
+        F.size(blocks).cast("int").alias("n_blocks"),
+        F.element_at(blocks, 1)["block_text"].alias("first_block"),
+    )
+    carried = ("n_spans", "n_media", "n_blocks", "first_block")
+    return extract_html_main(
+        derive_html_from_documents(stats, keep=carried), carry=carried
+    )
+
+
 def web_partition_metrics(
     web: DataFrame, *, run_id: str, snapshot_id: int = 0
 ) -> DataFrame:
@@ -129,7 +163,9 @@ def run_web(
     todo = pending_docs(docs, sink, spark)
     if repartition_to:
         todo = salted_repartition(todo, repartition_to)
-    web = extract_web_documents(todo).persist()
+    # fused twin: the job reads one table, so the zero-shuffle plan
+    # (stats carried through the Arrow stage) is strictly better here
+    web = extract_web_documents_fused(todo).persist()
     try:
         n = web.count()
         if n == 0:

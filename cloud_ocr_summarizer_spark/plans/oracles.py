@@ -2275,3 +2275,4 @@ FROM __dom d
 JOIN __span_stats s USING (doc_id)
 JOIN __block_stats b USING (doc_id)
 """
+ORACLES["extract_web_fused"] = ORACLES["extract_web"]

@@ -2382,3 +2382,18 @@ def q_html_main_dense_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["html_main_dense_simple"] = q_html_main_dense_simple
+
+
+def q_extract_web_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle twin of extract_web (plans/extract_web.py): the
+    row-local span/layout stats are carried THROUGH the DOM strip's
+    Arrow stage instead of joined back — one documents scan, zero
+    Exchanges.  Same oracle as extract_web."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import (
+        extract_web_documents_fused,
+    )
+
+    return extract_web_documents_fused(_read(spark, sf_dir, "documents"))
+
+
+BATCH_7["extract_web_fused"] = q_extract_web_fused

@@ -84,6 +84,25 @@ def test_run_web_idempotent_resume(spark, tmp_path):
     assert agg["s"] == committed.agg(F.sum("n_spans")).first()[0]
 
 
+def test_fused_twin_zero_shuffle_and_equal(spark):
+    """The fused variant carries the row-local span/layout stats through
+    the DOM Arrow stage: ONE documents scan, ZERO Exchanges, and rows
+    identical to the flat join plan."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import (
+        extract_web_documents_fused,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fused = extract_web_documents_fused(docs)
+    p = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert p.count("Scan parquet") == 1
+
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, _web(spark).collect()))
+    assert a == b and len(a) == docs.count()
+
+
 def test_extract_web_single_join_is_only_shuffle(spark):
     """Both branches are map stages; the 1:1 doc_id equi-join is the
     pipeline's only shuffle boundary (one Exchange per join side), and

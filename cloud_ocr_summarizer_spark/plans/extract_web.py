@@ -57,7 +57,10 @@ def extract_web_documents(docs: DataFrame) -> DataFrame:
             F.filter(F.col("spans_out"), lambda s: s["media_ref"].isNotNull())
         ).cast("int").alias("n_media"),
         F.size(blocks).cast("int").alias("n_blocks"),
-        F.element_at(blocks, 1)["block_text"].alias("first_block"),
+        # try_: a document whose every span was filtered (or empty text)
+        # has zero blocks — element_at(…, 1) would FAIL THE JOB under
+        # ANSI mode; NULL is the correct first_block for it
+        F.try_element_at(blocks, F.lit(1))["block_text"].alias("first_block"),
     )
     return dom.join(span_branch, "doc_id")
 
@@ -88,7 +91,10 @@ def extract_web_documents_fused(docs: DataFrame) -> DataFrame:
             F.filter(F.col("spans_out"), lambda s: s["media_ref"].isNotNull())
         ).cast("int").alias("n_media"),
         F.size(blocks).cast("int").alias("n_blocks"),
-        F.element_at(blocks, 1)["block_text"].alias("first_block"),
+        # try_: a document whose every span was filtered (or empty text)
+        # has zero blocks — element_at(…, 1) would FAIL THE JOB under
+        # ANSI mode; NULL is the correct first_block for it
+        F.try_element_at(blocks, F.lit(1))["block_text"].alias("first_block"),
     )
     carried = ("n_spans", "n_media", "n_blocks", "first_block")
     return extract_html_main(

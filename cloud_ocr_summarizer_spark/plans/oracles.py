@@ -2270,9 +2270,12 @@ ORACLES["extract_web"] = _LAYOUT_BLOCKS_CTES + r"""
   GROUP BY doc_id
 ), __dom AS (""" + _HTML_MAIN + r""")
 SELECT d.doc_id, d.main_text, d.n_tokens,
-       s.n_spans, s.n_media, b.n_blocks, b.first_block
+       CAST(coalesce(s.n_spans, 0) AS INT) AS n_spans,
+       CAST(coalesce(s.n_media, 0) AS INT) AS n_media,
+       CAST(coalesce(b.n_blocks, 0) AS INT) AS n_blocks,
+       b.first_block
 FROM __dom d
-JOIN __span_stats s USING (doc_id)
-JOIN __block_stats b USING (doc_id)
+LEFT JOIN __span_stats s USING (doc_id)
+LEFT JOIN __block_stats b USING (doc_id)
 """
 ORACLES["extract_web_fused"] = ORACLES["extract_web"]

@@ -59,6 +59,30 @@ def test_one_row_per_document_and_branch_consistency(spark):
         web.unpersist()
 
 
+def test_empty_document_survives_both_variants(spark):
+    """A document with no words has zero blocks; element_at(…, 1) on the
+    empty block array would kill the whole JOB under ANSI mode (found on
+    the 1M bench corpus — the sf testdata has no empty docs).  Both
+    variants must emit the row with zero counts and a NULL first_block."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import (
+        extract_web_documents,
+        extract_web_documents_fused,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "", "s0"), (2, "   ", "s0"), (3, "some real words here", "s1")],
+        "doc_id long, text string, source string",
+    )
+    for fn in (extract_web_documents, extract_web_documents_fused):
+        got = {r["doc_id"]: r for r in fn(docs).collect()}
+        assert set(got) == {1, 2, 3}, fn.__name__
+        for d in (1, 2):
+            r = got[d]
+            assert (r["n_spans"], r["n_media"], r["n_blocks"]) == (0, 0, 0)
+            assert r["first_block"] is None and r["main_text"] == ""
+        assert got[3]["n_blocks"] > 0 and got[3]["first_block"] is not None
+
+
 def test_run_web_idempotent_resume(spark, tmp_path):
     """Second run over the same input writes nothing; lineage totals
     cover exactly the committed docs (same contract as run_flagship)."""

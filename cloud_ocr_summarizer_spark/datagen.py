@@ -328,3 +328,60 @@ def derive_linked_html_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("<footer>(c) 2026</footer></body></html>"),
     )
     return docs.select(d.alias("doc_id"), html.alias("html"))
+
+
+def derive_density_html_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, html) with per-block TEXT-density classes.
+
+    The document's words split into 8-word <p> blocks; block i of doc d
+    draws its rendered shape from (d*31 + i) % 5:
+
+      class 0 — fragment: only the chunk's first 2 words (a byline /
+                copyright line / caption; wc <= 2 < 7 words per line,
+                so the density rule MUST drop it)
+      class 1 — triple prose: the chunk space-joined three times
+                (usually wraps past 80 cols; kept or dropped purely by
+                the shared integer arithmetic — both engines compute
+                wc = 3n and nc = 3*len(chunk)+2 from the same string)
+      else    — plain chunk (kept iff >= 7 words fit one line; short
+                tail chunks legitimately drop)
+
+    Boilerplate containers wrap the blocks so the density operator also
+    exercises the container strip.  The DuckDB oracle re-derives every
+    block's content string from documents.text with the same integer
+    arithmetic — keep the two in lockstep (oracles.py
+    ``html_main_density``).
+    """
+    d = F.col("doc_id")
+    words = whitespace_tokens_col(F.col("text"))
+    k = config.SPAN_WORDS_PER_CHUNK
+    n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+
+    def make_block(i: Column) -> Column:
+        cls = F.pmod(d * 31 + i, F.lit(5))
+        chunk = F.slice(words, i.cast("int") * k + 1, k)
+        cj = F.array_join(chunk, " ")
+        fragment = F.array_join(F.slice(chunk, 1, 2), " ")
+        triple = F.concat_ws(" ", cj, cj, cj)
+        content = F.when(cls == 0, fragment).when(cls == 1, triple).otherwise(cj)
+        return F.concat(F.lit("<p>"), content, F.lit("</p>"))
+
+    body = F.when(
+        n_blocks > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>D"),
+        d.cast("string"),
+        F.lit("</title></head><body><header>Site D"),
+        d.cast("string"),
+        F.lit("</header><!-- content -->"),
+        body,
+        F.lit("<footer>(c) 2026 example.test</footer></body></html>"),
+    )
+    return docs.select(d.alias("doc_id"), html.alias("html"))

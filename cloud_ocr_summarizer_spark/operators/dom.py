@@ -284,10 +284,153 @@ def extract_html_dense_simple(df: DataFrame, *, html_col: str = "html") -> DataF
     )
 
 
+# ---- text-density block classification (Kohlschütter et al., WSDM'10:
+# "Boilerplate Detection using Shallow Text Features" — text density =
+# words per wrapped line at a fixed column width; low-density blocks
+# are boilerplate).  Integer form so the decision is exact in every
+# engine: with wc = whitespace tokens and nc = single-space-normalized
+# character count, lines = max(1, ceil(nc/80)) and a block is DROPPED
+# iff wc < 7 * lines.  Empty blocks (wc = 0) fall out of the same rule.
+TD_WRAP_COLS = 80
+TD_MIN_WPL = 7
+
+
+def _density_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    empty = lambda: pd.DataFrame(  # noqa: E731
+        {
+            "doc_id": pdf["doc_id"],
+            "main_text": "",
+            "n_tokens": 0,
+            "n_blocks": 0,
+            "n_dropped": 0,
+        }
+    ).astype({"n_tokens": "int32", "n_blocks": "int32", "n_dropped": "int32"})
+    pdf = pdf.reset_index(drop=True)
+    html = pdf["html"].fillna("").str.replace(_COMMENT_RE, " ", regex=True)
+    toks = html.str.extractall(_TOKEN_RE)
+    if toks.empty:
+        return empty()
+    doc_pos = toks.index.get_level_values(0)
+    slash, tag, text = toks[0].fillna(""), toks[1].str.lower(), toks[2]
+
+    inside_boiler = pd.Series(False, index=toks.index)
+    for name in BOILER_CONTAINERS:
+        opens = ((tag == name) & (slash == "")).astype("int64")
+        closes = ((tag == name) & (slash == "/")).astype("int64")
+        inside_boiler |= (opens - closes).groupby(doc_pos).cumsum() > 0
+
+    p_open = (tag == "p") & (slash == "") & ~inside_boiler
+    p_close = (tag == "p") & (slash == "/") & ~inside_boiler
+    p_bal = (p_open.astype("int64") - p_close.astype("int64")).groupby(doc_pos).cumsum()
+    block_id = p_open.astype("int64").groupby(doc_pos).cumsum()
+
+    is_text = text.notna() & ~inside_boiler & (p_bal > 0)
+    wc = text.str.split().str.len().where(is_text, 0).astype("int64")
+    # sum of token lengths == non-whitespace chars; vectorized, no
+    # per-row Python
+    tchars = (
+        text.str.replace(r"\s+", "", regex=True).str.len().where(is_text, 0)
+        .astype("int64")
+    )
+
+    key = pd.DataFrame({"doc": doc_pos, "blk": block_id, "wc": wc, "tc": tchars})
+    per_block = key[block_id > 0].groupby(["doc", "blk"], sort=False).agg(
+        wc=("wc", "sum"), tc=("tc", "sum")
+    )
+    # normalized length: tokens joined by single spaces
+    nc = per_block["tc"] + (per_block["wc"] - 1).clip(lower=0)
+    lines = ((nc + TD_WRAP_COLS - 1) // TD_WRAP_COLS).clip(lower=1)
+    dropped = per_block[per_block["wc"] < TD_MIN_WPL * lines].index
+
+    n_blocks = p_open.groupby(doc_pos).sum().reindex(range(len(pdf)), fill_value=0)
+    n_dropped = (
+        pd.Series(1, index=dropped).groupby(level=0).sum()
+        .reindex(range(len(pdf)), fill_value=0)
+        if len(dropped)
+        else pd.Series(0, index=range(len(pdf)))
+    )
+
+    drop_mask = pd.MultiIndex.from_arrays([doc_pos, block_id]).isin(dropped)
+    kept_text = text[is_text & ~pd.Series(drop_mask, index=toks.index)]
+    joined = kept_text.groupby(kept_text.index.get_level_values(0)).agg(" ".join)
+    main = (
+        joined.str.split().str.join(" ")
+        .reindex(range(len(pdf)), fill_value="")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame({"doc_id": pdf["doc_id"], "main_text": main})
+    out["n_tokens"] = main.str.split().str.len().fillna(0).astype("int32")
+    out["n_blocks"] = n_blocks.reset_index(drop=True).astype("int32")
+    out["n_dropped"] = n_dropped.reset_index(drop=True).astype("int32")
+    return out
+
+
+def extract_html_density(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """Boilerpipe-style TEXT-density block classification, canonical
+    Arrow path (the second Readability heuristic the north star names,
+    complementing :func:`extract_html_dense`'s LINK density): tokenize
+    -> strip boilerplate containers -> segment into <p> blocks -> per
+    block count tokens (wc) and normalized chars (nc, tokens joined by
+    single spaces) via the same vectorized depth counters -> DROP
+    blocks with fewer than ``TD_MIN_WPL`` words per 80-column wrapped
+    line (integer rule ``wc < 7 * max(1, ceil(nc/80))`` — short
+    bylines, copyright lines, captions) -> reassemble survivors in
+    document order.
+
+    Output: (doc_id, main_text, n_tokens, n_blocks, n_dropped)."""
+    src = df.select(F.col("doc_id").cast("long"), F.col(html_col).alias("html"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _density_batch(pdf)
+
+    return src.mapInPandas(run, schema=_DENSE_SCHEMA)
+
+
+def extract_html_density_simple(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """JVM-expression twin of :func:`extract_html_density` (same
+    non-nested container limitation as the other ``_simple`` paths):
+    blocks via regexp_extract_all, the words-per-wrapped-line rule
+    inside HOF lambdas — WholeStageCodegen, zero Python.  The integer
+    ceil is floor((nc+79)/80): exact for any realistic block size."""
+    x: Column = F.regexp_replace(F.coalesce(F.col(html_col), F.lit("")), _COMMENT_RE, " ")
+    for name in BOILER_CONTAINERS:
+        x = F.regexp_replace(x, rf"(?is)<{name}\b[^>]*>.*?</{name}\s*>", " ")
+    blocks = F.regexp_extract_all(x, F.lit(r"(?is)<p\b[^>]*>(.*?)</p\s*>"), 1)
+
+    def tokens(c: Column) -> Column:
+        return whitespace_tokens_col(F.regexp_replace(c, r"(?s)<[^>]*>", " "))
+
+    def is_kept(b: Column) -> Column:
+        w = tokens(b)
+        wc = F.size(w)
+        nc = F.length(F.array_join(w, " "))
+        lines = F.greatest(
+            F.floor((nc + F.lit(TD_WRAP_COLS - 1)) / F.lit(TD_WRAP_COLS)).cast("int"),
+            F.lit(1),
+        )
+        return wc >= F.lit(TD_MIN_WPL) * lines
+
+    kept = F.filter(blocks, is_kept)
+    main = F.array_join(F.transform(kept, lambda b: F.array_join(tokens(b), " ")), " ")
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        main.alias("main_text"),
+        F.size(whitespace_tokens_col(main)).cast("int").alias("n_tokens"),
+        F.size(blocks).cast("int").alias("n_blocks"),
+        (F.size(blocks) - F.size(kept)).cast("int").alias("n_dropped"),
+    )
+
+
 __all__ = [
     "extract_html_main",
     "extract_html_main_simple",
     "extract_html_dense",
     "extract_html_dense_simple",
+    "extract_html_density",
+    "extract_html_density_simple",
     "BOILER_CONTAINERS",
+    "TD_WRAP_COLS",
+    "TD_MIN_WPL",
 ]

@@ -2279,3 +2279,58 @@ LEFT JOIN __span_stats s USING (doc_id)
 LEFT JOIN __block_stats b USING (doc_id)
 """
 ORACLES["extract_web_fused"] = ORACLES["extract_web"]
+
+
+# Text-density classification (operators/dom.extract_html_density):
+# re-derive each block's rendered content string from documents.text
+# with datagen.derive_density_html_from_documents's exact arithmetic
+# (class (doc_id*31+i)%5: 0 -> first-2-words fragment, 1 -> chunk
+# space-joined 3x, else plain chunk), then apply the same integer rule
+# wc < 7 * max(1, ceil(len(content)/80)).  Both engines judge the SAME
+# content string, so keep deriver and oracle in lockstep.
+_DENSITY = r"""
+WITH __base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), __chunks AS (
+  SELECT doc_id, c.i AS i, c.content AS content, c.wc AS wc
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range((len(words) + 7) // 8),
+             i -> struct_pack(
+                  i := CAST(i AS INT),
+                  content := CASE (doc_id * 31 + i) % 5
+                    WHEN 0 THEN array_to_string(words[i*8+1 : i*8+2], ' ')
+                    WHEN 1 THEN array_to_string(words[i*8+1 : i*8+8], ' ')
+                         || ' ' || array_to_string(words[i*8+1 : i*8+8], ' ')
+                         || ' ' || array_to_string(words[i*8+1 : i*8+8], ' ')
+                    ELSE array_to_string(words[i*8+1 : i*8+8], ' ') END,
+                  wc := CASE (doc_id * 31 + i) % 5
+                    WHEN 0 THEN least(len(words[i*8+1 : i*8+8]), 2)
+                    WHEN 1 THEN 3 * len(words[i*8+1 : i*8+8])
+                    ELSE len(words[i*8+1 : i*8+8]) END))) AS c
+    FROM __base
+  )
+), __judged AS (
+  SELECT doc_id, i, content, wc,
+         wc < 7 * greatest((length(content) + 79) // 80, 1) AS dropped
+  FROM __chunks
+), __agg AS (
+  SELECT doc_id,
+         string_agg(content, ' ' ORDER BY i) FILTER (WHERE NOT dropped)
+           AS main_text,
+         sum(wc) FILTER (WHERE NOT dropped) AS n_tokens,
+         count(*) AS n_blocks,
+         count(*) FILTER (WHERE dropped) AS n_dropped
+  FROM __judged GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.main_text, '') AS main_text,
+       CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(coalesce(a.n_blocks, 0) AS INT) AS n_blocks,
+       CAST(coalesce(a.n_dropped, 0) AS INT) AS n_dropped
+FROM __base b LEFT JOIN __agg a USING (doc_id)
+"""
+ORACLES["html_main_density"] = _DENSITY
+ORACLES["html_main_density_simple"] = _DENSITY

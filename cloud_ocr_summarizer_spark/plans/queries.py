@@ -2397,3 +2397,36 @@ def q_extract_web_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["extract_web_fused"] = q_extract_web_fused
+
+
+def q_html_main_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe-style TEXT-density block classification
+    (operators/dom.extract_html_density — Kohlschütter et al. WSDM'10):
+    documents rendered as <p> blocks of varying density; blocks with
+    fewer than 7 words per 80-column wrapped line (integer rule
+    wc < 7*max(1, ceil(nc/80))) are dropped as fragment boilerplate.
+    Complements html_main_dense's LINK-density rule — together they are
+    the north star's named Readability heuristic pair.  Arrow path."""
+    from cloud_ocr_summarizer_spark.datagen import derive_density_html_from_documents
+    from cloud_ocr_summarizer_spark.operators.dom import extract_html_density
+
+    return extract_html_density(
+        derive_density_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["html_main_density"] = q_html_main_density
+
+
+def q_html_main_density_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-expression twin of html_main_density (regexp_extract_all
+    blocks + HOF words-per-wrapped-line rule; WholeStageCodegen)."""
+    from cloud_ocr_summarizer_spark.datagen import derive_density_html_from_documents
+    from cloud_ocr_summarizer_spark.operators.dom import extract_html_density_simple
+
+    return extract_html_density_simple(
+        derive_density_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["html_main_density_simple"] = q_html_main_density_simple

@@ -158,3 +158,81 @@ def test_dense_golden_equal_on_synthesized_corpus(spark):
     dropped = sum(r[4] for r in a)
     blocks = sum(r[3] for r in a)
     assert 0 < dropped < blocks
+
+
+# ---- text-density block classification (extract_html_density twins) ----
+
+from cloud_ocr_summarizer_spark.operators.dom import (  # noqa: E402
+    extract_html_density,
+    extract_html_density_simple,
+)
+
+
+def test_textdensity_one_line_boundary_both_paths(spark):
+    # 7 short words on one line: 7 >= 7*1 -> kept; 6 words -> dropped
+    html = (
+        "<body><p>one two three four five six seven</p>"
+        "<p>one two three four five six</p></body>"
+    )
+    for fn in (extract_html_density, extract_html_density_simple):
+        out = _run_dense(spark, fn, [(1, html)])
+        assert out[1] == ("one two three four five six seven", 7, 2, 1), fn.__name__
+
+
+def test_textdensity_wrapped_lines_raise_the_bar(spark):
+    # 14 six-char words -> nc = 14*6+13 = 97 -> 2 lines -> need 14: kept.
+    # 13 six-char words -> nc = 90 -> 2 lines -> need 14 > 13: dropped.
+    w = " ".join(["sixchr"] * 14)
+    v = " ".join(["sixchr"] * 13)
+    html = f"<body><p>{w}</p><p>{v}</p></body>"
+    for fn in (extract_html_density, extract_html_density_simple):
+        out = _run_dense(spark, fn, [(1, html)])
+        assert out[1] == (w, 14, 2, 1), fn.__name__
+
+
+def test_textdensity_exact_80_char_line(spark):
+    # 9 words, nc exactly 80 -> ceil(80/80) = 1 line -> 9 >= 7 kept;
+    # one char more -> 2 lines -> 9 < 14 dropped
+    base = ["abcdefg"] * 9  # 9*7 chars + 8 spaces = 71 -> pad first word
+    w80 = " ".join(["abcdefghijklmnop"] + base[1:])  # 16+8*7+8 = 80
+    w81 = " ".join(["abcdefghijklmnopq"] + base[1:])  # 81
+    html = f"<body><p>{w80}</p><p>{w81}</p></body>"
+    for fn in (extract_html_density, extract_html_density_simple):
+        out = _run_dense(spark, fn, [(1, html)])
+        assert out[1] == (w80, 9, 2, 1), fn.__name__
+
+
+def test_textdensity_fragment_and_container_strip(spark):
+    # high-density prose inside <header> never reaches a block; the
+    # 2-word fragment block drops; empty block drops silently
+    html = (
+        "<body><header>one two three four five six seven eight</header>"
+        "<p>(c) 2026</p><p></p>"
+        "<p>real content sentence with exactly seven words</p></body>"
+    )
+    for fn in (extract_html_density, extract_html_density_simple):
+        out = _run_dense(spark, fn, [(1, html)])
+        assert out[1] == (
+            "real content sentence with exactly seven words", 7, 3, 2,
+        ), fn.__name__
+
+
+def test_textdensity_null_and_blockless_input(spark):
+    rows = [(1, None), (2, "free text outside blocks"), (3, "")]
+    for fn in (extract_html_density, extract_html_density_simple):
+        out = _run_dense(spark, fn, rows)
+        assert out[1] == ("", 0, 0, 0) and out[2] == ("", 0, 0, 0)
+        assert out[3] == ("", 0, 0, 0), fn.__name__
+
+
+def test_textdensity_golden_equal_on_synthesized_corpus(spark):
+    from cloud_ocr_summarizer_spark.datagen import derive_density_html_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    html = derive_density_html_from_documents(docs)
+    a = sorted(map(tuple, extract_html_density(html).collect()))
+    b = sorted(map(tuple, extract_html_density_simple(html).collect()))
+    assert a == b and len(a) == 200
+    dropped = sum(r[4] for r in a)
+    blocks = sum(r[3] for r in a)
+    assert 0 < dropped < blocks

@@ -385,3 +385,66 @@ def derive_density_html_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("<footer>(c) 2026 example.test</footer></body></html>"),
     )
     return docs.select(d.alias("doc_id"), html.alias("html"))
+
+
+def derive_pdf_streams_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload:binary) minimal PDF content streams.
+
+    The document's words split into 8-word blocks laid out on a
+    two-column page: block i sits at x = 50 + (i%2)*300,
+    y = 720 - (i//2)*40, rendered as a BT…ET text object with the first
+    4 words shown by an absolute-Tm Tj and (when the block has more
+    than 4 words) the rest on a second line via a relative
+    ``0 -12 Td`` — so the parser's Tm-reset / Td-accumulate state
+    machine is genuinely exercised.  %-comment lines frame the stream.
+
+    The DuckDB oracle (oracles.py ``pdf_text_spans`` /
+    ``pdf_main_text``) re-derives every line's position and content
+    from documents.text with the same integer arithmetic — keep the
+    two in lockstep.  Word contract: corpus words contain no ``(``,
+    ``)`` or ``\\`` (same class of contract as the HTML derivers).
+    """
+    d = F.col("doc_id")
+    words = whitespace_tokens_col(F.col("text"))
+    k = config.SPAN_WORDS_PER_CHUNK
+    half = k // 2
+    n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+
+    def make_block(i: Column) -> Column:
+        chunk = F.slice(words, i.cast("int") * k + 1, k)
+        n = F.size(chunk)
+        x = (F.lit(50) + F.pmod(i, F.lit(2)) * 300).cast("int")
+        y = (F.lit(720) - F.floor(i / 2).cast("int") * 40).cast("int")
+        l1 = F.array_join(F.slice(chunk, 1, half), " ")
+        l2 = F.array_join(F.slice(chunk, half + 1, k - half), " ")
+        head = F.concat(
+            F.lit("BT 1 0 0 1 "),
+            x.cast("string"),
+            F.lit(" "),
+            y.cast("string"),
+            F.lit(" Tm ("),
+            l1,
+            F.lit(") Tj"),
+        )
+        tail = F.when(
+            n > half, F.concat(F.lit(" 0 -12 Td ("), l2, F.lit(") Tj"))
+        ).otherwise(F.lit(""))
+        return F.concat(head, tail, F.lit(" ET"))
+
+    body = F.when(
+        n_blocks > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    stream = F.concat(
+        F.lit("%PDF-1.4\n% synthetic content stream D"),
+        d.cast("string"),
+        F.lit("\n"),
+        body,
+        F.lit("\n%%EOF"),
+    )
+    return docs.select(d.alias("doc_id"), F.encode(stream, "UTF-8").alias("payload"))

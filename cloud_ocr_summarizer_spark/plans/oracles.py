@@ -2334,3 +2334,62 @@ FROM __base b LEFT JOIN __agg a USING (doc_id)
 """
 ORACLES["html_main_density"] = _DENSITY
 ORACLES["html_main_density_simple"] = _DENSITY
+
+
+# PDF content-stream parse (operators/pdfstream): re-derive every
+# line's position and content from documents.text with
+# datagen.derive_pdf_streams_from_documents's exact integer layout
+# arithmetic (block i at x=50+(i%2)*300, y=720-(i//2)*40; first 4 words
+# on the Tm line, the rest 12 units lower via Td).
+_PDF_LINES_CTES = r"""
+WITH __base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), __pblocks AS (
+  SELECT doc_id, c.i AS i, c.l1 AS l1, c.l2 AS l2, c.n AS n
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range((len(words) + 7) // 8),
+             i -> struct_pack(
+                  i := CAST(i AS INT),
+                  l1 := array_to_string(words[i*8+1 : i*8+4], ' '),
+                  l2 := array_to_string(words[i*8+5 : i*8+8], ' '),
+                  n := len(words[i*8+1 : i*8+8])))) AS c
+    FROM __base
+  )
+), __plines AS (
+  SELECT doc_id, i, 1 AS line,
+         CAST(50 + (i % 2) * 300 AS INT) AS x,
+         CAST(720 - (i // 2) * 40 AS INT) AS y,
+         l1 AS line_text
+  FROM __pblocks
+  UNION ALL
+  SELECT doc_id, i, 2 AS line,
+         CAST(50 + (i % 2) * 300 AS INT) AS x,
+         CAST(720 - (i // 2) * 40 - 12 AS INT) AS y,
+         l2 AS line_text
+  FROM __pblocks WHERE n > 4
+)
+"""
+
+ORACLES["pdf_text_spans"] = _PDF_LINES_CTES + r"""
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, line) - 1
+            AS INT) AS seq,
+       x, y, line_text
+FROM __plines
+"""
+ORACLES["pdf_text_spans_simple"] = ORACLES["pdf_text_spans"]
+
+ORACLES["pdf_main_text"] = _PDF_LINES_CTES + r"""
+SELECT d.doc_id,
+       coalesce(a.main_text, '') AS main_text,
+       CAST(coalesce(a.n_spans, 0) AS INT) AS n_spans
+FROM documents d LEFT JOIN (
+  SELECT doc_id,
+         string_agg(line_text, ' ' ORDER BY (x >= 300), -y) AS main_text,
+         count(*) AS n_spans
+  FROM __plines GROUP BY doc_id
+) a USING (doc_id)
+"""

@@ -2430,3 +2430,54 @@ def q_html_main_density_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["html_main_density_simple"] = q_html_main_density_simple
+
+
+def q_pdf_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF content-stream byte tokenization (operators/pdfstream):
+    documents rendered as minimal two-column BT/Tm/Td/Tj streams, parsed
+    back into positioned line spans by the vectorized token state
+    machine (Tm resets, Td accumulates).  Canonical Arrow path."""
+    from cloud_ocr_summarizer_spark.datagen import derive_pdf_streams_from_documents
+    from cloud_ocr_summarizer_spark.operators.pdfstream import parse_pdf_text_spans
+
+    return parse_pdf_text_spans(
+        derive_pdf_streams_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["pdf_text_spans"] = q_pdf_text_spans
+
+
+def q_pdf_text_spans_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-expression twin of pdf_text_spans (aligned regexp_extract_all
+    over the fixed block shape; WholeStageCodegen, zero Python)."""
+    from cloud_ocr_summarizer_spark.datagen import derive_pdf_streams_from_documents
+    from cloud_ocr_summarizer_spark.operators.pdfstream import (
+        parse_pdf_text_spans_simple,
+    )
+
+    return parse_pdf_text_spans_simple(
+        derive_pdf_streams_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["pdf_text_spans_simple"] = q_pdf_text_spans_simple
+
+
+def q_pdf_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed PDF spans assembled into per-document main text in
+    newspaper reading order (left column first, y descending — PDF user
+    space grows upward); row-local sort_array assembly, one shuffle."""
+    from cloud_ocr_summarizer_spark.datagen import derive_pdf_streams_from_documents
+    from cloud_ocr_summarizer_spark.operators.pdfstream import (
+        assemble_pdf_main_text,
+        parse_pdf_text_spans,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return assemble_pdf_main_text(
+        docs, parse_pdf_text_spans(derive_pdf_streams_from_documents(docs))
+    )
+
+
+BATCH_7["pdf_main_text"] = q_pdf_main_text

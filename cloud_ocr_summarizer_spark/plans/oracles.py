@@ -2393,3 +2393,33 @@ FROM documents d LEFT JOIN (
   FROM __plines GROUP BY doc_id
 ) a USING (doc_id)
 """
+
+
+ORACLES["local_supplier_volume"] = r"""
+SELECT n_name,
+       floor(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+ORACLES["forecast_revenue_change"] = r"""
+SELECT floor(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                      AS BIGINT)) / 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""

@@ -2481,3 +2481,67 @@ def q_pdf_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["pdf_main_text"] = q_pdf_main_text
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (the last-but-one missing classic): 6-table join
+    where customer and supplier must sit in the SAME nation, the nation
+    restricted to one region, over a one-year order window.  One fact
+    shuffle (lineitem-orders sort-merge); every dimension hop
+    broadcasts, region->nation pre-joined driver-side-free.  Completes
+    all 22 TPC-H query shapes together with forecast_revenue_change."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # Q5's defining predicate: the supplier is LOCAL to the customer
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return j.groupBy("n_name").agg(
+        (F.floor((F.sum(cents) + 50) / 100.0) / 100.0).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+BATCH_7["local_supplier_volume"] = q_local_supplier_volume
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate on the fact table —
+    the canonical predicate-pushdown showcase (all three filters reach
+    the parquet scan; no join, no per-group shuffle, one global agg).
+    Revenue is what WOULD have been charged without the discount:
+    sum(l_extendedprice * l_discount), integer-cents exact."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast(
+        "long"
+    )
+    return li.agg(
+        (F.floor((F.sum(cents) + 50) / 100.0) / 100.0).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+BATCH_7["forecast_revenue_change"] = q_forecast_revenue_change

@@ -167,3 +167,53 @@ def test_html_dense_fuzz_vs_python(spark, rng):
             for r in fn(df).collect()
         }
         assert got == expected, fn.__name__
+
+
+def test_pdf_stream_fuzz_vs_python(spark, rng):
+    """PDF content-stream parser vs a directly-computed model: random
+    operator sequences (Tm resets, Td chains of varying length, comment
+    noise, escaped strings, multi-digit negatives) rendered to bytes,
+    expected spans derived from the structure — never from parsing.
+    Canonical Arrow path only (the JVM twin is contracted to the
+    derived fixed block shape, not arbitrary interleavings)."""
+    from cloud_ocr_summarizer_spark.operators.pdfstream import (
+        parse_pdf_text_spans,
+    )
+
+    words = ["alpha", "beta", "gamma", "de lta", "e(f)g", "h\\i"]
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    rows, expected = [], {}
+    for i in range(200):
+        parts, spans = [], []
+        x = y = 0  # origin-relative until the first Tm
+        for _ in range(rng.randrange(0, 5)):
+            parts.append("BT")
+            if rng.random() < 0.9:  # occasionally Td before any Tm
+                x, y = rng.randrange(-500, 500), rng.randrange(-500, 500)
+                parts.append(f"1 0 0 1 {x} {y} Tm")
+            for _ in range(rng.randrange(1, 4)):
+                if rng.random() < 0.5:
+                    dx, dy = rng.randrange(-30, 30), rng.randrange(-30, 30)
+                    x, y = x + dx, y + dy
+                    parts.append(f"{dx} {dy} Td")
+                t = " ".join(
+                    rng.choice(words) for _ in range(rng.randrange(1, 4))
+                )
+                parts.append(f"({esc(t)}) Tj")
+                spans.append((len(spans), x, y, t))
+            parts.append("ET")
+            if rng.random() < 0.3:
+                parts.append("% noise (with parens) and Tj BT tokens")
+        rows.append((i, ("\n".join(parts)).encode()))
+        expected[i] = spans
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got: dict[int, list] = {i: [] for i in expected}
+    for r in parse_pdf_text_spans(df).collect():
+        got[r["doc_id"]].append((r["seq"], r["x"], r["y"], r["line_text"]))
+    for i in got:
+        got[i].sort()
+    assert got == expected
+    assert sum(len(v) for v in expected.values()) > 300  # fuzz actually fuzzed

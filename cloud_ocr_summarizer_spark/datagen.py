@@ -448,3 +448,73 @@ def derive_pdf_streams_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("\n%%EOF"),
     )
     return docs.select(d.alias("doc_id"), F.encode(stream, "UTF-8").alias("payload"))
+
+
+def derive_classified_html_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, html) exercising BOTH Readability rules.
+
+    8-word <p> blocks; block i of doc d draws from (d*31 + i) % 5:
+
+      class 0 — every word inside one <a> (link-dense: MUST drop)
+      class 1 — first floor(n/2) words inside <a> (link rule keeps;
+                the text-density rule still drops short tails)
+      class 2 — fragment: first 2 words only (text-sparse: MUST drop)
+      else    — plain prose (kept iff >= 7 words fit the line rule)
+
+    The DuckDB oracle (oracles.py ``html_main_classified``) re-derives
+    every block's content, wc and link-wc from documents.text with the
+    same integer arithmetic — keep in lockstep.
+    """
+    d = F.col("doc_id")
+    words = whitespace_tokens_col(F.col("text"))
+    k = config.SPAN_WORDS_PER_CHUNK
+    n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+
+    def make_block(i: Column) -> Column:
+        cls = F.pmod(d * 31 + i, F.lit(5))
+        chunk = F.slice(words, i.cast("int") * k + 1, k)
+        n = F.size(chunk)
+        half = F.floor(n / 2).cast("int")
+        full_link = F.concat(
+            F.lit('<p><a href="http://x/'),
+            i.cast("string"),
+            F.lit('">'),
+            F.array_join(chunk, " "),
+            F.lit("</a></p>"),
+        )
+        half_link = F.concat(
+            F.lit('<p><a href="http://x/h">'),
+            F.array_join(F.slice(chunk, F.lit(1), half), " "),
+            F.lit("</a> "),
+            F.array_join(F.slice(chunk, half + 1, n - half), " "),
+            F.lit("</p>"),
+        )
+        fragment = F.concat(
+            F.lit("<p>"), F.array_join(F.slice(chunk, 1, 2), " "), F.lit("</p>")
+        )
+        plain = F.concat(F.lit("<p>"), F.array_join(chunk, " "), F.lit("</p>"))
+        return (
+            F.when(cls == 0, full_link)
+            .when(cls == 1, half_link)
+            .when(cls == 2, fragment)
+            .otherwise(plain)
+        )
+
+    body = F.when(
+        n_blocks > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>D"),
+        d.cast("string"),
+        F.lit('</title></head><body><nav><a href="http://nav/home">Home'
+              "</a></nav><!-- content -->"),
+        body,
+        F.lit("<footer>(c) 2026</footer></body></html>"),
+    )
+    return docs.select(d.alias("doc_id"), html.alias("html"))

@@ -149,7 +149,34 @@ _DENSE_SCHEMA = T.StructType(
 )
 
 
-def _dense_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+# ---- shared per-<p>-block classification kernel -----------------------
+# All block classifiers (link density, text density, and the combined
+# Readability rule) run the SAME tokenize/containment/count machinery;
+# only the drop rule differs — a predicate over the per-block counts
+# (wc = tokens, lwc = anchor-contained tokens, tc = non-whitespace
+# chars).  Rules cannot diverge from the stage they filter.
+
+
+def _rule_link_dense(pb: pd.DataFrame) -> pd.Series:
+    """Readability link density, integer form: drop iff 2*link > total."""
+    return 2 * pb["lwc"] > pb["wc"]
+
+
+def _rule_text_sparse(pb: pd.DataFrame) -> pd.Series:
+    """Boilerpipe text density: drop iff fewer than TD_MIN_WPL words per
+    80-column wrapped line of the single-space-normalized text."""
+    nc = pb["tc"] + (pb["wc"] - 1).clip(lower=0)
+    lines = ((nc + TD_WRAP_COLS - 1) // TD_WRAP_COLS).clip(lower=1)
+    return pb["wc"] < TD_MIN_WPL * lines
+
+
+def _rule_readability(pb: pd.DataFrame) -> pd.Series:
+    """The full Readability pair: a block survives only if it is neither
+    link-dense nor text-sparse."""
+    return _rule_link_dense(pb) | _rule_text_sparse(pb)
+
+
+def _classify_blocks_batch(pdf: pd.DataFrame, drop_rule) -> pd.DataFrame:
     empty = lambda: pd.DataFrame(  # noqa: E731
         {
             "doc_id": pdf["doc_id"],
@@ -187,15 +214,20 @@ def _dense_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     is_text = text.notna() & ~inside_boiler & (p_bal > 0)
     wc = text.str.split().str.len().where(is_text, 0).astype("int64")
     link_wc = wc.where(a_bal > 0, 0)
+    # sum of token lengths == non-whitespace chars; vectorized
+    tchars = (
+        text.str.replace(r"\s+", "", regex=True).str.len().where(is_text, 0)
+        .astype("int64")
+    )
 
     key = pd.DataFrame(
-        {"doc": doc_pos, "blk": block_id, "wc": wc, "lwc": link_wc}
+        {"doc": doc_pos, "blk": block_id, "wc": wc, "lwc": link_wc, "tc": tchars}
     )
     per_block = key[block_id > 0].groupby(["doc", "blk"], sort=False).agg(
-        wc=("wc", "sum"), lwc=("lwc", "sum"), opens=("blk", "size")
+        wc=("wc", "sum"), lwc=("lwc", "sum"), tc=("tc", "sum")
     )
-    # a block exists per <p> open; density rule: drop iff 2*link > total
-    dropped = per_block[2 * per_block["lwc"] > per_block["wc"]].index
+    # a block exists per <p> open
+    dropped = per_block[drop_rule(per_block)].index
     n_blocks = (
         p_open.groupby(doc_pos).sum().reindex(range(len(pdf)), fill_value=0)
     )
@@ -238,7 +270,7 @@ def extract_html_dense(df: DataFrame, *, html_col: str = "html") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _dense_batch(pdf)
+                yield _classify_blocks_batch(pdf, _rule_link_dense)
 
     return src.mapInPandas(run, schema=_DENSE_SCHEMA)
 
@@ -295,76 +327,6 @@ TD_WRAP_COLS = 80
 TD_MIN_WPL = 7
 
 
-def _density_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    empty = lambda: pd.DataFrame(  # noqa: E731
-        {
-            "doc_id": pdf["doc_id"],
-            "main_text": "",
-            "n_tokens": 0,
-            "n_blocks": 0,
-            "n_dropped": 0,
-        }
-    ).astype({"n_tokens": "int32", "n_blocks": "int32", "n_dropped": "int32"})
-    pdf = pdf.reset_index(drop=True)
-    html = pdf["html"].fillna("").str.replace(_COMMENT_RE, " ", regex=True)
-    toks = html.str.extractall(_TOKEN_RE)
-    if toks.empty:
-        return empty()
-    doc_pos = toks.index.get_level_values(0)
-    slash, tag, text = toks[0].fillna(""), toks[1].str.lower(), toks[2]
-
-    inside_boiler = pd.Series(False, index=toks.index)
-    for name in BOILER_CONTAINERS:
-        opens = ((tag == name) & (slash == "")).astype("int64")
-        closes = ((tag == name) & (slash == "/")).astype("int64")
-        inside_boiler |= (opens - closes).groupby(doc_pos).cumsum() > 0
-
-    p_open = (tag == "p") & (slash == "") & ~inside_boiler
-    p_close = (tag == "p") & (slash == "/") & ~inside_boiler
-    p_bal = (p_open.astype("int64") - p_close.astype("int64")).groupby(doc_pos).cumsum()
-    block_id = p_open.astype("int64").groupby(doc_pos).cumsum()
-
-    is_text = text.notna() & ~inside_boiler & (p_bal > 0)
-    wc = text.str.split().str.len().where(is_text, 0).astype("int64")
-    # sum of token lengths == non-whitespace chars; vectorized, no
-    # per-row Python
-    tchars = (
-        text.str.replace(r"\s+", "", regex=True).str.len().where(is_text, 0)
-        .astype("int64")
-    )
-
-    key = pd.DataFrame({"doc": doc_pos, "blk": block_id, "wc": wc, "tc": tchars})
-    per_block = key[block_id > 0].groupby(["doc", "blk"], sort=False).agg(
-        wc=("wc", "sum"), tc=("tc", "sum")
-    )
-    # normalized length: tokens joined by single spaces
-    nc = per_block["tc"] + (per_block["wc"] - 1).clip(lower=0)
-    lines = ((nc + TD_WRAP_COLS - 1) // TD_WRAP_COLS).clip(lower=1)
-    dropped = per_block[per_block["wc"] < TD_MIN_WPL * lines].index
-
-    n_blocks = p_open.groupby(doc_pos).sum().reindex(range(len(pdf)), fill_value=0)
-    n_dropped = (
-        pd.Series(1, index=dropped).groupby(level=0).sum()
-        .reindex(range(len(pdf)), fill_value=0)
-        if len(dropped)
-        else pd.Series(0, index=range(len(pdf)))
-    )
-
-    drop_mask = pd.MultiIndex.from_arrays([doc_pos, block_id]).isin(dropped)
-    kept_text = text[is_text & ~pd.Series(drop_mask, index=toks.index)]
-    joined = kept_text.groupby(kept_text.index.get_level_values(0)).agg(" ".join)
-    main = (
-        joined.str.split().str.join(" ")
-        .reindex(range(len(pdf)), fill_value="")
-        .reset_index(drop=True)
-    )
-    out = pd.DataFrame({"doc_id": pdf["doc_id"], "main_text": main})
-    out["n_tokens"] = main.str.split().str.len().fillna(0).astype("int32")
-    out["n_blocks"] = n_blocks.reset_index(drop=True).astype("int32")
-    out["n_dropped"] = n_dropped.reset_index(drop=True).astype("int32")
-    return out
-
-
 def extract_html_density(df: DataFrame, *, html_col: str = "html") -> DataFrame:
     """Boilerpipe-style TEXT-density block classification, canonical
     Arrow path (the second Readability heuristic the north star names,
@@ -383,7 +345,7 @@ def extract_html_density(df: DataFrame, *, html_col: str = "html") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _density_batch(pdf)
+                yield _classify_blocks_batch(pdf, _rule_text_sparse)
 
     return src.mapInPandas(run, schema=_DENSE_SCHEMA)
 
@@ -423,6 +385,71 @@ def extract_html_density_simple(df: DataFrame, *, html_col: str = "html") -> Dat
     )
 
 
+def extract_html_classified(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """The COMBINED Readability classifier, canonical Arrow path: a
+    <p> block survives only if it is neither link-dense
+    (``2*link_tokens > tokens``) nor text-sparse
+    (``wc < 7 * max(1, ceil(nc/80))``) — the north star's full
+    "text-density + link-density heuristics" applied in ONE pass over
+    the shared block kernel (same tokenize/containment/count stage as
+    the single-rule classifiers; only the predicate differs).
+
+    Output: (doc_id, main_text, n_tokens, n_blocks, n_dropped)."""
+    src = df.select(F.col("doc_id").cast("long"), F.col(html_col).alias("html"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _classify_blocks_batch(pdf, _rule_readability)
+
+    return src.mapInPandas(run, schema=_DENSE_SCHEMA)
+
+
+def extract_html_classified_simple(
+    df: DataFrame, *, html_col: str = "html"
+) -> DataFrame:
+    """JVM-expression twin of :func:`extract_html_classified` (same
+    non-nested container limitation as the other ``_simple`` paths):
+    both integer rules inside one HOF filter — WholeStageCodegen."""
+    x: Column = F.regexp_replace(F.coalesce(F.col(html_col), F.lit("")), _COMMENT_RE, " ")
+    for name in BOILER_CONTAINERS:
+        x = F.regexp_replace(x, rf"(?is)<{name}\b[^>]*>.*?</{name}\s*>", " ")
+    blocks = F.regexp_extract_all(x, F.lit(r"(?is)<p\b[^>]*>(.*?)</p\s*>"), 1)
+
+    def tokens(c: Column) -> Column:
+        return whitespace_tokens_col(F.regexp_replace(c, r"(?s)<[^>]*>", " "))
+
+    def is_kept(b: Column) -> Column:
+        w = tokens(b)
+        wc = F.size(w)
+        link_wc = F.size(
+            tokens(
+                F.array_join(
+                    F.regexp_extract_all(
+                        b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), 1
+                    ),
+                    " ",
+                )
+            )
+        )
+        nc = F.length(F.array_join(w, " "))
+        lines = F.greatest(
+            F.floor((nc + F.lit(TD_WRAP_COLS - 1)) / F.lit(TD_WRAP_COLS)).cast("int"),
+            F.lit(1),
+        )
+        return (2 * link_wc <= wc) & (wc >= F.lit(TD_MIN_WPL) * lines)
+
+    kept = F.filter(blocks, is_kept)
+    main = F.array_join(F.transform(kept, lambda b: F.array_join(tokens(b), " ")), " ")
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        main.alias("main_text"),
+        F.size(whitespace_tokens_col(main)).cast("int").alias("n_tokens"),
+        F.size(blocks).cast("int").alias("n_blocks"),
+        (F.size(blocks) - F.size(kept)).cast("int").alias("n_dropped"),
+    )
+
+
 __all__ = [
     "extract_html_main",
     "extract_html_main_simple",
@@ -430,6 +457,8 @@ __all__ = [
     "extract_html_dense_simple",
     "extract_html_density",
     "extract_html_density_simple",
+    "extract_html_classified",
+    "extract_html_classified_simple",
     "BOILER_CONTAINERS",
     "TD_WRAP_COLS",
     "TD_MIN_WPL",

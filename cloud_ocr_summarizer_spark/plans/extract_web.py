@@ -37,18 +37,11 @@ from cloud_ocr_summarizer_spark.operators.extract import extract_spans
 from cloud_ocr_summarizer_spark.operators.layout import blocks_rowlocal_col
 
 
-def extract_web_documents(docs: DataFrame) -> DataFrame:
-    """One row per document combining DOM strip, span stats, and layout.
-
-    ``docs`` is the documents table (doc_id, text, source, ...); the
-    deterministic HTML/spans derivers stand in for raw crawl payloads,
-    exactly as in the single-operator queries (so each branch keeps its
-    independent oracle coverage).
-    """
-    dom = extract_html_main(derive_html_from_documents(docs))
-
+def _span_stats_branch(docs: DataFrame) -> DataFrame:
+    """Row-local span extraction + kind tagging + layout fold, reduced
+    to the per-doc stat columns every composed variant joins on."""
     blocks = blocks_rowlocal_col("spans_out")
-    span_branch = extract_spans(
+    return extract_spans(
         derive_spans_from_documents(docs), with_stats=False
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -62,7 +55,45 @@ def extract_web_documents(docs: DataFrame) -> DataFrame:
         # ANSI mode; NULL is the correct first_block for it
         F.try_element_at(blocks, F.lit(1))["block_text"].alias("first_block"),
     )
-    return dom.join(span_branch, "doc_id")
+
+
+def extract_web_documents(docs: DataFrame) -> DataFrame:
+    """One row per document combining DOM strip, span stats, and layout.
+
+    ``docs`` is the documents table (doc_id, text, source, ...); the
+    deterministic HTML/spans derivers stand in for raw crawl payloads,
+    exactly as in the single-operator queries (so each branch keeps its
+    independent oracle coverage).
+    """
+    dom = extract_html_main(derive_html_from_documents(docs))
+    return dom.join(_span_stats_branch(docs), "doc_id")
+
+
+def extract_web_documents_classified(docs: DataFrame) -> DataFrame:
+    """:func:`extract_web_documents` with the FULL Readability
+    classifier in the DOM branch: instead of the container strip alone,
+    every <p> block passes both integer heuristics (link density AND
+    text density — ``operators.dom.extract_html_classified``) before
+    reassembly.  Same plan shape: two branches over the documents scan,
+    one O(docs) equi-join as the only shuffle.
+
+    Output adds the classifier's counts (renamed ``n_html_blocks`` /
+    ``n_html_dropped`` — ``n_blocks`` stays the LAYOUT block count)."""
+    from cloud_ocr_summarizer_spark.datagen import (
+        derive_classified_html_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.dom import extract_html_classified
+
+    dom = extract_html_classified(
+        derive_classified_html_from_documents(docs)
+    ).select(
+        "doc_id",
+        "main_text",
+        "n_tokens",
+        F.col("n_blocks").alias("n_html_blocks"),
+        F.col("n_dropped").alias("n_html_dropped"),
+    )
+    return dom.join(_span_stats_branch(docs), "doc_id")
 
 
 def extract_web_documents_fused(docs: DataFrame) -> DataFrame:

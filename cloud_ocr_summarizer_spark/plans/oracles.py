@@ -2423,3 +2423,90 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
 """
+
+
+# Combined Readability classification (operators/dom.
+# extract_html_classified): both integer rules over the block content
+# re-derived from documents.text with datagen.
+# derive_classified_html_from_documents's class arithmetic.
+_CLASSIFIED = r"""
+WITH __base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), __chunks AS (
+  SELECT doc_id, c.i AS i, c.content AS content, c.wc AS wc, c.lwc AS lwc
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range((len(words) + 7) // 8),
+             i -> struct_pack(
+                  i := CAST(i AS INT),
+                  content := CASE (doc_id * 31 + i) % 5
+                    WHEN 2 THEN array_to_string(words[i*8+1 : i*8+2], ' ')
+                    ELSE array_to_string(words[i*8+1 : i*8+8], ' ') END,
+                  wc := CASE (doc_id * 31 + i) % 5
+                    WHEN 2 THEN least(len(words[i*8+1 : i*8+8]), 2)
+                    ELSE len(words[i*8+1 : i*8+8]) END,
+                  lwc := CASE (doc_id * 31 + i) % 5
+                    WHEN 0 THEN len(words[i*8+1 : i*8+8])
+                    WHEN 1 THEN len(words[i*8+1 : i*8+8]) // 2
+                    ELSE 0 END))) AS c
+    FROM __base
+  )
+), __judged AS (
+  SELECT doc_id, i, content, wc,
+         (2 * lwc > wc)
+         OR (wc < 7 * greatest((length(content) + 79) // 80, 1)) AS dropped
+  FROM __chunks
+), __agg AS (
+  SELECT doc_id,
+         string_agg(content, ' ' ORDER BY i) FILTER (WHERE NOT dropped)
+           AS main_text,
+         sum(wc) FILTER (WHERE NOT dropped) AS n_tokens,
+         count(*) AS n_blocks,
+         count(*) FILTER (WHERE dropped) AS n_dropped
+  FROM __judged GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.main_text, '') AS main_text,
+       CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(coalesce(a.n_blocks, 0) AS INT) AS n_blocks,
+       CAST(coalesce(a.n_dropped, 0) AS INT) AS n_dropped
+FROM __base b LEFT JOIN __agg a USING (doc_id)
+"""
+ORACLES["html_main_classified"] = _CLASSIFIED
+ORACLES["html_main_classified_simple"] = _CLASSIFIED
+
+
+# Composed variant with the full Readability classifier in the DOM
+# branch — reuses the span/layout CTEs of extract_web and embeds the
+# html_main_classified oracle as a parenthesized WITH subquery, so the
+# composition cannot diverge from its pieces.
+ORACLES["extract_web_classified"] = _LAYOUT_BLOCKS_CTES + r"""
+, __span_stats AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_spans,
+         CAST(sum(CASE WHEN media_ref IS NOT NULL THEN 1 ELSE 0 END)
+              AS INT) AS n_media
+  FROM __spans GROUP BY doc_id
+), __block_stats AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_blocks,
+         min(CASE WHEN rk = 1 THEN block_text END) AS first_block
+  FROM (SELECT doc_id, block_text,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY page, col, y_top) AS rk
+        FROM __blocks)
+  GROUP BY doc_id
+), __dom AS (""" + _CLASSIFIED + r""")
+SELECT d.doc_id, d.main_text, d.n_tokens,
+       d.n_blocks AS n_html_blocks,
+       d.n_dropped AS n_html_dropped,
+       CAST(coalesce(s.n_spans, 0) AS INT) AS n_spans,
+       CAST(coalesce(s.n_media, 0) AS INT) AS n_media,
+       CAST(coalesce(b.n_blocks, 0) AS INT) AS n_blocks,
+       b.first_block
+FROM __dom d
+LEFT JOIN __span_stats s USING (doc_id)
+LEFT JOIN __block_stats b USING (doc_id)
+"""

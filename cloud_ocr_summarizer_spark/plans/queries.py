@@ -2545,3 +2545,55 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["forecast_revenue_change"] = q_forecast_revenue_change
+
+
+def q_html_main_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMBINED Readability classifier (operators/dom.
+    extract_html_classified): a block survives only if it is neither
+    link-dense (2*link>total) nor text-sparse (wc < 7*ceil(nc/80)) —
+    the north star's full heuristic pair in one Arrow pass over the
+    shared block kernel."""
+    from cloud_ocr_summarizer_spark.datagen import (
+        derive_classified_html_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.dom import extract_html_classified
+
+    return extract_html_classified(
+        derive_classified_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["html_main_classified"] = q_html_main_classified
+
+
+def q_html_main_classified_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-expression twin of html_main_classified (both integer rules
+    in one HOF filter; WholeStageCodegen, zero Python)."""
+    from cloud_ocr_summarizer_spark.datagen import (
+        derive_classified_html_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.dom import (
+        extract_html_classified_simple,
+    )
+
+    return extract_html_classified_simple(
+        derive_classified_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_7["html_main_classified_simple"] = q_html_main_classified_simple
+
+
+def q_extract_web_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed north-rule job with the FULL Readability classifier
+    in the DOM branch (plans/extract_web.extract_web_documents_
+    classified): both integer heuristics per block + span stats +
+    layout, one equi-join as the only shuffle."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import (
+        extract_web_documents_classified,
+    )
+
+    return extract_web_documents_classified(_read(spark, sf_dir, "documents"))
+
+
+BATCH_7["extract_web_classified"] = q_extract_web_classified

@@ -236,3 +236,50 @@ def test_textdensity_golden_equal_on_synthesized_corpus(spark):
     dropped = sum(r[4] for r in a)
     blocks = sum(r[3] for r in a)
     assert 0 < dropped < blocks
+
+
+# ---- combined Readability classifier (extract_html_classified twins) ----
+
+from cloud_ocr_summarizer_spark.operators.dom import (  # noqa: E402
+    extract_html_classified,
+    extract_html_classified_simple,
+)
+
+
+def test_classified_both_rules_fire_independently(spark):
+    # b1: 8 words, majority linked -> link rule drops (text-rich);
+    # b2: 2 plain words -> text rule drops (link-free);
+    # b3: 7 plain words, one line -> kept;
+    # b4: 8 words, exactly half linked -> both rules pass -> kept
+    html = (
+        "<body>"
+        '<p><a href="#">one two three four five</a> six seven eight</p>'
+        "<p>(c) 2026</p>"
+        "<p>one two three four five six seven</p>"
+        '<p><a href="#">one two three four</a> five six seven eight</p>'
+        "</body>"
+    )
+    for fn in (extract_html_classified, extract_html_classified_simple):
+        out = _run_dense(spark, fn, [(1, html)])
+        assert out[1] == (
+            "one two three four five six seven "
+            "one two three four five six seven eight",
+            15, 4, 2,
+        ), fn.__name__
+
+
+def test_classified_golden_equal_and_all_classes(spark):
+    from cloud_ocr_summarizer_spark.datagen import (
+        derive_classified_html_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    html = derive_classified_html_from_documents(docs)
+    a = sorted(map(tuple, extract_html_classified(html).collect()))
+    b = sorted(map(tuple, extract_html_classified_simple(html).collect()))
+    assert a == b and len(a) == 200
+    dropped = sum(r[4] for r in a)
+    blocks = sum(r[3] for r in a)
+    # classes 0 (link-dense) and 2 (fragment) both drop; >= 2/5 of
+    # blocks must go, and plenty must survive
+    assert blocks * 2 // 5 <= dropped < blocks

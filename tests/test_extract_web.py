@@ -134,3 +134,32 @@ def test_extract_web_single_join_is_only_shuffle(spark):
     p = _web(spark)._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") <= 2
     assert "Window" not in p
+
+
+def test_classified_variant_one_row_and_empty_docs(spark):
+    """The full-Readability-classifier composed variant: one row per
+    document, classifier counts surface renamed (layout n_blocks is
+    preserved), and zero-word docs survive under ANSI mode."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import (
+        extract_web_documents_classified,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "s0"),
+            (2, " ".join(f"w{i}" for i in range(16)), "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: r for r in extract_web_documents_classified(docs).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1["n_spans"], r1["n_media"], r1["n_blocks"]) == (0, 0, 0)
+    assert r1["first_block"] is None and r1["main_text"] == ""
+    assert r1["n_html_blocks"] == 0 and r1["n_html_dropped"] == 0
+    r2 = got[2]
+    assert r2["n_html_blocks"] == 2 and r2["n_spans"] > 0
+    # doc 2 blocks: classes (2*31+0)%5=2 (fragment -> dropped) and
+    # (2*31+1)%5=3 (plain 8 words -> kept)
+    assert r2["n_html_dropped"] == 1
+    assert r2["main_text"] == " ".join(f"w{i}" for i in range(8, 16))

@@ -137,6 +137,13 @@ def main() -> int:
         "q13b_extract_web_fused",
         lambda: _force(Q.q_extract_web_fused(spark, sf_dir)),
     )
+    # q14: PDF content-stream byte tokenizer (Tm/Td state machine)
+    timed("q14_pdf_text_spans", lambda: _force(Q.q_pdf_text_spans(spark, sf_dir)))
+    # q15: composed job with the FULL Readability classifier pair
+    timed(
+        "q15_extract_web_classified",
+        lambda: _force(Q.q_extract_web_classified(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)

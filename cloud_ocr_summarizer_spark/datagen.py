@@ -518,3 +518,52 @@ def derive_classified_html_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("<footer>(c) 2026</footer></body></html>"),
     )
     return docs.select(d.alias("doc_id"), html.alias("html"))
+
+
+def derive_media_pdf_payloads(docs: DataFrame) -> DataFrame:
+    """documents -> (asset_key, payload:binary): one minimal PDF content
+    stream per MEDIA span (the north rule's "PDF layout parsing for
+    media_ref spans" stand-in — at deployment the payload column is the
+    fetched asset bytes).
+
+    Even offsets render a single Tm line, odd offsets add a relative-Td
+    second line, so the parser's state machine is exercised per asset.
+    asset_key = doc_id*4096 + offset — a surrogate wide enough for the
+    deriver's span-count bound (<= words/8 per doc); real deployments
+    key the parse by a struct column instead.  Oracle lockstep:
+    oracles.py ``media_pdf_layout``.
+    """
+    spans = derive_spans_from_documents(docs)
+    m = (
+        spans.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode("spans").alias("s"),
+        )
+        .where(F.col("s.media_ref").isNotNull())
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+    two = F.pmod(F.col("offset"), F.lit(2)) == 1
+    stream = F.concat(
+        F.lit("%PDF-1.4\nBT 1 0 0 1 50 700 Tm (asset "),
+        F.col("media_ref"),
+        F.lit(") Tj"),
+        F.when(
+            two,
+            F.concat(
+                F.lit(" 0 -14 Td (doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" span "),
+                F.col("offset").cast("string"),
+                F.lit(") Tj"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" ET\n%%EOF"),
+    )
+    return m.select(
+        (F.col("doc_id") * 4096 + F.col("offset")).alias("asset_key"),
+        F.encode(stream, "UTF-8").alias("payload"),
+    )

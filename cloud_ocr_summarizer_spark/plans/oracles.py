@@ -2510,3 +2510,19 @@ FROM __dom d
 LEFT JOIN __span_stats s USING (doc_id)
 LEFT JOIN __block_stats b USING (doc_id)
 """
+
+
+# Media-span PDF parse round trip: the engine renders one content
+# stream per media span, byte-parses it back, and reassembles in
+# y-descending order; the oracle states the expected round-trip
+# identity directly from the span derivation.
+ORACLES["media_pdf_layout"] = SPANS_CTE + r"""
+SELECT doc_id,
+       off AS "offset",
+       CAST(CASE WHEN off % 2 = 1 THEN 2 ELSE 1 END AS INT) AS n_lines,
+       'asset ' || media_ref ||
+       CASE WHEN off % 2 = 1
+            THEN ' doc ' || doc_id || ' span ' || off
+            ELSE '' END AS asset_text
+FROM __spans WHERE media_ref IS NOT NULL
+"""

@@ -2597,3 +2597,47 @@ def q_extract_web_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["extract_web_classified"] = q_extract_web_classified
+
+
+def q_media_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout parsing FOR MEDIA_REF SPANS, end to end: every media
+    span's asset is a derived PDF content stream (datagen.
+    derive_media_pdf_payloads), byte-parsed by the Tm/Td state machine
+    and reassembled per asset in y-descending reading order.  Plan:
+    row-local explode + payload render (codegen) -> Arrow parse map
+    stage -> one groupBy on the asset key; payload bytes never cross a
+    shuffle."""
+    from cloud_ocr_summarizer_spark.datagen import derive_media_pdf_payloads
+    from cloud_ocr_summarizer_spark.operators.pdfstream import parse_pdf_text_spans
+
+    assets = derive_media_pdf_payloads(
+        _read(spark, sf_dir, "documents")
+    ).withColumnRenamed("asset_key", "doc_id")
+    parsed = parse_pdf_text_spans(assets)
+    agg = parsed.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("y")).alias("ny"),
+                            F.col("seq").alias("seq"),
+                            F.col("line_text").alias("line_text"),
+                        )
+                    )
+                ),
+                lambda s: s["line_text"],
+            ),
+            " ",
+        ).alias("asset_text"),
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+    )
+    return agg.select(
+        F.floor(F.col("doc_id") / 4096).cast("long").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(4096)).cast("int").alias("offset"),
+        "n_lines",
+        "asset_text",
+    )
+
+
+BATCH_7["media_pdf_layout"] = q_media_pdf_layout

@@ -91,3 +91,20 @@ def test_main_text_reading_order_and_empty_docs(spark):
     )
     assert out[1]["n_spans"] == 5
     assert out[2]["main_text"] == "" and out[2]["n_spans"] == 0
+
+
+def test_media_pdf_layout_round_trip(spark):
+    """Media spans -> derived PDF payloads -> parse -> per-asset
+    reassembly reproduces the expected caption lines, single- and
+    two-line variants both present."""
+    from cloud_ocr_summarizer_spark.plans.queries import q_media_pdf_layout
+
+    rows = q_media_pdf_layout(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_lines = {1: 0, 2: 0}
+    for r in rows:
+        assert r["asset_text"].startswith("asset gs://corpus/")
+        if r["n_lines"] == 2:
+            assert f"doc {r['doc_id']} span {r['offset']}" in r["asset_text"]
+        by_lines[r["n_lines"]] += 1
+    assert by_lines[1] > 0 and by_lines[2] > 0

@@ -179,6 +179,7 @@ def run_web(
     repartition_to: int | None = None,
     sink=None,
     lineage_sink=None,
+    pipeline=None,
 ):
     """Resumable composed extraction: same snapshot/lineage contract as
     ``plans.flagship.run_flagship``, over the one-job web pipeline.
@@ -186,7 +187,11 @@ def run_web(
     Pending docs are the anti-join against the committed output
     (idempotent rerun); an optional salted repartition balances
     media-heavy documents across the Arrow workers of the DOM branch.
-    Returns a ``FlagshipResult``.
+    ``pipeline`` swaps the per-batch plan (default: the zero-shuffle
+    fused twin; pass ``extract_web_documents_classified`` to run the
+    full-Readability-classifier variant under the same resume/lineage
+    contract — any (docs)->DataFrame with doc_id/main_text/n_spans
+    columns works).  Returns a ``FlagshipResult``.
     """
     from cloud_ocr_summarizer_spark.operators.skew import salted_repartition
     from cloud_ocr_summarizer_spark.plans.flagship import FlagshipResult
@@ -200,9 +205,11 @@ def run_web(
     todo = pending_docs(docs, sink, spark)
     if repartition_to:
         todo = salted_repartition(todo, repartition_to)
-    # fused twin: the job reads one table, so the zero-shuffle plan
-    # (stats carried through the Arrow stage) is strictly better here
-    web = extract_web_documents_fused(todo).persist()
+    # fused twin by default: the job reads one table, so the
+    # zero-shuffle plan (stats carried through the Arrow stage) is
+    # strictly better here
+    make_web = pipeline if pipeline is not None else extract_web_documents_fused
+    web = make_web(todo).persist()
     try:
         n = web.count()
         if n == 0:

@@ -163,3 +163,31 @@ def test_classified_variant_one_row_and_empty_docs(spark):
     # (2*31+1)%5=3 (plain 8 words -> kept)
     assert r2["n_html_dropped"] == 1
     assert r2["main_text"] == " ".join(f"w{i}" for i in range(8, 16))
+
+
+def test_run_web_classified_pipeline_resume(spark, tmp_path):
+    """The classified variant plugs into the same resume/lineage
+    contract via run_web(pipeline=...): first run commits, rerun is a
+    no-op, classifier columns survive the snapshot round trip."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import (
+        extract_web_documents_classified,
+        run_web,
+    )
+    from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    out = str(tmp_path / "out")
+
+    r1 = run_web(
+        spark, docs, output_root=out, pipeline=extract_web_documents_classified
+    )
+    assert r1.docs_written == 40
+    r2 = run_web(
+        spark, docs, output_root=out, pipeline=extract_web_documents_classified
+    )
+    assert r2.docs_written == 0
+
+    committed = SnapshotSink(out).read_committed(spark)
+    assert committed.count() == 40
+    assert {"n_html_blocks", "n_html_dropped"} <= set(committed.columns)
+    assert committed.agg(F.sum("n_html_dropped")).first()[0] > 0

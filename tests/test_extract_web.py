@@ -191,3 +191,21 @@ def test_run_web_classified_pipeline_resume(spark, tmp_path):
     assert committed.count() == 40
     assert {"n_html_blocks", "n_html_dropped"} <= set(committed.columns)
     assert committed.agg(F.sum("n_html_dropped")).first()[0] > 0
+
+
+def test_classified_variant_single_join_is_only_shuffle(spark):
+    """The classified DOM branch is still one Arrow map stage — the
+    composed plan keeps the 1:1 equi-join as its only shuffle."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import (
+        extract_web_documents_classified,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = (
+        extract_web_documents_classified(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") <= 2
+    assert "Window" not in p

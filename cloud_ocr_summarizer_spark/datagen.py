@@ -450,8 +450,11 @@ def derive_pdf_streams_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select(d.alias("doc_id"), F.encode(stream, "UTF-8").alias("payload"))
 
 
-def derive_classified_html_from_documents(docs: DataFrame) -> DataFrame:
+def derive_classified_html_from_documents(
+    docs: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """documents -> (doc_id, html) exercising BOTH Readability rules.
+    ``keep`` carries extra input columns through (projection, no join).
 
     8-word <p> blocks; block i of doc d draws from (d*31 + i) % 5:
 
@@ -517,7 +520,9 @@ def derive_classified_html_from_documents(docs: DataFrame) -> DataFrame:
         body,
         F.lit("<footer>(c) 2026</footer></body></html>"),
     )
-    return docs.select(d.alias("doc_id"), html.alias("html"))
+    return docs.select(
+        d.alias("doc_id"), html.alias("html"), *[F.col(c) for c in keep]
+    )
 
 
 def derive_media_pdf_payloads(docs: DataFrame) -> DataFrame:

@@ -385,7 +385,9 @@ def extract_html_density_simple(df: DataFrame, *, html_col: str = "html") -> Dat
     )
 
 
-def extract_html_classified(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+def extract_html_classified(
+    df: DataFrame, *, html_col: str = "html", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """The COMBINED Readability classifier, canonical Arrow path: a
     <p> block survives only if it is neither link-dense
     (``2*link_tokens > tokens``) nor text-sparse
@@ -394,15 +396,29 @@ def extract_html_classified(df: DataFrame, *, html_col: str = "html") -> DataFra
     the shared block kernel (same tokenize/containment/count stage as
     the single-rule classifiers; only the predicate differs).
 
+    ``carry`` passes extra input columns through the Arrow stage
+    unchanged (output rows are 1:1 positional with input rows), same
+    contract as ``extract_html_main(carry=...)`` — a fused pipeline
+    keeps row-local results alongside the classification without a
+    doc_id re-join.
+
     Output: (doc_id, main_text, n_tokens, n_blocks, n_dropped)."""
-    src = df.select(F.col("doc_id").cast("long"), F.col(html_col).alias("html"))
+    src = df.select(
+        F.col("doc_id").cast("long"),
+        F.col(html_col).alias("html"),
+        *[F.col(c) for c in carry],
+    )
+    schema = T.StructType(list(_DENSE_SCHEMA.fields) + [src.schema[c] for c in carry])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _classify_blocks_batch(pdf, _rule_readability)
+                out = _classify_blocks_batch(pdf, _rule_readability)
+                for c in carry:
+                    out[c] = pdf[c].reset_index(drop=True)
+                yield out
 
-    return src.mapInPandas(run, schema=_DENSE_SCHEMA)
+    return src.mapInPandas(run, schema=schema)
 
 
 def extract_html_classified_simple(

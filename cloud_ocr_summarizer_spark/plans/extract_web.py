@@ -133,6 +133,54 @@ def extract_web_documents_fused(docs: DataFrame) -> DataFrame:
     )
 
 
+def extract_web_documents_classified_fused(docs: DataFrame) -> DataFrame:
+    """Zero-shuffle twin of :func:`extract_web_documents_classified` —
+    same output contract and oracle.  The row-local span/layout stats
+    are computed first and CARRIED through the classifier's Arrow stage
+    (``extract_html_classified(carry=...)``): one pruned documents
+    scan, zero Exchanges."""
+    from cloud_ocr_summarizer_spark.datagen import (
+        derive_classified_html_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.dom import extract_html_classified
+
+    blocks = blocks_rowlocal_col("spans_out")
+    stats = extract_spans(
+        derive_spans_from_documents(docs, keep=("text", "source")),
+        with_stats=False,
+        keep=("text", "source"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "source",
+        F.size("spans_out").cast("int").alias("n_spans"),
+        F.size(
+            F.filter(F.col("spans_out"), lambda s: s["media_ref"].isNotNull())
+        ).cast("int").alias("n_media"),
+        # carried under a distinct name: the classifier's own output
+        # already has an n_blocks column (its HTML block count)
+        F.size(blocks).cast("int").alias("n_layout_blocks"),
+        # try_: zero-block docs must not fail the job under ANSI mode
+        F.try_element_at(blocks, F.lit(1))["block_text"].alias("first_block"),
+    )
+    carried = ("n_spans", "n_media", "n_layout_blocks", "first_block")
+    out = extract_html_classified(
+        derive_classified_html_from_documents(stats, keep=carried), carry=carried
+    )
+    # match the flat variant's column names/order exactly (same oracle)
+    return out.select(
+        "doc_id",
+        "main_text",
+        "n_tokens",
+        F.col("n_blocks").alias("n_html_blocks"),
+        F.col("n_dropped").alias("n_html_dropped"),
+        "n_spans",
+        "n_media",
+        F.col("n_layout_blocks").alias("n_blocks"),
+        "first_block",
+    )
+
+
 def web_partition_metrics(
     web: DataFrame, *, run_id: str, snapshot_id: int = 0
 ) -> DataFrame:

@@ -2526,3 +2526,5 @@ SELECT doc_id,
             ELSE '' END AS asset_text
 FROM __spans WHERE media_ref IS NOT NULL
 """
+
+ORACLES["extract_web_classified_fused"] = ORACLES["extract_web_classified"]

@@ -2641,3 +2641,17 @@ def q_media_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["media_pdf_layout"] = q_media_pdf_layout
+
+
+def q_extract_web_classified_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle fused twin of extract_web_classified: span/layout
+    stats carried through the classifier's Arrow stage — one documents
+    scan, zero Exchanges.  Same oracle as the flat variant."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import (
+        extract_web_documents_classified_fused,
+    )
+
+    return extract_web_documents_classified_fused(_read(spark, sf_dir, "documents"))
+
+
+BATCH_7["extract_web_classified_fused"] = q_extract_web_classified_fused

@@ -209,3 +209,20 @@ def test_classified_variant_single_join_is_only_shuffle(spark):
     )
     assert p.count("Exchange") <= 2
     assert "Window" not in p
+
+
+def test_classified_fused_zero_shuffle_and_equal(spark):
+    """The classified fused twin: zero Exchanges, rows identical to the
+    flat classified plan."""
+    from cloud_ocr_summarizer_spark.plans.extract_web import (
+        extract_web_documents_classified,
+        extract_web_documents_classified_fused,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fused = extract_web_documents_classified_fused(docs)
+    p = fused._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 0 and "Window" not in p
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, extract_web_documents_classified(docs).collect()))
+    assert a == b and len(a) == 500

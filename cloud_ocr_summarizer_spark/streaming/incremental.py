@@ -88,8 +88,13 @@ def start_incremental_extract_web(
     output_root: str,
     checkpoint_dir: str,
     lineage_root: str | None = None,
+    pipeline=None,
 ) -> StreamingQuery:
     """AvailableNow streaming twin of the composed web-extraction job.
+
+    ``pipeline`` passes through to ``run_web`` (default: the fused
+    zero-shuffle plan; e.g. ``extract_web_documents_classified`` runs
+    the full-Readability-classifier variant incrementally).
 
     The composed pipeline joins its DOM and span branches 1:1 on doc_id;
     as a native stream-stream self-join that would need join state and
@@ -114,6 +119,7 @@ def start_incremental_extract_web(
             batch_df,
             output_root=output_root,
             lineage_root=lineage_root,
+            pipeline=pipeline,
         )
 
     return (

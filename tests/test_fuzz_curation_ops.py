@@ -217,3 +217,63 @@ def test_pdf_stream_fuzz_vs_python(spark, rng):
         got[i].sort()
     assert got == expected
     assert sum(len(v) for v in expected.values()) > 300  # fuzz actually fuzzed
+
+
+def test_html_classified_fuzz_vs_python(spark, rng):
+    """Combined Readability classifier vs a directly-computed model:
+    the same random block structures as the dense fuzz, but the model
+    applies BOTH integer rules (2*link > total; wc < 7*ceil(nc/80))
+    to decide each block's fate — never by parsing."""
+    from cloud_ocr_summarizer_spark.operators.dom import (
+        extract_html_classified,
+        extract_html_classified_simple,
+    )
+
+    # mixed word lengths so the wrapped-line arithmetic is exercised
+    words = ["alpha", "beta", "gamma", "supercalifragilistic", "eps", "zz"]
+    rows, expected = [], {}
+    for i in range(250):
+        blocks, html_parts = [], []
+        kept_words = []
+        for _ in range(rng.randrange(0, 6)):
+            n = rng.randrange(0, 12)
+            n_link = rng.randrange(0, n + 1)
+            toks = [rng.choice(words) for _ in range(n)]
+            linked, plain = toks[:n_link], toks[n_link:]
+            attr = rng.choice(["", ' class="c"', " id=z"])
+            inner = ""
+            if linked:
+                inner += f'<a href="#">{" ".join(linked)}</a>'
+            if plain:
+                inner += ("  " if linked else "") + " ".join(plain)
+            html_parts.append(f"<p{attr}>{inner}</p>")
+            nc = sum(len(t) for t in toks) + max(n - 1, 0)
+            lines = max((nc + 79) // 80, 1)
+            dropped = (2 * n_link > n) or (n < 7 * lines)
+            blocks.append(dropped)
+            if not dropped:
+                kept_words.extend(toks)
+        noise = rng.choice(
+            ["", "<header><a href='#'>x y z</a></header>", "<br/>", "<!-- c -->"]
+        )
+        html = "<body>" + noise + "".join(html_parts) + "</body>"
+        rows.append((i, html))
+        expected[i] = (
+            " ".join(kept_words),
+            len(kept_words),
+            len(blocks),
+            sum(blocks),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    for fn in (extract_html_classified, extract_html_classified_simple):
+        got = {
+            r["doc_id"]: (
+                r["main_text"], r["n_tokens"], r["n_blocks"], r["n_dropped"]
+            )
+            for r in fn(df).collect()
+        }
+        assert got == expected, fn.__name__
+    # both rules must actually fire somewhere in the corpus
+    assert any(v[3] for v in expected.values())
+    assert any(v[1] for v in expected.values())

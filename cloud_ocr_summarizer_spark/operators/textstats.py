@@ -349,3 +349,49 @@ def vocab_coverage(
         oov.alias("n_oov"),
         F.floor(oov * 1000 / n).cast("int").alias("oov_permille"),
     )
+
+
+def readability_profile(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-Kincaid-style readability grade, integer-milli exact.
+
+    The classic quality gate for training-data curation, re-expressed
+    so every engine computes the identical value (the repo's
+    integer-cents convention): words are whitespace tokens after
+    sentence punctuation strips to spaces; sentences are the non-empty
+    ``[.!?]+`` segments (min 1); syllables approximate as vowel-group
+    count per word (``[aeiouy]+`` runs, min 1 per word — the standard
+    FK floor); and the grade is published in integer milli-units as
+
+        fk_milligrade = floor(390*W/S) + floor(11800*Sy/W) - 15590
+
+    (FK grade = 0.39*W/S + 11.8*Sy/W - 15.59, scaled x1000 with each
+    term floored — exact in any engine while 390*W < 2^53).  Row-local
+    column expressions; one shuffle-free map stage."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = whitespace_tokens_col(F.regexp_replace(text, r"[.!?]+", " "))
+    w = F.size(toks)
+    sentences_raw = F.size(
+        F.filter(
+            F.split(text, r"[.!?]+"),
+            lambda s: F.size(whitespace_tokens_col(s)) > 0,
+        )
+    )
+    s = F.greatest(sentences_raw, F.lit(1))
+
+    def syl(word: Column) -> Column:
+        groups = F.size(
+            F.filter(F.split(F.lower(word), "[^aeiouy]+"), lambda p: p != "")
+        )
+        return F.greatest(groups, F.lit(1))
+
+    sy = F.aggregate(toks, F.lit(0), lambda acc, word: acc + syl(word))
+    fk = F.floor(390 * w / s) + F.floor(11800 * sy / w) - 15590
+    return df.select(
+        F.col(id_col),
+        w.cast("int").alias("n_words"),
+        s.cast("int").alias("n_sentences"),
+        sy.cast("int").alias("n_syllables"),
+        F.when(w > 0, fk).cast("int").alias("fk_milligrade"),
+    )

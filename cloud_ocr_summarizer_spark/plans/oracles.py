@@ -2528,3 +2528,33 @@ FROM __spans WHERE media_ref IS NOT NULL
 """
 
 ORACLES["extract_web_classified_fused"] = ORACLES["extract_web_classified"]
+
+
+# Integer-milli Flesch-Kincaid (operators/textstats.readability_profile
+# over 12-word planted sentences): re-derived from documents.text with
+# the same integer arithmetic — W words, S = max(ceil(W/12), 1)
+# sentences, Sy = sum over words of max(1, vowel-group count).
+ORACLES["readability_scores"] = r"""
+WITH __base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), __stats AS (
+  SELECT doc_id,
+         len(words) AS w,
+         greatest((len(words) + 11) // 12, 1) AS s,
+         coalesce(list_sum(list_transform(words,
+           wd -> greatest(len(list_filter(
+                   regexp_split_to_array(lower(wd), '[^aeiouy]+'),
+                   p -> p <> '')), 1))), 0) AS sy
+  FROM __base
+)
+SELECT doc_id,
+       CAST(w AS INT) AS n_words,
+       CAST(s AS INT) AS n_sentences,
+       CAST(sy AS INT) AS n_syllables,
+       CAST(CASE WHEN w > 0
+            THEN floor(390.0 * w / s) + floor(11800.0 * sy / w) - 15590
+            END AS INT) AS fk_milligrade
+FROM __stats
+"""

@@ -2655,3 +2655,29 @@ def q_extract_web_classified_fused(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 BATCH_7["extract_web_classified_fused"] = q_extract_web_classified_fused
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-milli Flesch-Kincaid readability over documents regrouped
+    into 12-word sentences (the corpus has no native punctuation, so
+    the query plants '.' boundaries deterministically — the operator
+    then genuinely parses sentence segments and counts vowel-group
+    syllables).  Row-local map stage."""
+    from cloud_ocr_summarizer_spark.operators.textstats import readability_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    n = F.size(words)
+    k = 12
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(k)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(words, i.cast("int") * k + 1, k), " "),
+    )
+    sentence_text = F.when(n > 0, F.concat(F.array_join(chunks, ". "), F.lit("."))
+                           ).otherwise(F.lit(""))
+    return readability_profile(
+        docs.select("doc_id", sentence_text.alias("text"))
+    )
+
+
+BATCH_7["readability_scores"] = q_readability_scores

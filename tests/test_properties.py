@@ -107,3 +107,31 @@ def test_vocab_coverage_model(spark):
         ws = t.split()
         oov = sum(1 for w in ws if w not in vocab)
         assert got[d] == (len(ws), oov, oov * 1000 // len(ws)), (d, vocab)
+
+
+def test_readability_profile_golden(spark):
+    """FK integer-milli arithmetic on hand-computed cases."""
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        readability_profile,
+    )
+
+    rows = [
+        # "the cat sat. it ran." -> W=5 S=2 Sy=5:
+        # fk = floor(390*5/2) + floor(11800*5/5) - 15590 = 975+11800-15590
+        (1, "the cat sat. it ran."),
+        # no punctuation: S clamps to 1; "rhythm zz" -> syllables 1+1
+        (2, "rhythm zz"),
+        (3, ""),
+        (4, None),
+        # "beautiful" -> eau+i+u = 3 vowel groups (y counts as vowel)
+        (5, "beautiful day!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in readability_profile(df).collect()}
+    assert got[1] == (5, 2, 5, 975 + 11800 - 15590)
+    assert got[2] == (2, 1, 2, 390 * 2 + 11800 * 2 // 2 - 15590)
+    assert got[3] == (0, 1, 0, None)
+    assert got[4] == (0, 1, 0, None)
+    w, s, sy, fk = got[5]
+    assert (w, s) == (2, 1) and sy == 3 + 1  # beautiful=3, day=1 (ay run)
+    assert fk == int(390 * 2 / 1) + int(11800 * 4 / 2) - 15590

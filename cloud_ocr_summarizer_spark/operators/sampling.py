@@ -172,3 +172,37 @@ def chunk_documents(
             F.slice(F.col("_toks"), start + 1, chunk_tokens), " "
         ).alias("chunk_text"),
     )
+
+
+def cap_per_source(
+    docs: DataFrame,
+    *,
+    cap: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain balancing (RefinedWeb-style per-source cap): keep at most
+    ``cap`` documents per source, chosen by the deterministic md5/31-bit
+    hash rank of the id — a pure function of the data, stable across
+    runs, partitionings, and engines (no PRNG).
+
+    Output adds ``source_rank`` (1-based rank within the source) so the
+    caller can audit how deep each source ran; over-cap docs are
+    DROPPED — pair with a groupBy(source) count on the input when drop
+    observability is needed (the cap-audit pattern of operators/dedup).
+
+    Scale shape: one hash-partitioned window per source.  Source
+    cardinality is the parallelism bound — for web corpora (millions of
+    domains) the window keys are plentiful; a single mega-source is the
+    pathological case and is exactly what the cap truncates."""
+    from pyspark.sql import Window
+
+    from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
+
+    w = Window.partitionBy(source_col).orderBy(
+        md5_hash31_col(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= cap)
+    )

@@ -2558,3 +2558,21 @@ SELECT doc_id,
             END AS INT) AS fk_milligrade
 FROM __stats
 """
+
+
+# Domain balancing (operators/sampling.cap_per_source): same md5/31-bit
+# hash family as every checked sampling operator (functions/hashing.py
+# — single source of truth; SQL twin documented there).
+ORACLES["cap_per_source"] = r"""
+SELECT doc_id, source, source_rank
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                         AS BIGINT) % 2147483647 ASC,
+                    doc_id ASC) AS INT) AS source_rank
+  FROM documents
+)
+WHERE source_rank <= 20
+"""

@@ -2681,3 +2681,16 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["readability_scores"] = q_readability_scores
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: at most 20 docs per source by deterministic
+    md5-hash rank (operators/sampling.cap_per_source) — the RefinedWeb
+    per-domain cap as a pure function of the data."""
+    from cloud_ocr_summarizer_spark.operators.sampling import cap_per_source
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_source(docs, cap=20)
+
+
+BATCH_7["cap_per_source"] = q_cap_per_source

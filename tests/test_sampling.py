@@ -143,3 +143,22 @@ def test_chunk_documents_boundaries(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, chunk_tokens=32, stride=40)
+
+
+def test_cap_per_source_deterministic_and_capped(spark):
+    from cloud_ocr_summarizer_spark.operators.sampling import cap_per_source
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_source(docs, cap=10)
+    got = out.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"s0": 10, "s1": 10, "s2": 10}
+    # pure function of the data: identical keep-set across partitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"] for r in cap_per_source(docs.repartition(17), cap=10).collect()
+    )
+    assert a == b
+    # under-cap sources pass through whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert cap_per_source(small, cap=10).count() == 2

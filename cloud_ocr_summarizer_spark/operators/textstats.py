@@ -395,3 +395,42 @@ def readability_profile(
         sy.cast("int").alias("n_syllables"),
         F.when(w > 0, fk).cast("int").alias("fk_milligrade"),
     )
+
+
+def dedup_intra_doc(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Intra-document deduplication (the Gopher/FineWeb repeated-
+    passage gate): split the document into ``k``-word chunks, drop
+    every chunk that exactly repeats an EARLIER chunk of the same
+    document, reassemble the survivors in order.
+
+    Entirely row-local — one HOF fold per document (the seen-set is the
+    kept-chunk array; membership via array_position), no shuffle, no
+    state.  Chunk counts are bounded by words/k, so the quadratic
+    membership scan is bounded per row; at 100 TB this is a pure map
+    stage like every other gate.
+
+    Output: (id, clean_text, n_chunks, n_removed)."""
+    words = whitespace_tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("int"), n - 1),
+            lambda i: F.array_join(F.slice(words, i.cast("int") * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    kept = F.aggregate(
+        chunks,
+        F.array().cast("array<string>"),
+        lambda acc, c: F.when(F.array_position(acc, c) > 0, acc).otherwise(
+            F.concat(acc, F.array(c))
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(chunks).cast("int").alias("n_chunks"),
+        (F.size(chunks) - F.size(kept)).cast("int").alias("n_removed"),
+    )

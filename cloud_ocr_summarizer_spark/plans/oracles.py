@@ -2576,3 +2576,43 @@ FROM (
 )
 WHERE source_rank <= 20
 """
+
+
+# Intra-document dedup (textstats.dedup_intra_doc over doubled text):
+# first-occurrence-wins on exact 8-word chunks, re-derived with the
+# same chunk arithmetic over the doubled word list.
+ORACLES["dedup_intra_doc"] = r"""
+WITH __base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           CASE WHEN length(text) > 0 THEN text || ' ' || text ELSE text END,
+           '\s+'), w -> w <> '') AS words
+  FROM documents
+), __chunks AS (
+  SELECT doc_id, c.i AS i, c.chunk AS chunk
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range((len(words) + 7) // 8),
+             i -> struct_pack(
+                  i := CAST(i AS INT),
+                  chunk := array_to_string(words[i*8+1 : i*8+8], ' ')))) AS c
+    FROM __base
+  )
+), __ranked AS (
+  SELECT doc_id, i, chunk,
+         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY i) AS rk
+  FROM __chunks
+), __agg AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY i) FILTER (WHERE rk = 1)
+           AS clean_text,
+         count(*) AS n_chunks,
+         count(*) FILTER (WHERE rk > 1) AS n_removed
+  FROM __ranked GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.n_chunks, 0) AS INT) AS n_chunks,
+       CAST(coalesce(a.n_removed, 0) AS INT) AS n_removed
+FROM __base b LEFT JOIN __agg a USING (doc_id)
+"""

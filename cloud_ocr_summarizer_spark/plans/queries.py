@@ -2694,3 +2694,21 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["cap_per_source"] = q_cap_per_source
+
+
+def q_dedup_intra_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-passage removal (textstats.
+    dedup_intra_doc): the query doubles each document's text so the
+    repeat gate genuinely fires (the fixed corpus rarely repeats an
+    exact 8-word chunk), then drops every chunk that repeats an earlier
+    one.  Row-local fold, no shuffle."""
+    from cloud_ocr_summarizer_spark.operators.textstats import dedup_intra_doc
+
+    docs = _read(spark, sf_dir, "documents")
+    doubled = F.when(
+        F.length(F.col("text")) > 0, F.concat(F.col("text"), F.lit(" "), F.col("text"))
+    ).otherwise(F.col("text"))
+    return dedup_intra_doc(docs.select("doc_id", doubled.alias("text")))
+
+
+BATCH_7["dedup_intra_doc"] = q_dedup_intra_doc

@@ -135,3 +135,23 @@ def test_readability_profile_golden(spark):
     w, s, sy, fk = got[5]
     assert (w, s) == (2, 1) and sy == 3 + 1  # beautiful=3, day=1 (ay run)
     assert fk == int(390 * 2 / 1) + int(11800 * 4 / 2) - 15590
+
+
+def test_dedup_intra_doc_first_occurrence_wins(spark):
+    from cloud_ocr_summarizer_spark.operators.textstats import dedup_intra_doc
+
+    a8 = " ".join(["a"] * 8)
+    b8 = " ".join(["b"] * 8)
+    rows = [
+        (1, f"{a8} {b8} {a8}"),          # 3 chunks, 3rd repeats 1st
+        (2, f"{a8} {a8} {a8} {a8}"),     # 4 chunks -> 1 kept
+        (3, "short tail only"),           # single partial chunk
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in dedup_intra_doc(df).collect()}
+    assert got[1] == (f"{a8} {b8}", 3, 1)
+    assert got[2] == (a8, 4, 3)
+    assert got[3] == ("short tail only", 1, 0)
+    assert got[4] == ("", 0, 0) and got[5] == ("", 0, 0)

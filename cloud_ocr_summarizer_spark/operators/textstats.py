@@ -434,3 +434,58 @@ def dedup_intra_doc(
         F.size(chunks).cast("int").alias("n_chunks"),
         (F.size(chunks) - F.size(kept)).cast("int").alias("n_removed"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "and", "of", "a", "to", "in")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher word-level quality rule set (Rae et al. 2021 §A1.1),
+    integerized so every engine agrees exactly:
+
+      R1 word count within [min_words, max_words]
+      R2 mean word length in [3, 10]:  3*W <= chars <= 10*W
+         (chars = non-whitespace characters across words)
+      R3 >= 80% of words contain an alphabetic character:
+         5*alpha_words >= 4*W
+      R4 at least ``min_stop_hits`` distinct common stopwords present
+
+    Complements ``gopher_repetition`` (the repetition half of the
+    paper's filter).  One row-local projection; no shuffle.
+
+    Output: (id, n_words, n_chars, n_alpha_words, n_stop_hits,
+    passes_gopher)."""
+    toks = whitespace_tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    w = F.size(toks)
+    chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_position(F.transform(toks, F.lower), s) > 0,
+        )
+    )
+    passes = (
+        (w >= min_words)
+        & (w <= max_words)
+        & (3 * w <= chars)
+        & (chars <= 10 * w)
+        & (5 * alpha >= 4 * w)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        w.cast("int").alias("n_words"),
+        chars.cast("int").alias("n_chars"),
+        alpha.cast("int").alias("n_alpha_words"),
+        stop_hits.cast("int").alias("n_stop_hits"),
+        passes.alias("passes_gopher"),
+    )

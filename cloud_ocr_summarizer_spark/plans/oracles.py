@@ -2616,3 +2616,32 @@ SELECT b.doc_id,
        CAST(coalesce(a.n_removed, 0) AS INT) AS n_removed
 FROM __base b LEFT JOIN __agg a USING (doc_id)
 """
+
+
+# Gopher word-level quality rules (textstats.gopher_quality_rules):
+# same integer arithmetic over the whitespace word list.
+ORACLES["gopher_quality"] = r"""
+WITH __base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), __stats AS (
+  SELECT doc_id,
+         len(words) AS w,
+         coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS chars,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           AS alpha,
+         len(list_filter(['the','and','of','a','to','in'],
+             s -> list_contains(list_transform(words, x -> lower(x)), s)))
+           AS stop_hits
+  FROM __base
+)
+SELECT doc_id,
+       CAST(w AS INT) AS n_words,
+       CAST(chars AS INT) AS n_chars,
+       CAST(alpha AS INT) AS n_alpha_words,
+       CAST(stop_hits AS INT) AS n_stop_hits,
+       (w >= 50 AND w <= 100000 AND 3*w <= chars AND chars <= 10*w
+        AND 5*alpha >= 4*w AND stop_hits >= 2) AS passes_gopher
+FROM __stats
+"""

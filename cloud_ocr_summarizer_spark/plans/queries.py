@@ -2712,3 +2712,19 @@ def q_dedup_intra_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["dedup_intra_doc"] = q_dedup_intra_doc
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher word-level quality rules (textstats.gopher_quality_rules,
+    min_words=50 — the corpus median, so the word-count band genuinely
+    splits it): word-count band, integer mean-word-length band,
+    80%-alpha rule, and >= 2 distinct stopwords.  Complements
+    gopher_repetition.  Row-local, no shuffle."""
+    from cloud_ocr_summarizer_spark.operators.textstats import gopher_quality_rules
+
+    return gopher_quality_rules(
+        _read(spark, sf_dir, "documents"), min_words=50
+    )
+
+
+BATCH_7["gopher_quality"] = q_gopher_quality

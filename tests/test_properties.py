@@ -155,3 +155,29 @@ def test_dedup_intra_doc_first_occurrence_wins(spark):
     assert got[2] == (a8, 4, 3)
     assert got[3] == ("short tail only", 1, 0)
     assert got[4] == ("", 0, 0) and got[5] == ("", 0, 0)
+
+
+def test_gopher_quality_rules_golden(spark):
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        gopher_quality_rules,
+    )
+
+    good = "the quick brown fox and a dog ran off to town in style"
+    numeric = " ".join(["12345"] * 8)  # no alpha words -> R3 fails
+    longw = " ".join(["supercalifragilisticexpialidocious"] * 8)  # R2 fails
+    rows = [(1, good), (2, numeric), (3, longw), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_stop_hits"], r["passes_gopher"])
+        for r in gopher_quality_rules(df, min_words=5).collect()
+    }
+    assert got[1] == (13, 5, True)  # the, and, a, to, in (no "of")
+    assert got[2][2] is False  # alpha rule
+    assert got[3][2] is False  # mean word length > 10
+    assert got[4] == (0, 0, False) and got[5] == (0, 0, False)
+    # word-count band: same good text but min_words above its count
+    strict = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in gopher_quality_rules(df, min_words=20).collect()
+    }
+    assert strict[1] is False

@@ -144,6 +144,12 @@ def main() -> int:
         "q15_extract_web_classified",
         lambda: _force(Q.q_extract_web_classified(spark, sf_dir)),
     )
+    # q15b: its zero-shuffle fused twin (stats carried through the
+    # classifier's Arrow stage)
+    timed(
+        "q15b_extract_web_classified_fused",
+        lambda: _force(Q.q_extract_web_classified_fused(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)

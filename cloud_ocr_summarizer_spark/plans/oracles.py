@@ -2645,3 +2645,66 @@ SELECT doc_id,
         AND 5*alpha >= 4*w AND stop_hits >= 2) AS passes_gopher
 FROM __stats
 """
+
+
+# Composed quality gates (q_quality_pipeline): gopher rules -> intra-doc
+# dedup -> FK readability over the cleaned words, all re-derived with
+# the single-operator arithmetic over the doubled word list.
+ORACLES["quality_pipeline"] = r"""
+WITH __base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           CASE WHEN length(text) > 0 THEN text || ' ' || text ELSE text END,
+           '\s+'), w -> w <> '') AS words
+  FROM documents
+), __gq AS (
+  SELECT doc_id, len(words) AS w
+  FROM __base
+  WHERE len(words) >= 100 AND len(words) <= 100000
+    AND 3*len(words) <= coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+    AND coalesce(list_sum(list_transform(words, x -> len(x))), 0) <= 10*len(words)
+    AND 5*len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+        >= 4*len(words)
+    AND len(list_filter(['the','and','of','a','to','in'],
+            s -> list_contains(list_transform(words, x -> lower(x)), s))) >= 2
+), __chunks AS (
+  SELECT b.doc_id, c.i AS i, c.chunk AS chunk
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range((len(words) + 7) // 8),
+             i -> struct_pack(
+                  i := CAST(i AS INT),
+                  chunk := array_to_string(words[i*8+1 : i*8+8], ' ')))) AS c
+    FROM __base
+  ) b JOIN __gq USING (doc_id)
+), __kept AS (
+  SELECT doc_id, i, chunk
+  FROM (SELECT doc_id, i, chunk,
+               row_number() OVER (PARTITION BY doc_id, chunk ORDER BY i) AS rk
+        FROM __chunks)
+  WHERE rk = 1
+), __clean AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           string_agg(chunk, ' ' ORDER BY i), '\s+'), w -> w <> '') AS cwords,
+         (SELECT count(*) FROM __chunks c2 WHERE c2.doc_id = __kept.doc_id)
+           - count(*) AS n_removed
+  FROM __kept GROUP BY doc_id
+), __scored AS (
+  SELECT doc_id, n_removed,
+         len(cwords) AS w2,
+         coalesce(list_sum(list_transform(cwords,
+           wd -> greatest(len(list_filter(
+                   regexp_split_to_array(lower(wd), '[^aeiouy]+'),
+                   p -> p <> '')), 1))), 0) AS sy
+  FROM __clean
+)
+SELECT g.doc_id,
+       CAST(g.w AS INT) AS n_words,
+       CAST(s.n_removed AS INT) AS n_removed,
+       CAST(s.sy AS INT) AS n_syllables,
+       CAST(CASE WHEN s.w2 > 0
+            THEN floor(390.0 * s.w2 / 1) + floor(11800.0 * s.sy / s.w2) - 15590
+            END AS INT) AS fk_milligrade
+FROM __gq g JOIN __scored s USING (doc_id)
+"""

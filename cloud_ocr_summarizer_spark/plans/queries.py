@@ -2728,3 +2728,39 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["gopher_quality"] = q_gopher_quality
+
+
+def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The new word-level gates COMPOSED the way a curation run chains
+    them: doubled text (so the repeat gate fires) -> Gopher word-level
+    rules (min_words=100 = the doubled-corpus median) -> intra-doc
+    repeated-passage removal -> integer-milli Flesch-Kincaid over the
+    CLEANED text (no planted punctuation here, so S clamps to 1).
+    Three row-local stages + two 1:1 doc_id joins."""
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        dedup_intra_doc,
+        gopher_quality_rules,
+        readability_profile,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    doubled = docs.select(
+        "doc_id",
+        F.when(
+            F.length("text") > 0, F.concat(F.col("text"), F.lit(" "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    passed = gopher_quality_rules(doubled, min_words=100).filter(
+        F.col("passes_gopher")
+    ).select("doc_id", "n_words")
+    cleaned = dedup_intra_doc(doubled.join(passed, "doc_id").select("doc_id", "text"))
+    scored = readability_profile(
+        cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    ).select("doc_id", "n_syllables", "fk_milligrade")
+    return (
+        passed.join(cleaned.select("doc_id", "n_removed"), "doc_id")
+        .join(scored, "doc_id")
+    )
+
+
+BATCH_7["quality_pipeline"] = q_quality_pipeline

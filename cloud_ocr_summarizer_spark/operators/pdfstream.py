@@ -22,7 +22,9 @@ canonical path handles arbitrary operator interleavings.
 
 Token contract: numbers ``-?\\d+(\\.\\d+)?``, literal strings
 ``( … )`` with ``\\``-escapes (no nested parens), operator names, and
-``%``-comments stripped up front.  Scale shape: shuffle-free map over
+``%``-comments as an ignored token class (never inside a string —
+the leftmost-match scan keeps a string's '%' in the string).  ``BT``
+resets the position to the origin per ISO 32000 §9.4.1.  Scale shape: shuffle-free map over
 the input's partitioning — the same plan class as the flagship
 extractor.
 """
@@ -36,9 +38,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 # one pass over the stream: group 0 = literal-string body, 1 = number,
-# 2 = operator name
-_PDF_TOKEN_RE = r"\(((?:[^()\\]|\\.)*)\)|(-?\d+(?:\.\d+)?)|([A-Za-z]{1,3}\*?)"
-_COMMENT_RE = r"%[^\n]*"
+# 2 = operator name.  Comments are a TOKEN alternative (ignored after
+# tokenization), NOT a pre-strip: a '%' inside a literal string belongs
+# to the string, and the leftmost-match scan guarantees an open '('
+# consumes it before the comment alternative can fire.
+_PDF_TOKEN_RE = (
+    r"\(((?:[^()\\]|\\.)*)\)|(-?\d+(?:\.\d+)?)|([A-Za-z]{1,3}\*?)|%[^\n]*"
+)
 
 SPAN_SCHEMA = T.StructType(
     [
@@ -62,8 +68,8 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         }
     )
     pdf = pdf.reset_index(drop=True)
-    s = pdf["payload"].str.decode("latin-1").fillna("")
-    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    # utf-8 to match the deriver's F.encode and the JVM twin's F.decode
+    s = pdf["payload"].str.decode("utf-8", errors="replace").fillna("")
     toks = s.str.extractall(_PDF_TOKEN_RE)
     if toks.empty:
         return empty
@@ -92,19 +98,23 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
     is_tm, is_td, is_tj = (op == "Tm"), (op == "Td"), (op == "Tj")
-    is_pos = is_tm | is_td
+    is_bt = op == "BT"
+    is_pos = is_tm | is_td | is_bt
     if not is_tj.any():
         return empty
 
-    # positioning state: Tm is absolute (operands … e f -> e=x f=y, the
-    # last two numbers), Td adds (dx, dy) to the current position.
-    # reset-cumsum: each Tm starts a segment; within a segment the
-    # position is Tm's absolute value plus the running Td deltas.
+    # positioning state: BT resets the text matrix to identity (ISO
+    # 32000 §9.4.1 — position (0,0)), Tm is absolute (operands … e f ->
+    # e=x f=y, the last two numbers), Td adds (dx, dy) to the current
+    # position.  reset-cumsum: each BT or Tm starts a segment; within a
+    # segment the position is the anchor value plus the running Td
+    # deltas.
     p = pd.DataFrame(
         {
             "doc": docS[is_pos].values,
             "slot": nslot[is_pos].values,
-            "tm": is_tm[is_pos].values,
+            "anchor": (is_tm | is_bt)[is_pos].values,
+            "bt": is_bt[is_pos].values,
         },
         index=toks.index[is_pos],
     )
@@ -116,7 +126,11 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         how="left",
     )
     p.index = toks.index[is_pos]
-    seg = p["tm"].astype("int64").groupby(p["doc"]).cumsum()
+    # BT carries no operands: its anchor value is the origin, not
+    # whatever numbers happen to precede it
+    p["vx"] = p["vx"].where(~p["bt"], 0.0)
+    p["vy"] = p["vy"].where(~p["bt"], 0.0)
+    seg = p["anchor"].astype("int64").groupby(p["doc"]).cumsum()
     cur_x = p["vx"].fillna(0.0).groupby([p["doc"], seg]).cumsum()
     cur_y = p["vy"].fillna(0.0).groupby([p["doc"], seg]).cumsum()
 
@@ -181,11 +195,10 @@ def parse_pdf_text_spans_simple(
     flattens to one or two line spans — WholeStageCodegen, zero
     Python.  Arbitrary operator interleavings need the canonical
     path."""
-    stream = F.regexp_replace(
-        F.decode(F.coalesce(F.col(payload_col), F.lit(b"")), "UTF-8"),
-        _COMMENT_RE,
-        " ",
-    )
+    # no comment pre-strip: a '%' inside a literal string belongs to the
+    # string, and the derived shape never places a comment inside BT…ET,
+    # so the block regex is unaffected by comment lines between blocks
+    stream = F.decode(F.coalesce(F.col(payload_col), F.lit(b"")), "UTF-8")
     block_re = (
         r"(?s)BT 1 0 0 1 (-?\d+) (-?\d+) Tm \(((?:[^()\\]|\\.)*)\) Tj"
         r"( 0 -12 Td \(((?:[^()\\]|\\.)*)\) Tj)? ET"

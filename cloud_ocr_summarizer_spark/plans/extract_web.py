@@ -37,19 +37,29 @@ from cloud_ocr_summarizer_spark.operators.extract import extract_spans
 from cloud_ocr_summarizer_spark.operators.layout import blocks_rowlocal_col
 
 
-def _span_stats_branch(docs: DataFrame) -> DataFrame:
+def _span_stats_branch(
+    docs: DataFrame,
+    *,
+    keep: tuple[str, ...] = (),
+    layout_blocks_alias: str = "n_blocks",
+) -> DataFrame:
     """Row-local span extraction + kind tagging + layout fold, reduced
-    to the per-doc stat columns every composed variant joins on."""
+    to the per-doc stat columns every composed variant joins on or
+    carries.  ``keep`` passes document columns through (for fused
+    variants that still need text/source downstream);
+    ``layout_blocks_alias`` renames the layout block count when the
+    carrying stage has its own n_blocks column."""
     blocks = blocks_rowlocal_col("spans_out")
     return extract_spans(
-        derive_spans_from_documents(docs), with_stats=False
+        derive_spans_from_documents(docs, keep=keep), with_stats=False, keep=keep
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(c) for c in keep],
         F.size("spans_out").cast("int").alias("n_spans"),
         F.size(
             F.filter(F.col("spans_out"), lambda s: s["media_ref"].isNotNull())
         ).cast("int").alias("n_media"),
-        F.size(blocks).cast("int").alias("n_blocks"),
+        F.size(blocks).cast("int").alias(layout_blocks_alias),
         # try_: a document whose every span was filtered (or empty text)
         # has zero blocks — element_at(…, 1) would FAIL THE JOB under
         # ANSI mode; NULL is the correct first_block for it
@@ -108,25 +118,7 @@ def extract_web_documents_fused(docs: DataFrame) -> DataFrame:
     shuffle of the flat plan; keep the flat variant for inputs whose
     branches genuinely come from different tables.
     """
-    blocks = blocks_rowlocal_col("spans_out")
-    stats = extract_spans(
-        derive_spans_from_documents(docs, keep=("text", "source")),
-        with_stats=False,
-        keep=("text", "source"),
-    ).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "text",
-        "source",
-        F.size("spans_out").cast("int").alias("n_spans"),
-        F.size(
-            F.filter(F.col("spans_out"), lambda s: s["media_ref"].isNotNull())
-        ).cast("int").alias("n_media"),
-        F.size(blocks).cast("int").alias("n_blocks"),
-        # try_: a document whose every span was filtered (or empty text)
-        # has zero blocks — element_at(…, 1) would FAIL THE JOB under
-        # ANSI mode; NULL is the correct first_block for it
-        F.try_element_at(blocks, F.lit(1))["block_text"].alias("first_block"),
-    )
+    stats = _span_stats_branch(docs, keep=("text", "source"))
     carried = ("n_spans", "n_media", "n_blocks", "first_block")
     return extract_html_main(
         derive_html_from_documents(stats, keep=carried), carry=carried
@@ -144,24 +136,10 @@ def extract_web_documents_classified_fused(docs: DataFrame) -> DataFrame:
     )
     from cloud_ocr_summarizer_spark.operators.dom import extract_html_classified
 
-    blocks = blocks_rowlocal_col("spans_out")
-    stats = extract_spans(
-        derive_spans_from_documents(docs, keep=("text", "source")),
-        with_stats=False,
-        keep=("text", "source"),
-    ).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "text",
-        "source",
-        F.size("spans_out").cast("int").alias("n_spans"),
-        F.size(
-            F.filter(F.col("spans_out"), lambda s: s["media_ref"].isNotNull())
-        ).cast("int").alias("n_media"),
-        # carried under a distinct name: the classifier's own output
-        # already has an n_blocks column (its HTML block count)
-        F.size(blocks).cast("int").alias("n_layout_blocks"),
-        # try_: zero-block docs must not fail the job under ANSI mode
-        F.try_element_at(blocks, F.lit(1))["block_text"].alias("first_block"),
+    # layout count carried under a distinct name: the classifier's own
+    # output already has an n_blocks column (its HTML block count)
+    stats = _span_stats_branch(
+        docs, keep=("text", "source"), layout_blocks_alias="n_layout_blocks"
     )
     carried = ("n_spans", "n_media", "n_layout_blocks", "first_block")
     out = extract_html_classified(

@@ -188,10 +188,11 @@ def test_pdf_stream_fuzz_vs_python(spark, rng):
     rows, expected = [], {}
     for i in range(200):
         parts, spans = [], []
-        x = y = 0  # origin-relative until the first Tm
+        x = y = 0
         for _ in range(rng.randrange(0, 5)):
             parts.append("BT")
-            if rng.random() < 0.9:  # occasionally Td before any Tm
+            x = y = 0  # BT resets the text matrix (ISO 32000 §9.4.1)
+            if rng.random() < 0.9:  # occasionally a Tm-less text object
                 x, y = rng.randrange(-500, 500), rng.randrange(-500, 500)
                 parts.append(f"1 0 0 1 {x} {y} Tm")
             for _ in range(rng.randrange(1, 4)):

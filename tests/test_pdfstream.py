@@ -108,3 +108,30 @@ def test_media_pdf_layout_round_trip(spark):
             assert f"doc {r['doc_id']} span {r['offset']}" in r["asset_text"]
         by_lines[r["n_lines"]] += 1
     assert by_lines[1] > 0 and by_lines[2] > 0
+
+
+def test_bt_resets_position(spark):
+    """BT starts a new text object at the origin (ISO 32000 §9.4.1) —
+    a Tj with no Tm in the second object must NOT inherit the previous
+    object's position."""
+    payload = (
+        b"BT 1 0 0 1 50 700 Tm (a) Tj ET "
+        b"BT (b) Tj 5 5 Td (c) Tj ET"
+    )
+    assert _spans(spark, [(1, payload)]) == [
+        (1, 0, 50, 700, "a"),
+        (1, 1, 0, 0, "b"),
+        (1, 2, 5, 5, "c"),
+    ]
+
+
+def test_percent_inside_string_is_not_a_comment(spark):
+    payload = b"% real comment (with parens)\nBT 1 0 0 1 10 20 Tm (50% off) Tj ET"
+    assert _spans(spark, [(1, payload)]) == [(1, 0, 10, 20, "50% off")]
+
+
+def test_utf8_payload_round_trip(spark):
+    payload = "BT 1 0 0 1 10 20 Tm (café naïve) Tj ET".encode()
+    assert _spans(spark, [(1, payload)]) == [(1, 0, 10, 20, "café naïve")]
+    b = _spans(spark, [(1, payload)], fn=parse_pdf_text_spans_simple)
+    assert b == [(1, 0, 10, 20, "café naïve")]

@@ -533,10 +533,11 @@ def derive_media_pdf_payloads(docs: DataFrame) -> DataFrame:
 
     Even offsets render a single Tm line, odd offsets add a relative-Td
     second line, so the parser's state machine is exercised per asset.
-    asset_key = doc_id*4096 + offset — a surrogate wide enough for the
-    deriver's span-count bound (<= words/8 per doc); real deployments
-    key the parse by a struct column instead.  Oracle lockstep:
-    oracles.py ``media_pdf_layout``.
+    asset_key = (doc_id << 20) | offset — bit arithmetic, so encode and
+    decode stay EXACT at any scale (no double-division rounding) and
+    offsets up to 2^20-1 (docs to ~8M words) cannot collide across
+    documents; real deployments key the parse by a struct column
+    instead.  Oracle lockstep: oracles.py ``media_pdf_layout``.
     """
     spans = derive_spans_from_documents(docs)
     m = (
@@ -569,6 +570,7 @@ def derive_media_pdf_payloads(docs: DataFrame) -> DataFrame:
         F.lit(" ET\n%%EOF"),
     )
     return m.select(
-        (F.col("doc_id") * 4096 + F.col("offset")).alias("asset_key"),
+        (F.shiftleft(F.col("doc_id"), 20).bitwiseOR(F.col("offset")))
+        .alias("asset_key"),
         F.encode(stream, "UTF-8").alias("payload"),
     )

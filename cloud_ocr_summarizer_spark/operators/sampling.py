@@ -109,9 +109,6 @@ def pack_sequences(
     )
 
 
-__all__ = ["hash_sample", "pack_sequences", "M31"]
-
-
 def chunk_documents(
     docs: DataFrame,
     *,
@@ -141,7 +138,12 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
         raise ValueError("need 0 < stride <= chunk_tokens")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # null-coalesced like every tokenizer in the package: a NULL-text
+    # doc must yield its one empty chunk row, not silently vanish
+    # (split(NULL) -> NULL -> posexplode drops the doc)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda w: w != ""
+    )
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         (F.lit(1) + F.floor((n - chunk_tokens + stride - 1) / stride)).cast("int")
@@ -195,10 +197,6 @@ def cap_per_source(
     cardinality is the parallelism bound — for web corpora (millions of
     domains) the window keys are plentiful; a single mega-source is the
     pathological case and is exactly what the cap truncates."""
-    from pyspark.sql import Window
-
-    from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
-
     w = Window.partitionBy(source_col).orderBy(
         md5_hash31_col(F.col(id_col)).asc(), F.col(id_col).asc()
     )
@@ -206,3 +204,12 @@ def cap_per_source(
         docs.withColumn("source_rank", F.row_number().over(w))
         .filter(F.col("source_rank") <= cap)
     )
+
+
+__all__ = [
+    "hash_sample",
+    "pack_sequences",
+    "chunk_documents",
+    "cap_per_source",
+    "M31",
+]

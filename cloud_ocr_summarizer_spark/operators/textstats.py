@@ -286,9 +286,10 @@ def redact_pii(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     addresses with typed placeholders and count each category.
 
     Row-local regexp_replace chain (JVM, codegen) — a pure map stage at
-    any scale.  Counts are taken on the ORIGINAL text, sequentially on
-    the partially-redacted stream (same order as replacement), so engine
-    and oracle agree even when patterns could overlap.
+    any scale.  Counts are taken SEQUENTIALLY on the partially-redacted
+    stream (phone/ipv4 count over the email-redacted text, not the
+    original — same order as replacement), so engine and oracle agree
+    even when patterns could overlap.
     Output: doc_id, redacted, n_email, n_phone, n_ipv4.
     """
     out = df
@@ -328,26 +329,33 @@ def vocab_coverage(
     vocabulary, one to score) is inherent to the semantics; both are
     map-side-partial aggregations.
     """
+    # explode_outer: an empty/NULL-text doc keeps one NULL-term row so
+    # every input doc surfaces with a (0, 0, 0) coverage row — same
+    # guarantee as the sibling per-doc profiles
     words = df.select(
         F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        F.explode_outer(
+            whitespace_tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
         ).alias("term"),
     )
     vocab = (
-        words.groupBy("term")
+        words.filter(F.col("term").isNotNull())
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("term").asc())
         .limit(vocab_size)
         .select("term", F.lit(True).alias("in_vocab"))
     )
     scored = words.join(F.broadcast(vocab), "term", "left")
-    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-    n = F.count(F.lit(1))
+    oov = F.sum(
+        F.when(F.col("term").isNotNull() & F.col("in_vocab").isNull(), 1).otherwise(0)
+    )
+    n = F.count(F.col("term"))
     return scored.groupBy(id_col).agg(
         n.alias("n_tokens"),
         oov.alias("n_oov"),
-        F.floor(oov * 1000 / n).cast("int").alias("oov_permille"),
+        F.when(n > 0, F.floor(oov * 1000 / n)).otherwise(0).cast("int")
+        .alias("oov_permille"),
     )
 
 
@@ -467,10 +475,13 @@ def gopher_quality_rules(
     w = F.size(toks)
     chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    # one lowered pass; array_intersect returns distinct common
+    # elements, so this counts DISTINCT stopwords present (same set
+    # arithmetic as the oracle's list_filter/list_contains)
     stop_hits = F.size(
-        F.filter(
+        F.array_intersect(
+            F.transform(toks, F.lower),
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_position(F.transform(toks, F.lower), s) > 0,
         )
     )
     passes = (

@@ -2192,14 +2192,21 @@ WITH w AS (
   SELECT term FROM (
     SELECT term, count(*) AS n FROM w GROUP BY term
   ) ORDER BY n DESC, term ASC LIMIT 1024
+), agg AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000
+              // count(*) AS INT) AS oov_permille
+  FROM w LEFT JOIN v ON w.term = v.term
+  GROUP BY w.doc_id
 )
-SELECT w.doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000
-            // count(*) AS INT) AS oov_permille
-FROM w LEFT JOIN v ON w.term = v.term
-GROUP BY w.doc_id
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_oov, 0) AS n_oov,
+       CAST(coalesce(a.oov_permille, 0) AS INT) AS oov_permille
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 ORACLES["layout_reading_order_rowlocal"] = ORACLES["layout_reading_order"]

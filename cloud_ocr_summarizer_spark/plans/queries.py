@@ -2632,9 +2632,11 @@ def q_media_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("asset_text"),
         F.count(F.lit(1)).cast("int").alias("n_lines"),
     )
+    # exact bit decode of the (doc_id << 20) | offset surrogate key
     return agg.select(
-        F.floor(F.col("doc_id") / 4096).cast("long").alias("doc_id"),
-        F.pmod(F.col("doc_id"), F.lit(4096)).cast("int").alias("offset"),
+        F.shiftright(F.col("doc_id"), 20).cast("long").alias("doc_id"),
+        F.col("doc_id").bitwiseAND(F.lit((1 << 20) - 1)).cast("int")
+        .alias("offset"),
         "n_lines",
         "asset_text",
     )

@@ -181,3 +181,15 @@ def test_gopher_quality_rules_golden(spark):
         for r in gopher_quality_rules(df, min_words=20).collect()
     }
     assert strict[1] is False
+
+
+def test_vocab_coverage_emits_zero_row_for_empty_docs(spark):
+    from cloud_ocr_summarizer_spark.operators.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: tuple(r)[1:] for r in vocab_coverage(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0, 0) and got[3] == (0, 0, 0)
+    assert got[1][0] == 3

@@ -162,3 +162,14 @@ def test_cap_per_source_deterministic_and_capped(spark):
     # under-cap sources pass through whole
     small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
     assert cap_per_source(small, cap=10).count() == 2
+
+
+def test_chunk_documents_null_text_doc_survives(spark):
+    from cloud_ocr_summarizer_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=2, stride=1)
+    by_doc = {r["doc_id"] for r in out.collect()}
+    assert by_doc == {1, 2, 3}  # NULL-text doc must not vanish

@@ -2715,3 +2715,28 @@ SELECT g.doc_id,
             END AS INT) AS fk_milligrade
 FROM __gq g JOIN __scored s USING (doc_id)
 """
+
+
+# Exact per-source order statistics (q_source_length_stats): lower
+# median by rank — integer arithmetic, no approximate sketch.
+ORACLES["source_length_stats"] = r"""
+WITH s AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+           AS w
+  FROM documents
+), r AS (
+  SELECT source, w,
+         row_number() OVER (PARTITION BY source ORDER BY w, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_docs,
+         min(w) OVER (PARTITION BY source) AS min_words,
+         max(w) OVER (PARTITION BY source) AS max_words
+  FROM s
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(min_words AS INT) AS min_words,
+       CAST(w AS INT) AS median_words,
+       CAST(max_words AS INT) AS max_words
+FROM r WHERE rn = (n_docs + 1) // 2
+"""

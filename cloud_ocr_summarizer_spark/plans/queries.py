@@ -2766,3 +2766,36 @@ def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["quality_pipeline"] = q_quality_pipeline
+
+
+def q_source_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus length statistics with an EXACT lower median
+    (order-statistic by rank, not approx_percentile — approximate
+    sketches cannot cross the engine boundary bit-exactly).  One
+    shuffle: both window specs share the source partition."""
+    docs = _read(spark, sf_dir, "documents")
+    w = F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                        lambda x: x != ""))
+    base = docs.select("source", w.alias("w"), "doc_id")
+    part = Window.partitionBy("source")
+    ordered = part.orderBy("w", "doc_id")
+    ranked = base.select(
+        "source",
+        "w",
+        F.row_number().over(ordered).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n_docs"),
+        F.min("w").over(part).alias("min_words"),
+        F.max("w").over(part).alias("max_words"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.floor((F.col("n_docs") + 1) / 2)
+    ).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("min_words").cast("int").alias("min_words"),
+        F.col("w").cast("int").alias("median_words"),
+        F.col("max_words").cast("int").alias("max_words"),
+    )
+
+
+BATCH_7["source_length_stats"] = q_source_length_stats

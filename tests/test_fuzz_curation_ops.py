@@ -278,3 +278,77 @@ def test_html_classified_fuzz_vs_python(spark, rng):
     # both rules must actually fire somewhere in the corpus
     assert any(v[3] for v in expected.values())
     assert any(v[1] for v in expected.values())
+
+
+def test_word_level_gates_fuzz_vs_python(spark, rng):
+    """readability_profile, gopher_quality_rules, and dedup_intra_doc vs
+    directly-computed models over random word soups (mixed lengths,
+    digits, no-vowel words, planted '.' sentence breaks, planted chunk
+    repeats)."""
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        dedup_intra_doc,
+        gopher_quality_rules,
+        readability_profile,
+    )
+
+    lex = ["the", "zz", "beautiful", "12345", "rhythm", "cat", "of",
+           "supercalifragilistic", "a", "to"]
+    rows = []
+    for i in range(200):
+        words = [rng.choice(lex) for _ in range(rng.randrange(0, 40))]
+        if words and rng.random() < 0.5:  # planted repeat region
+            words = words + words[: rng.randrange(1, len(words) + 1)]
+        toks = list(words)
+        if toks and rng.random() < 0.5:  # planted sentence break token
+            toks.insert(rng.randrange(len(toks) + 1), ".")
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def vg(w):
+        import re as _re
+        return max(1, len([g for g in _re.split(r"[^aeiouy]+", w.lower()) if g]))
+
+    # readability model
+    want_r = {}
+    for i, text in rows:
+        toks = [t for t in text.replace(".", " ").split() if t]
+        segs = [s for s in __import__("re").split(r"[.!?]+", text)
+                if s.split()]
+        w, s_, sy = len(toks), max(len(segs), 1), sum(vg(t) for t in toks)
+        fk = (390 * w // s_) + (11800 * sy // w) - 15590 if w else None
+        want_r[i] = (w, s_, sy, fk)
+    got_r = {r["doc_id"]: tuple(r)[1:] for r in readability_profile(df).collect()}
+    assert got_r == want_r
+
+    # gopher model (min_words=10 so the band splits the fuzz corpus)
+    want_g = {}
+    for i, text in rows:
+        toks = text.split()
+        w = len(toks)
+        chars = sum(len(t) for t in toks)
+        alpha = sum(1 for t in toks if __import__("re").search("[A-Za-z]", t))
+        stops = len({s for s in ("the", "and", "of", "a", "to", "in")
+                     if s in [t.lower() for t in toks]})
+        want_g[i] = (w >= 10 and w <= 100000 and 3 * w <= chars
+                     and chars <= 10 * w and 5 * alpha >= 4 * w and stops >= 2)
+    got_g = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in gopher_quality_rules(df, min_words=10).collect()
+    }
+    assert got_g == want_g
+    assert any(want_g.values()) and not all(want_g.values())
+
+    # intra-doc dedup model
+    want_d = {}
+    for i, text in rows:
+        toks = text.split()
+        chunks = [" ".join(toks[j:j + 8]) for j in range(0, len(toks), 8)]
+        seen, kept = set(), []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        want_d[i] = (" ".join(kept), len(chunks), len(chunks) - len(kept))
+    got_d = {r["doc_id"]: tuple(r)[1:] for r in dedup_intra_doc(df).collect()}
+    assert got_d == want_d
+    assert any(v[2] for v in want_d.values())  # repeats actually fired

@@ -58,7 +58,13 @@ def boilerplate_dictionary(
     cross-document boilerplate."""
     ex = spans_src.select(
         "doc_id", "source", F.explode("spans").alias("s")
-    ).filter(F.col("s.kind") == config.KIND_TEXT)
+    ).filter(
+        # NULL-text spans have no fingerprint: without this filter a
+        # NULL fp group could consume a rank slot (NULLS FIRST among
+        # equal df) and desync removal from the oracle's text IS NOT
+        # NULL contract under a binding max_dict cap
+        (F.col("s.kind") == config.KIND_TEXT) & F.col("s.text").isNotNull()
+    )
     per_doc = ex.select(
         "source", _span_fingerprint(F.col("s.text")).alias("fp"), "doc_id"
     ).distinct()

@@ -132,23 +132,48 @@ def extract_deep_tree_arrow(tree: DataFrame) -> DataFrame:
             out_doc, out_page, out_seq, out_kind, out_text = [], [], [], [], []
             for doc_id, pages in zip(ids, trees):
                 for page_idx, page in enumerate(pages or []):
+                    if page is None:
+                        # JVM twin: page.blocks -> NULL, posexplode(NULL)
+                        # emits no rows
+                        continue
                     for block_idx, block in enumerate(page["blocks"] or []):
-                        paras = []
-                        for para in block["paragraphs"] or []:
-                            words = [
-                                "".join(w["symbols"] or [])
-                                for w in para["words"] or []
-                            ]
-                            # ASCII strip, matching the JVM twin's Java
-                            # \s — bare str.strip() also eats Unicode
-                            # whitespace (NBSP, U+2028, ...) and would
-                            # desync the two extractors on such symbols
-                            paras.append(" ".join(words).strip(_ASCII_WS))
+                        if block is None:
+                            # JVM twin EMITS the row: block.block_type
+                            # and the assembled text are both NULL
+                            out_doc.append(doc_id)
+                            out_page.append(page_idx + 1)
+                            out_seq.append(block_idx + 1)
+                            out_kind.append(None)
+                            out_text.append(None)
+                            continue
+                        if block["paragraphs"] is None:
+                            # array_join(transform(NULL,…)) -> NULL text
+                            text = None
+                        else:
+                            paras = []
+                            for para in block["paragraphs"]:
+                                if para is None or para["words"] is None:
+                                    # NULL para_text: array_join SKIPS it
+                                    continue
+                                words = [
+                                    "".join(
+                                        s for s in w["symbols"] if s is not None
+                                    )
+                                    for w in para["words"]
+                                    # NULL word_text: array_join skips
+                                    if w is not None and w["symbols"] is not None
+                                ]
+                                # ASCII strip, matching the JVM twin's
+                                # Java \s — bare str.strip() also eats
+                                # Unicode whitespace (NBSP, U+2028, ...)
+                                # and would desync the two extractors
+                                paras.append(" ".join(words).strip(_ASCII_WS))
+                            text = "\n".join(paras).strip(_ASCII_WS)
                         out_doc.append(doc_id)
                         out_page.append(page_idx + 1)
                         out_seq.append(block_idx + 1)
                         out_kind.append(block["block_type"])
-                        out_text.append("\n".join(paras).strip(_ASCII_WS))
+                        out_text.append(text)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_doc, type=id_pa),

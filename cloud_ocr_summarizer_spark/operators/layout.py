@@ -147,8 +147,18 @@ def blocks_rowlocal_col(
     complete span array: transform (geometry) + array_sort (newspaper
     order) + one aggregate fold (gap segmentation).  Shared by
     :func:`reading_order_rowlocal` and the doc-level summary so the two
-    cannot diverge.  The fold touches only the LAST accumulator entry —
-    O(spans) work, O(blocks) state per document."""
+    cannot diverge.
+
+    Cost note: the fold only READS the last accumulator entry, but
+    Catalyst's immutable aggregate state re-materializes the block
+    array each step — per-span cost grows with the accumulated bytes,
+    i.e. quadratic in blocks for a single pathological mega-document
+    (typical docs: tens of spans, negligible).  That regime already has
+    dedicated tools: ``operators.skew.split_heavy_docs`` (chunk the
+    mega-doc first) or the exploded :func:`assemble_reading_order` path
+    (linear via shuffle).  A struct(done, current) accumulator was
+    considered and rejected — the new state still memcpys ``done``
+    per step, so it does not change the asymptotics."""
 
     def geo(s, k):
         r_global = F.floor(k / 2).cast("long")

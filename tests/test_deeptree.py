@@ -164,3 +164,50 @@ def test_derived_tree_twins_agree(spark):
     for did, pages in pdocs.items():
         exp.extend(deep_tree_blocks(did, to_plain(pages)))
     assert a == sorted(exp)
+
+
+def test_null_elements_match_jvm_twin(spark):
+    """NULL pages vanish (posexplode of NULL blocks), NULL blocks emit a
+    (NULL kind, NULL text) row, NULL paragraphs arrays give NULL text,
+    and NULL paras/words/symbols are skipped exactly like array_join
+    skips NULL elements — the two extractors must agree on ALL of it."""
+    from cloud_ocr_summarizer_spark.operators.deeptree import (
+        DEEP_TREE_SCHEMA,
+        extract_deep_tree,
+        extract_deep_tree_arrow,
+    )
+
+    sym = lambda *s: {"symbols": list(s)}  # noqa: E731
+    word_rows = [
+        (
+            1,
+            [
+                None,  # null page: contributes nothing
+                {
+                    "blocks": [
+                        None,  # null block: row with NULL kind/text
+                        {"block_type": "TEXT", "paragraphs": None},
+                        {
+                            "block_type": "TEXT",
+                            "paragraphs": [
+                                None,  # skipped
+                                {"words": None},  # skipped
+                                {"words": [None, sym("a", None, "b"),
+                                           {"symbols": None}]},
+                                {"words": []},  # empty para -> ''
+                            ],
+                        },
+                    ]
+                },
+            ],
+        )
+    ]
+    df = spark.createDataFrame(
+        word_rows, f"doc_id long, pages {DEEP_TREE_SCHEMA}"
+    )
+    a = sorted(map(tuple, extract_deep_tree(df).collect()))
+    b = sorted(map(tuple, extract_deep_tree_arrow(df).collect()))
+    assert a == b, (a, b)
+    assert (1, 2, 1, None, None) in a          # the null block row
+    assert any(r[3] == "TEXT" and r[4] is None for r in a)  # null paragraphs
+    assert any(r[4] == "ab" for r in a)        # null word/symbols skipped

@@ -232,53 +232,6 @@ def gram_hashes_pandas_df(
     return df.mapInPandas(run, schema=schema)
 
 
-def gram_hashes_col(text: Column, n: int) -> Column:
-    """Distinct word n-grams hashed ONCE to 64-bit (dedup-by-hash is exact
-    modulo ~1e-19 collision odds).  Single-Column form; inside pipelines
-    prefer word_hashes_col + gram_hashes_from_word_hashes with the word
-    hashes materialized behind an exchange (expressions inlined into a
-    transform lambda are re-evaluated per element — O(n^2))."""
-    return F.transform(word_ngrams_col(text, n), lambda g: F.xxhash64(g))
-
-
-def word_hashes_col(text: Column) -> Column:
-    """One xxhash64 per whitespace token."""
-    return F.transform(whitespace_tokens_col(text), lambda w: F.xxhash64(w))
-
-
-def gram_hashes_from_word_hashes(wh: Column, n: int) -> Column:
-    """Distinct n-gram hashes from a MATERIALIZED word-hash array column:
-    gram i = xxhash64(wh[i..i+n-1]) — order-sensitive, no gram strings.
-    ``wh`` must be a bound column (behind an exchange/cache), not an inline
-    expression, or Catalyst re-inlines it per element."""
-    n_words = F.size(wh)
-    grams = F.when(
-        n_words >= n,
-        F.transform(
-            F.sequence(F.lit(0), n_words - n),
-            lambda i: F.xxhash64(
-                *[F.element_at(wh, i.cast("int") + 1 + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return F.array_distinct(grams)
-
-
-def _sig_from_hashes(ghashes: Column, num_hashes: int) -> Column:
-    """JVM-expression MinHash signature: sig[i] = min over grams of
-    xxhash64(gram_hash, i).  Exact but falls back to interpreted eval for
-    large num_hashes (the nested HOF tree exceeds codegen limits) — prefer
-    ``_sig_pandas`` in pipelines."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda h: F.array_min(F.transform(ghashes, lambda x: F.xxhash64(x, h))),
-    )
-
-
-def minhash_signature_col(text: Column, *, n: int, num_hashes: int) -> Column:
-    """Row-local MinHash signature: array<long> of length num_hashes."""
-    return _sig_from_hashes(gram_hashes_col(text, n), num_hashes)
-
 
 # Fixed odd multipliers/offsets (golden-ratio sequence) for the affine
 # signature family used on the vectorized path; wraparound uint64 arithmetic.
@@ -597,28 +550,6 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_col(text: Column, *, bits: int = 64) -> Column:
-    """Row-local 64-bit SimHash over word tokens: for each bit position,
-    sign of the sum over tokens of (+1 if hash bit set else -1)."""
-    words = whitespace_tokens_col(text)
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-
-    def bit_col(b: int) -> Column:
-        # shift amount must be a literal; loop bits in Python (static expr)
-        return (
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
-            > 0
-        ).cast("int")
-
-    return F.array(*[bit_col(b) for b in range(bits)])
-
 
 def _simhash_pandas(bits: int = 64):
     """Series[array<long>] (word hashes) -> Series[array<int>] (sign bits),
@@ -653,11 +584,16 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(id, simhash bit array).  Near-dup pairs = small Hamming distance.
     Word hashing stays JVM-side (one cheap transform); the 64-bit sign
-    reduction runs on the vectorized pandas path."""
-    whashes = F.transform(
-        whitespace_tokens_col(F.col(text_col)), lambda w: F.xxhash64(w)
-    )
-    return df.select(
+    reduction runs on the vectorized pandas path.
+
+    Zero-token docs are EXCLUDED (same contract as the checked twin,
+    ``_checked_simhash_fp``): every empty doc hashes to the identical
+    all-zero fingerprint, so k blank OCR pages would otherwise co-bucket
+    in every band and emit ~k^2/2 bogus hamming-0 pairs (or silently
+    saturate the bucket cap)."""
+    toks = whitespace_tokens_col(F.col(text_col))
+    whashes = F.transform(toks, lambda w: F.xxhash64(w))
+    return df.filter(F.size(toks) > 0).select(
         F.col(id_col).alias("id"),
         _simhash_pandas(64)(whashes).alias("bits"),
     )
@@ -1004,6 +940,8 @@ def duplicate_clusters(
     ~8 merely FORMATTING the logical plan OOMs the driver — lineage must
     be truncated, not just cached.
     """
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -1041,6 +979,10 @@ def duplicate_clusters(
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
+            # free the superseded round's checkpointed blocks NOW —
+            # waiting for the JVM ContextCleaner would accumulate up to
+            # max_iterations full (node,label) copies in executor storage
+            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break

@@ -65,6 +65,13 @@ def parse_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
         while i + 4 <= len(payload):
             if payload[i] != 0xFF:
                 break
+            # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad a
+            # marker — skip them, or the fill byte pair would be
+            # misread as a segment length and jump past the SOF
+            while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(payload):
+                break
             marker = payload[i + 1]
             if marker in _JPEG_SOF:
                 if i + 9 > len(payload):

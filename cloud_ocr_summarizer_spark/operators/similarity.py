@@ -359,6 +359,11 @@ def pq_encode(
     quantized to 10^-6 integers before the argmin so the choice is exact
     integer comparison in any engine.
     """
+    if dims % m != 0:
+        raise ValueError(
+            f"dims={dims} not divisible by m={m}: the trailing dims%m "
+            "dimensions would be silently ignored by encode and ADC"
+        )
     sub = dims // m
     cb = F.col("cb")  # array<struct<ci:int, e:array<float>>>
 
@@ -453,6 +458,11 @@ def pq_topk(
     candidates by EXACT cosine on the raw vectors.
     Output: (query_id, rank, neighbor_id, cosine) — rank <= k.
     """
+    if dims % m != 0:
+        raise ValueError(
+            f"dims={dims} not divisible by m={m}: the trailing dims%m "
+            "dimensions would be silently ignored by encode and ADC"
+        )
     sub = dims // m
     codebook_row = pq_codebook(
         corpus, id_col=id_col, emb_col=emb_col, n_codebook=n_codebook

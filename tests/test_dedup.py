@@ -456,3 +456,13 @@ def test_duplicate_clusters_transitive_chains(spark):
     assert {got[i] for i in (10, 11)} == {10}
     assert {got[i] for i in range(20, 30)} == {20}
     assert len(got) == 16  # every node labeled exactly once
+
+
+def test_simhash_blank_docs_emit_no_pairs(spark):
+    """Zero-token docs all hash to the identical zero fingerprint; they
+    must be excluded, not emitted as k^2/2 bogus hamming-0 pairs."""
+    from cloud_ocr_summarizer_spark.operators.dedup import simhash_near_pairs
+
+    rows = [(i, "") for i in range(30)] + [(100, None), (200, "real text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert simhash_near_pairs(df).count() == 0

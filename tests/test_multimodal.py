@@ -126,3 +126,17 @@ def test_parse_image_dimensions_real_files():
     assert parse_image_dimensions(jpeg) == ("jpeg", 123, 77)
     assert parse_image_dimensions(b"\x00\x01\x02") is None
     assert parse_image_dimensions(b"\xff\xd8\xff\xd9") is None  # no SOF
+
+
+def test_jpeg_fill_bytes_before_marker(spark):
+    """ITU T.81 B.1.1.2 allows 0xFF fill-byte padding before a marker —
+    the scan must skip it, not read it as a segment length."""
+    import struct as _struct
+
+    from cloud_ocr_summarizer_spark.operators.multimodal import (
+        parse_image_dimensions,
+    )
+
+    sof = b"\xff\xc0" + _struct.pack(">HBHH", 11, 8, 77, 55) + b"\x03"
+    padded = b"\xff\xd8" + b"\xff" * 5 + sof
+    assert parse_image_dimensions(padded) == ("jpeg", 55, 77)

@@ -29,6 +29,7 @@ from cloud_ocr_summarizer_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from cloud_ocr_summarizer_spark.operators.textstats import (
+    redacted_text_col,
     language_id_scores,
     quality_score_col,
     repetition_profile,
@@ -162,10 +163,7 @@ def curate_documents_full(
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
 
-    redacted = F.col("text")
-    for _, pattern, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pattern, token)
-    kept = kept.withColumn("text", redacted)
+    kept = kept.withColumn("text", redacted_text_col(F.col("text")))
 
     if mix_fractions is not None:
         kept = hash_sample(kept, stratum_col="source", fractions=mix_fractions)

@@ -2740,3 +2740,79 @@ SELECT source,
        CAST(max_words AS INT) AS max_words
 FROM r WHERE rn = (n_docs + 1) // 2
 """
+
+
+# Batch twin of the streaming curation gate chain
+# (q_curation_gates_rowlocal): plant PII -> quality gate (>= 3000 bp)
+# -> row-local repetition gate (value-identical to the aggregated
+# gopher_repetition flag, so the oracle reuses that form) -> PII
+# redaction chain -> hash split.  All scoring runs on COALESCE(t0, '')
+# exactly like the engine's null-coalescing column helpers; redaction
+# runs on the raw t0 (NULL stays NULL in both engines).
+ORACLES["curation_gates_rowlocal"] = r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN rtrim(repeat('spam ', 40)) ELSE text END
+           || ' contact user-' || CAST(doc_id AS VARCHAR) || '@example.com tel '
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t0
+  FROM documents
+), base AS (
+  SELECT doc_id, t0, COALESCE(t0, '') AS t,
+         list_filter(regexp_split_to_array(COALESCE(t0, ''), '\s+'),
+                     w -> w <> '') AS words
+  FROM p
+), scored AS (
+  SELECT doc_id, t0,
+         CAST(floor((0.4 * least(len(words) / 100.0, 1.0)
+               + 0.3 * (1 - CASE WHEN length(t) > 0
+                    THEN (length(t) - length(regexp_replace(t, '[^A-Za-z0-9\s]', '', 'g'))) / length(t)
+                    ELSE 0.0 END)
+               + 0.3 * least((CASE WHEN len(words) > 0
+                    THEN list_sum(list_transform(words, w -> length(w))) / len(words)
+                    ELSE 0.0 END) / 8.0, 1.0)) * 10000) AS INT) AS qs
+  FROM base
+), lw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(COALESCE(t0, '')), '\s+'),
+                            w -> w <> '')) AS w
+  FROM p
+), per_word AS (
+  SELECT doc_id, w, count(*) AS c FROM lw GROUP BY doc_id, w
+), prof AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         max(c) AS top, count(*) AS uniq
+  FROM per_word GROUP BY doc_id
+), flags AS (
+  SELECT doc_id,
+         (n_tokens >= 10 AND
+          (floor(10000.0 * top / n_tokens) > 3000
+           OR floor(10000.0 * uniq / n_tokens) < 3000)) AS flagged
+  FROM prof
+), kept AS (
+  SELECT s.doc_id, s.t0
+  FROM scored s LEFT JOIN flags f USING (doc_id)
+  WHERE s.qs >= 7000 AND NOT COALESCE(f.flagged, FALSE)
+), s1 AS (
+  SELECT doc_id,
+         regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM kept
+), s2 AS (
+  SELECT doc_id, regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+           AS clean_text,
+       CASE
+         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+              % 2147483647 % 100 < 80 THEN 'train'
+         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+              % 2147483647 % 100 < 90 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM s2
+"""

@@ -2799,3 +2799,54 @@ def q_source_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["source_length_stats"] = q_source_length_stats
+
+
+def q_curation_gates_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.incremental.start_incremental_curation_gates,
+    built from the SAME shared column helpers (quality_score_col,
+    repetition_flagged_col, redacted_text_col, hash_split_col) — so this
+    value check covers the streaming gate chain's semantics too.  The
+    fixed corpus has no PII, so the query plants one deterministic
+    email/phone/IPv4 per doc (same derivation as pii_redaction) before
+    gating; the repetition flag here is the ROW-LOCAL form (array ops,
+    no explode/shuffle), value-identical to repetition_profile's
+    aggregated flag.  Both gates genuinely FIRE at the test tiers: docs
+    with doc_id % 7 == 0 are rewritten to a repeated word (repetition
+    drop), and the quality threshold is tightened to 7000 bp (~median
+    of the suffixed corpus, observed range 5597-8812) so the quality
+    gate splits the remainder.  Pure map stage end to end — zero
+    Exchanges."""
+    from cloud_ocr_summarizer_spark.functions.hashing import hash_split_col
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        quality_score_col,
+        redacted_text_col,
+        repetition_flagged_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = F.when(
+        F.pmod(d, F.lit(7)) == 0,
+        F.array_join(F.array_repeat(F.lit("spam"), 40), " "),
+    ).otherwise(F.col("text"))
+    pii_text = F.concat(
+        raw,
+        F.lit(" contact user-"), d.cast("string"), F.lit("@example.com tel "),
+        F.lpad(F.pmod(d, F.lit(1000)).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(F.pmod(d * 7, F.lit(1000)).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(F.pmod(d * 13, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), F.pmod(d, F.lit(256)).cast("string"), F.lit(".1"),
+    )
+    base = docs.select("doc_id", pii_text.alias("text"))
+    gated = base.filter(quality_score_col(F.col("text")) >= 7000)
+    kept = gated.filter(
+        ~F.coalesce(repetition_flagged_col(F.col("text")), F.lit(False))
+    )
+    return kept.select(
+        "doc_id",
+        redacted_text_col(F.col("text")).alias("clean_text"),
+        hash_split_col(F.col("doc_id")).alias("split"),
+    )
+
+
+BATCH_7["curation_gates_rowlocal"] = q_curation_gates_rowlocal

@@ -152,10 +152,10 @@ def start_incremental_curation_gates(
     from pyspark.sql import functions as F
 
     from cloud_ocr_summarizer_spark.functions.hashing import hash_split_col
-    from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
     from cloud_ocr_summarizer_spark.operators.textstats import (
-        PII_PATTERNS,
         quality_score_col,
+        redacted_text_col,
+        repetition_flagged_col,
     )
 
     stream = (
@@ -164,25 +164,11 @@ def start_incremental_curation_gates(
         .parquet(input_dir)
     )
     gated = stream.filter(quality_score_col(F.col("text")) >= min_quality)
-
-    # row-local repetition flag (same semantics as textstats.repetition_profile)
-    words = whitespace_tokens_col(F.lower(F.col("text")))
-    n = F.size(words)
-    distinct = F.array_distinct(words)
-    uniq = F.size(distinct)
-    top = F.array_max(
-        F.transform(distinct, lambda w: F.size(F.filter(words, lambda x: x == w)))
+    kept = gated.filter(
+        ~F.coalesce(repetition_flagged_col(F.col("text")), F.lit(False))
     )
-    flagged = (n >= 10) & (
-        (F.floor(10000 * top / n) > 3000) | (F.floor(10000 * uniq / n) < 3000)
-    )
-    kept = gated.filter(~F.coalesce(flagged, F.lit(False)))
-
-    redacted = F.col("text")
-    for _, pattern, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pattern, token)
     out = (
-        kept.withColumn("text", redacted)
+        kept.withColumn("text", redacted_text_col(F.col("text")))
         .withColumn("split", hash_split_col(F.col("doc_id")))
     )
     return (

@@ -227,6 +227,47 @@ def test_repetition_profile_fuzz_vs_python(spark):
         assert got[i] == py(t), (i, t)
 
 
+def test_repetition_rowlocal_twin_matches_profile(spark):
+    """repetition_flagged_col (row-local, no shuffle — the streaming-gate
+    form) equals repetition_profile's aggregated flag on real corpus
+    rows AND the null/empty/degenerate edge set."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        repetition_flagged_col,
+        repetition_profile,
+    )
+
+    spark_docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, "a " * 8 + "b c"),
+            (100002, "one two three"),
+            (100003, ""),
+            (100004, None),
+            (100005, "SPAM Spam spam " * 5),  # case folding matters
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark_docs.unionByName(edge)
+    prof = {
+        r["doc_id"]: r["flagged"]
+        for r in repetition_profile(docs).collect()
+    }
+    rowlocal = {
+        r["doc_id"]: r["f"]
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(repetition_flagged_col(F.col("text")), F.lit(False)).alias("f"),
+        ).collect()
+    }
+    assert rowlocal == prof
+    assert rowlocal[100001] is True and rowlocal[100005] is True
+
+
 def test_centroid_budget_independent_of_corpus_size(spark):
     """The fixed hash-sampled budget must return EXACTLY n_centroids rows
     regardless of corpus size (the old stride form grew the downstream

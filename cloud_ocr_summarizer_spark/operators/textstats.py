@@ -184,32 +184,25 @@ def repetition_profile(
                           (Gopher-ish bounds; short docs are exempt, a
                           3-token doc legitimately has 33% top share)
 
-    Explode + two hash aggregations; the exchange carries one row per
-    (doc, word) after map-side partial aggregation.
+    ROW-LOCAL (one projection, zero shuffles): the signals come from the
+    sorted in-row token array (see ``_repetition_signals``), value-
+    identical to the earlier explode + two-hash-aggregation plan but
+    1.3-2.0x faster at every measured tier and — the part that matters
+    at 100 TB — free of the exchange that carried one row per
+    (doc, word) (BENCH/repetition.json; interleaved A/B in
+    tools/bench_repetition.py).
     """
-    words = df.select(
-        F.col(id_col),
-        F.explode_outer(whitespace_tokens_col(F.lower(F.col(text_col)))).alias("_w"),
-    )
-    per_word = words.groupBy(id_col, "_w").agg(F.count("_w").alias("_c"))
-    prof = per_word.groupBy(id_col).agg(
-        F.sum("_c").alias("n_tokens"),
-        F.max("_c").alias("_top"),
-        F.count(F.col("_w")).alias("_uniq"),
-    )
+    n, top, uniq = _repetition_signals(F.col(text_col))
     bp = lambda num: (  # noqa: E731
-        F.when(
-            F.col("n_tokens") > 0,
-            F.floor(F.lit(10000.0) * num / F.col("n_tokens")),
-        )
+        F.when(n > 0, F.floor(F.lit(10000.0) * num / n))
         .otherwise(F.lit(0))
         .cast("int")
     )
-    out = prof.select(
+    out = df.select(
         F.col(id_col),
-        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-        bp(F.coalesce(F.col("_top"), F.lit(0))).alias("top_word_share_bp"),
-        bp(F.col("_uniq")).alias("unique_ratio_bp"),
+        n.cast("long").alias("n_tokens"),
+        bp(top).alias("top_word_share_bp"),
+        bp(uniq).alias("unique_ratio_bp"),
     )
     return out.withColumn(
         "flagged",
@@ -241,20 +234,19 @@ REP_TOP_SHARE_BP = 3000
 REP_UNIQUE_RATIO_BP = 3000
 
 
-def repetition_flagged_col(text: Column) -> Column:
-    """Row-local twin of ``repetition_profile``'s flag (same thresholds,
-    same basis-point arithmetic) for pipelines that cannot afford the
-    exploded aggregation — e.g. per-row streaming gates.
+def _repetition_signals(text: Column) -> tuple[Column, Column, Column]:
+    """(n_tokens, top_word_count, distinct_count) as row-local column
+    expressions — the shared kernel of ``repetition_profile`` and
+    ``repetition_flagged_col``.
 
     The top-word count is a max-run-length fold over the SORTED token
     array — O(n log n) per row.  The obvious nested-HOF form
     (``transform(distinct, w -> count of w in words)``) is
     O(distinct x n) and measured 3.6x slower at 10^6 docs in one
     interleaved window (7.14 s vs 1.99 s best-of-4, value-identical);
-    the sorted fold also beats the shuffled ``repetition_profile``
-    itself (2.91 s) — see BENCH/repetition.json.  The fold's ''
-    sentinel for ``prev`` cannot collide: the tokenizer drops empty
-    strings."""
+    the sorted fold also beats the old explode + two-hash-aggregation
+    plan (2.91 s) — see BENCH/repetition.json.  The fold's '' sentinel
+    for ``prev`` cannot collide: the tokenizer drops empty strings."""
     words = F.array_sort(whitespace_tokens_col(F.lower(text)))
     n = F.size(words)
     uniq = F.size(F.array_distinct(words))
@@ -273,6 +265,14 @@ def repetition_flagged_col(text: Column) -> Column:
         ),
         lambda acc: acc["best"],
     )
+    return n, top, uniq
+
+
+def repetition_flagged_col(text: Column) -> Column:
+    """``repetition_profile``'s flag as ONE column expression (same
+    thresholds, same basis-point arithmetic) for single-column consumers
+    — the streaming gates and the inline curation filter."""
+    n, top, uniq = _repetition_signals(text)
     return (n >= REP_MIN_TOKENS) & (
         (F.floor(10000 * top / n) > REP_TOP_SHARE_BP)
         | (F.floor(10000 * uniq / n) < REP_UNIQUE_RATIO_BP)

@@ -29,10 +29,10 @@ from cloud_ocr_summarizer_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from cloud_ocr_summarizer_spark.operators.textstats import (
-    redacted_text_col,
     language_id_scores,
     quality_score_col,
-    repetition_profile,
+    redacted_text_col,
+    repetition_flagged_col,
 )
 
 
@@ -54,10 +54,11 @@ def curate_documents(
     share every other stage.
     """
     # gate inputs computed from the ORIGINAL docs, not mid-pipeline
-    # lineage: flagged/pred_lang are pure per-doc functions, a superset of
-    # flagged ids anti-joins to the identical result, and deriving them
+    # lineage: pred_lang is a pure per-doc function, a superset of
+    # flagged ids joins to the identical result, and deriving it
     # downstream would re-execute the whole dedup cascade once per gate.
-    repetitive = repetition_profile(docs).filter("flagged").select("doc_id")
+    # (The repetition gate needs no such branch anymore: the flag is a
+    # row-local expression, applied inline as a filter below.)
     lang_pred = (
         None
         if lang is None
@@ -88,7 +89,11 @@ def curate_documents(
 
     docs = docs.filter(quality_score_col(F.col("text")) >= min_quality)
 
-    docs = docs.join(repetitive, "doc_id", "left_anti")
+    # row-local repetition gate: a plain filter (was an anti-join against
+    # an exploded-aggregation branch — one less shuffle, same kept set)
+    docs = docs.filter(
+        ~F.coalesce(repetition_flagged_col(F.col("text")), F.lit(False))
+    )
 
     if lang_pred is not None:
         docs = (
@@ -144,7 +149,6 @@ def curate_documents_full(
         hash_sample,
         pack_sequences,
     )
-    from cloud_ocr_summarizer_spark.operators.textstats import PII_PATTERNS
 
     kept = curate_documents(docs, **curate_kwargs).persist()
     if persisted is not None:

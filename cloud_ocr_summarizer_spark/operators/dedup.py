@@ -1001,3 +1001,71 @@ def duplicate_clusters(
         )
     finally:
         edges.unpersist()
+
+
+def dedup_cross_doc_passages(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """C4-style cross-DOCUMENT passage deduplication (Raffel et al. 2020
+    §2.2 deduplicate repeated spans corpus-wide; word-chunk granularity
+    like the intra-doc gate): split every document into consecutive
+    ``k``-word chunks, keep only the globally FIRST occurrence of each
+    distinct chunk — ordered by (doc_id, chunk_idx) — and reassemble the
+    surviving chunks per document in order.  The intra-doc gate
+    (``textstats.dedup_intra_doc``) falls out as a special case: a chunk
+    repeated within one document also loses to its own first occurrence.
+
+    Scale shape (no pairwise work anywhere):
+      1. one explode to (doc, idx, chunk) — O(total chunks) rows;
+      2. one hash aggregation keyed by chunk taking min(struct(doc,
+         idx)).  First-occurrence-wins means the kept occurrences ARE
+         exactly the per-chunk minima, so there is NO join back to the
+         occurrence stream; hot boilerplate chunks collapse in the
+         map-side partial min before the exchange (skew-safe);
+      3. one reassembly aggregation keyed by doc (collect_list +
+         array_sort — hash agg, not a window sort);
+      4. broadcast-free 1:1 left join back to the input for docs whose
+         every chunk lost (clean_text '').
+
+    Output: (id, clean_text, n_chunks, n_removed).
+    """
+    words = whitespace_tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    chunks_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("int"), n - 1),
+            lambda i: F.array_join(F.slice(words, i.cast("int") * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), chunks_arr.alias("_chunks"))
+    occ = base.select(
+        F.col(id_col), F.posexplode(F.col("_chunks")).alias("_idx", "_chunk")
+    )
+    winners = occ.groupBy("_chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_w")
+    )
+    kept = winners.select(
+        F.col("_w")[id_col].alias(id_col),
+        F.col("_w._idx").alias("_idx"),
+        F.col("_chunk"),
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_chunk"))),
+                lambda s: s["_chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = base.select(F.col(id_col), F.size("_chunks").alias("_n_chunks"))
+    return totals.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("_n_chunks").cast("int").alias("n_chunks"),
+        (F.col("_n_chunks") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )

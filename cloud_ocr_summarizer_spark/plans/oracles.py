@@ -2816,3 +2816,48 @@ SELECT doc_id,
        END AS split
 FROM s2
 """
+
+
+# Cross-document passage dedup (q_dedup_cross_doc): global
+# first-occurrence-wins over 8-word chunks, (doc_id, idx) order —
+# row_number() = 1 in DuckDB mirrors min(struct(doc_id, idx)) in the
+# engine.  The input unions an id-shifted echo copy so the gate fires.
+ORACLES["dedup_cross_doc"] = r"""
+WITH p AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), __base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     w -> w <> '') AS words
+  FROM p
+), __chunks AS (
+  SELECT doc_id, c.i AS i, c.chunk AS chunk
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range((len(words) + 7) // 8),
+             i -> struct_pack(
+                  i := CAST(i AS INT),
+                  chunk := array_to_string(words[i*8+1 : i*8+8], ' ')))) AS c
+    FROM __base
+  )
+), __ranked AS (
+  SELECT doc_id, i, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rk
+  FROM __chunks
+), __agg AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY i) FILTER (WHERE rk = 1)
+           AS clean_text,
+         count(*) AS n_chunks,
+         count(*) FILTER (WHERE rk = 1) AS n_kept
+  FROM __ranked GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.n_chunks, 0) AS INT) AS n_chunks,
+       CAST(coalesce(a.n_chunks, 0) - coalesce(a.n_kept, 0) AS INT)
+         AS n_removed
+FROM (SELECT doc_id FROM p) b LEFT JOIN __agg a USING (doc_id)
+"""

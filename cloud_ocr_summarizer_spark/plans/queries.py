@@ -2850,3 +2850,25 @@ def q_curation_gates_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["curation_gates_rowlocal"] = q_curation_gates_rowlocal
+
+
+def q_dedup_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup (dedup.dedup_cross_doc_passages —
+    the C4-style corpus-wide repeated-span gate).  The fixed corpus
+    shares no exact 8-word chunk across documents, so the query unions
+    an id-shifted echo copy of every document: echo docs lose ALL their
+    chunks to the original (global first-occurrence-wins), originals
+    keep theirs — both the keep and drop paths genuinely execute.
+    Explode + two hash aggregations + 1:1 left join; no pairwise work."""
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        dedup_cross_doc_passages,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    echo = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), F.col("text")
+    )
+    return dedup_cross_doc_passages(docs.unionByName(echo))
+
+
+BATCH_7["dedup_cross_doc"] = q_dedup_cross_doc

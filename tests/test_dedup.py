@@ -466,3 +466,42 @@ def test_simhash_blank_docs_emit_no_pairs(spark):
     rows = [(i, "") for i in range(30)] + [(100, None), (200, "real text here")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert simhash_near_pairs(df).count() == 0
+
+
+def test_dedup_cross_doc_passages_hand_computed(spark):
+    """Global first-occurrence-wins at 2-word-chunk granularity:
+    cross-doc duplicates drop, within-doc repeats drop, ties break by
+    (doc_id, idx), partial tail chunks participate, empty/None docs
+    surface with zero counts."""
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        dedup_cross_doc_passages,
+    )
+
+    rows = [
+        (1, "a b c d e"),        # chunks: "a b", "c d", "e"
+        (2, "a b x y"),          # "a b" loses to doc 1; "x y" kept
+        (3, "c d c d"),          # both chunks lose to doc 1's "c d"
+        (4, ""),
+        (5, None),
+        (6, "e"),                # single-word chunk "e" loses to doc 1 idx 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_removed"])
+        for r in dedup_cross_doc_passages(df, k=2).collect()
+    }
+    assert got[1] == ("a b c d e", 3, 0)
+    assert got[2] == ("x y", 2, 1)
+    assert got[3] == ("", 2, 2)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("", 1, 1)
+    # reassembly preserves original chunk order for survivors
+    df2 = spark.createDataFrame(
+        [(1, "z z"), (2, "p q z z r s")], "doc_id long, text string"
+    )
+    got2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_cross_doc_passages(df2, k=2).collect()
+    }
+    assert got2 == {1: "z z", 2: "p q r s"}

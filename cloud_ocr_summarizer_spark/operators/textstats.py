@@ -247,14 +247,22 @@ def _repetition_signals(text: Column) -> tuple[Column, Column, Column]:
     the sorted fold also beats the old explode + two-hash-aggregation
     plan (2.91 s) — see BENCH/repetition.json.  The fold's '' sentinel
     for ``prev`` cannot collide: the tokenizer drops empty strings."""
-    words = F.array_sort(whitespace_tokens_col(F.lower(text)))
-    n = F.size(words)
-    uniq = F.size(F.array_distinct(words))
+    words = whitespace_tokens_col(F.lower(text))
+    return F.size(words), _max_run_count(words), F.size(F.array_distinct(words))
+
+
+def _max_run_count(arr: Column) -> Column:
+    """Count of the most frequent element of a string array, as a
+    max-run-length fold over the sorted copy — the shared kernel of the
+    repetition signals (see ``_repetition_signals`` for the measured
+    rationale vs the nested-HOF form).  Elements must be non-empty
+    (the '' fold sentinel)."""
+    sorted_arr = F.array_sort(arr)
     step_run = lambda acc, w: (  # noqa: E731 — run length if w extends acc
         F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
     )
-    top = F.aggregate(
-        words,
+    return F.aggregate(
+        sorted_arr,
         F.struct(
             F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
@@ -265,7 +273,6 @@ def _repetition_signals(text: Column) -> tuple[Column, Column, Column]:
         ),
         lambda acc: acc["best"],
     )
-    return n, top, uniq
 
 
 def repetition_flagged_col(text: Column) -> Column:
@@ -276,6 +283,94 @@ def repetition_flagged_col(text: Column) -> Column:
     return (n >= REP_MIN_TOKENS) & (
         (F.floor(10000 * top / n) > REP_TOP_SHARE_BP)
         | (F.floor(10000 * uniq / n) < REP_UNIQUE_RATIO_BP)
+    )
+
+
+# repetition_profile_full thresholds (Rae et al. 2021 Table A1 bounds,
+# expressed in integer basis points; shared with the DuckDB oracle).
+REP_DUP_LINE_BP = 3000        # duplicate line fraction > 0.30
+REP_DUP_LINE_CHAR_BP = 2000   # duplicate line character fraction > 0.20
+REP_TOP_NGRAM_BP = {2: 2000, 3: 1800, 4: 1600}
+
+
+def repetition_profile_full(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The REST of Gopher's repetition filter family (Rae et al. 2021
+    Table A1) beyond ``repetition_profile``'s word-level signals —
+    duplicate-line fractions and top n-gram shares, integerized and
+    entirely ROW-LOCAL (one projection, zero shuffles):
+
+      n_lines                 '\\n'-split, space-trimmed, non-empty lines
+      dup_line_frac_bp        floor(10000 * line occurrences after each
+                              line's FIRST / n_lines)
+      dup_line_char_frac_bp   floor(10000 * chars in those repeat
+                              occurrences / total line chars)
+      top_{2,3,4}gram_share_bp floor(10000 * most-frequent word n-gram
+                              count / total n-grams), lowercased tokens
+                              like the word-level profile
+      flagged_full            any Table-A1 bound exceeded: dup lines
+                              > 30%, dup line chars > 20%, top 2/3/4-gram
+                              share > 20/18/16% (a 0 denominator never
+                              flags)
+
+    Deviations from the paper, chosen for integer cross-engine
+    exactness: n-gram shares are COUNT fractions (the paper weights by
+    characters), and duplicate-line char fraction counts repeat
+    occurrences (total minus first-occurrence chars).  Thresholds keep
+    the paper's values.  Like the paper, apply AFTER a word-count gate
+    (``gopher_quality_rules``): a 4-word doc's all-distinct 2-grams
+    already have top share 1/3 > 20%, so very short docs trivially
+    exceed the share bounds.  The top-count kernel is the sorted
+    max-run fold (``_max_run_count``); the O(distinct x n) nested-HOF
+    form measured 3.6x slower.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    n_rep = n_lines - F.size(dlines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, s: a + F.length(s))
+    rep_chars = line_chars - F.aggregate(
+        dlines, F.lit(0), lambda a, s: a + F.length(s)
+    )
+    bp = lambda num, den: (  # noqa: E731
+        F.when(den > 0, F.floor(F.lit(10000.0) * num / den))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    words = whitespace_tokens_col(F.lower(t))
+    n_words = F.size(words)
+
+    def gram_share(n: int) -> Column:
+        grams = F.when(
+            n_words >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_words - n),
+                lambda i: F.array_join(F.slice(words, i.cast("int") + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return bp(_max_run_count(grams), F.size(grams))
+
+    out = df.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        bp(n_rep, n_lines).alias("dup_line_frac_bp"),
+        bp(rep_chars, line_chars).alias("dup_line_char_frac_bp"),
+        gram_share(2).alias("top_2gram_share_bp"),
+        gram_share(3).alias("top_3gram_share_bp"),
+        gram_share(4).alias("top_4gram_share_bp"),
+    )
+    return out.withColumn(
+        "flagged_full",
+        (F.col("dup_line_frac_bp") > REP_DUP_LINE_BP)
+        | (F.col("dup_line_char_frac_bp") > REP_DUP_LINE_CHAR_BP)
+        | (F.col("top_2gram_share_bp") > REP_TOP_NGRAM_BP[2])
+        | (F.col("top_3gram_share_bp") > REP_TOP_NGRAM_BP[3])
+        | (F.col("top_4gram_share_bp") > REP_TOP_NGRAM_BP[4]),
     )
 
 

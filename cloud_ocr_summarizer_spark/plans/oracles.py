@@ -2861,3 +2861,78 @@ SELECT b.doc_id,
          AS n_removed
 FROM (SELECT doc_id FROM p) b LEFT JOIN __agg a USING (doc_id)
 """
+
+
+# Gopher line-level + n-gram repetition filters
+# (q_gopher_repetition_full): mirrors the deterministic restructuring
+# (two-word loop for doc_id%7, duplicated first line for doc_id%3) and
+# the integer-bp signals.  The top-gram count uses the O(u*n) list form
+# (fine at oracle tiers); the engine uses the sorted max-run fold.
+ORACLES["gopher_repetition_full"] = r"""
+WITH p0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN rtrim(repeat('tick tock ', 30))
+              ELSE COALESCE(text, '') END AS t
+  FROM documents
+), pw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(t, '\s+'), w -> w <> '') AS words
+  FROM p0
+), built AS (
+  SELECT doc_id,
+         array_to_string(words[1:6], ' ') || chr(10) ||
+         array_to_string(words[7:len(words)], ' ') || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN array_to_string(words[1:6], ' ')
+              ELSE 'unique tail line' END AS t2
+  FROM pw
+), sig AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(t2, chr(10)),
+                                    s -> trim(s)), s -> s <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(t2), '\s+'),
+                     w -> w <> '') AS lw
+  FROM built
+), grams AS (
+  SELECT doc_id, lines,
+         list_transform(range(greatest(len(lw) - 1, 0)),
+                        i -> array_to_string(lw[i+1:i+2], ' ')) AS g2,
+         list_transform(range(greatest(len(lw) - 2, 0)),
+                        i -> array_to_string(lw[i+1:i+3], ' ')) AS g3,
+         list_transform(range(greatest(len(lw) - 3, 0)),
+                        i -> array_to_string(lw[i+1:i+4], ' ')) AS g4
+  FROM sig
+), scored AS (
+  SELECT doc_id,
+         CAST(len(lines) AS INT) AS n_lines,
+         CAST(CASE WHEN len(lines) > 0 THEN floor(10000.0 *
+              (len(lines) - len(list_distinct(lines))) / len(lines))
+              ELSE 0 END AS INT) AS dup_line_frac_bp,
+         CAST(CASE WHEN COALESCE(list_sum(list_transform(lines,
+                   s -> length(s))), 0) > 0
+              THEN floor(10000.0 *
+                   (list_sum(list_transform(lines, s -> length(s)))
+                    - list_sum(list_transform(list_distinct(lines),
+                                              s -> length(s))))
+                   / list_sum(list_transform(lines, s -> length(s))))
+              ELSE 0 END AS INT) AS dup_line_char_frac_bp,
+         CAST(CASE WHEN len(g2) > 0 THEN floor(10000.0 *
+              list_max(list_transform(list_distinct(g2),
+                  x -> len(list_filter(g2, y -> y = x)))) / len(g2))
+              ELSE 0 END AS INT) AS top_2gram_share_bp,
+         CAST(CASE WHEN len(g3) > 0 THEN floor(10000.0 *
+              list_max(list_transform(list_distinct(g3),
+                  x -> len(list_filter(g3, y -> y = x)))) / len(g3))
+              ELSE 0 END AS INT) AS top_3gram_share_bp,
+         CAST(CASE WHEN len(g4) > 0 THEN floor(10000.0 *
+              list_max(list_transform(list_distinct(g4),
+                  x -> len(list_filter(g4, y -> y = x)))) / len(g4))
+              ELSE 0 END AS INT) AS top_4gram_share_bp
+  FROM grams
+)
+SELECT doc_id, n_lines, dup_line_frac_bp, dup_line_char_frac_bp,
+       top_2gram_share_bp, top_3gram_share_bp, top_4gram_share_bp,
+       (dup_line_frac_bp > 3000 OR dup_line_char_frac_bp > 2000
+        OR top_2gram_share_bp > 2000 OR top_3gram_share_bp > 1800
+        OR top_4gram_share_bp > 1600) AS flagged_full
+FROM scored
+"""

@@ -2872,3 +2872,34 @@ def q_dedup_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["dedup_cross_doc"] = q_dedup_cross_doc
+
+
+def q_gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's line-level + n-gram repetition filters
+    (textstats.repetition_profile_full).  The fixed corpus is single-line
+    prose, so the query deterministically restructures each doc:
+    doc_id % 7 == 0 becomes a two-word loop (top-n-gram shares fire),
+    then first-6-words / remainder / third line, where the third line
+    duplicates the first for doc_id % 3 == 0 (duplicate-line fractions
+    fire).  Row-local end to end — zero Exchanges."""
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        repetition_profile_full,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.when(
+        F.pmod(d, F.lit(7)) == 0,
+        F.array_join(F.array_repeat(F.lit("tick tock"), 30), " "),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    line1 = F.array_join(F.slice(words, 1, 6), " ")
+    rest = F.array_join(F.slice(words, 7, 1000000), " ")
+    line3 = F.when(F.pmod(d, F.lit(3)) == 0, line1).otherwise(
+        F.lit("unique tail line")
+    )
+    built = F.concat(line1, F.lit("\n"), rest, F.lit("\n"), line3)
+    return repetition_profile_full(docs.select("doc_id", built.alias("text")))
+
+
+BATCH_7["gopher_repetition_full"] = q_gopher_repetition_full

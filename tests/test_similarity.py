@@ -385,3 +385,48 @@ def test_pq_topk_recall_and_code_shape(spark):
     approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6  # measured 0.74 with these params; floor with margin
+
+
+def test_repetition_profile_full_hand_computed(spark):
+    """Line-level + n-gram Gopher signals: duplicated line (count AND
+    char fractions), two-word loop n-gram shares, case sensitivity
+    split (lines raw, grams lowercased), empty/None zeros."""
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        repetition_profile_full,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa bbb\nccc ddd\naaa bbb"),
+            (2, "x y x y x y x y x y x y"),
+            (3, ""),
+            (4, None),
+            (5, "Foo Bar\nfoo bar"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_profile_full(df).collect()}
+
+    r1 = got[1]  # 3 lines, one repeat; 21 line chars, 7 repeated
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac_bp"] == 3333
+    assert r1["dup_line_char_frac_bp"] == 3333
+    assert r1["top_2gram_share_bp"] == 4000  # "aaa bbb" 2 of 5
+    assert r1["flagged_full"] is True
+
+    r2 = got[2]  # 12-word two-word loop, single line
+    assert r2["n_lines"] == 1 and r2["dup_line_frac_bp"] == 0
+    assert r2["top_2gram_share_bp"] == 5454  # 6 of 11
+    assert r2["top_3gram_share_bp"] == 5000  # 5 of 10
+    assert r2["top_4gram_share_bp"] == 5555  # 5 of 9
+    assert r2["flagged_full"] is True
+
+    for i in (3, 4):
+        r = got[i]
+        assert r["n_lines"] == 0 and r["flagged_full"] is False
+        assert r["top_2gram_share_bp"] == 0
+
+    r5 = got[5]  # lines case-sensitive (no dup); grams lowercased
+    assert r5["dup_line_frac_bp"] == 0
+    assert r5["top_2gram_share_bp"] == 6666  # "foo bar" 2 of 3
+    assert r5["flagged_full"] is True

@@ -213,3 +213,66 @@ __all__ = [
     "cap_per_source",
     "M31",
 ]
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source re-balancing (the multilingual-sampling
+    rule popularized by mBERT/XLM-R and unified in Chung et al. 2023:
+    target share p_i proportional to n_i ** alpha).  alpha < 1 flattens
+    the source distribution — small sources are upsampled toward
+    keep-everything, dominant sources are downsampled — while the total
+    kept volume lands near ``target_frac`` of the corpus.
+
+      keep_rate_i = min(1, target_frac * N * p_i / n_i),
+      p_i = n_i**alpha / sum_j n_j**alpha
+
+    Membership is the same deterministic hash threshold as
+    ``hash_sample`` (salted md5/31-bit vs rate in ppm, floor(x + 0.5)
+    quantization on BOTH engines), never a PRNG.  The residual
+    cross-engine risk is pow() ulp noise moving a rate across a ppm
+    boundary — ~1e-11 absolute on a ~1e5-magnitude value, negligible
+    and absorbed by the round-half-up quantization.
+
+    Scale: one per-stratum count aggregation (|strata| rows, map-side
+    partial), a 1-row totals cross join onto it, and a BROADCAST join of
+    the |strata|-row rate table back to the corpus — the corpus itself
+    never shuffles.  Output: kept rows of ``df`` plus ``rate_ppm``.
+    """
+    if not 0 < target_frac <= 1:
+        raise ValueError("target_frac must be in (0, 1]")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    totals = counts.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).alias("_wsum"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        F.col(stratum_col),
+        F.least(
+            F.lit(1_000_000),
+            F.floor(
+                F.lit(1_000_000.0 * target_frac)
+                * F.col("_tot")
+                * F.pow(F.col("_n").cast("double"), F.lit(alpha))
+                / (F.col("_wsum") * F.col("_n"))
+                + F.lit(0.5)
+            ),
+        )
+        .cast("int")
+        .alias("rate_ppm"),
+    )
+    bucket = F.pmod(
+        md5_hash31_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < F.col("rate_ppm"))
+    )

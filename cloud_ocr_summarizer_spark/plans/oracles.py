@@ -2936,3 +2936,32 @@ SELECT doc_id, n_lines, dup_line_frac_bp, dup_line_char_frac_bp,
         OR top_4gram_share_bp > 1600) AS flagged_full
 FROM scored
 """
+
+
+# Temperature mixing (q_temperature_mix): p_i ~ n_i^0.3, target 50%,
+# rate quantized floor(x + 0.5) to ppm, membership by the md5/31-bit
+# hash family — identical association order to the engine expression.
+ORACLES["temperature_mix"] = r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 5 THEN 'a'
+              WHEN doc_id % 10 < 8 THEN 'b'
+              WHEN doc_id % 10 < 9 THEN 'c'
+              ELSE 'd' END AS stratum
+  FROM documents
+), c AS (
+  SELECT stratum, count(*) AS n FROM p GROUP BY stratum
+), t AS (
+  SELECT sum(n) AS tot, sum(pow(CAST(n AS DOUBLE), 0.3)) AS wsum FROM c
+), r AS (
+  SELECT stratum,
+         CAST(least(1000000, floor(
+           (500000.0 * tot) * pow(CAST(n AS DOUBLE), 0.3) / (wsum * n) + 0.5
+         )) AS INT) AS rate_ppm
+  FROM c, t
+)
+SELECT p.doc_id, p.stratum, r.rate_ppm
+FROM p JOIN r USING (stratum)
+WHERE ('0x' || substr(md5('tmix:' || CAST(p.doc_id AS VARCHAR)), 1, 14))::BIGINT
+      % 2147483647 % 1000000 < r.rate_ppm
+"""

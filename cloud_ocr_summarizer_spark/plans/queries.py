@@ -2903,3 +2903,30 @@ def q_gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["gopher_repetition_full"] = q_gopher_repetition_full
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-balancing (sampling.temperature_mix,
+    alpha=0.3, target 50%).  The fixed corpus's sources are equal-sized
+    (flat rates — nothing to balance), so the query derives skewed
+    strata from doc_id % 10 (50/30/10/10%): the small strata's rates
+    rise toward keep-all, the dominant one is cut — every rate branch
+    genuinely differs.  Corpus never shuffles: count agg + broadcast
+    rate join + row-local hash threshold."""
+    from cloud_ocr_summarizer_spark.operators.sampling import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(10))
+    stratum = (
+        F.when(m < 5, F.lit("a"))
+        .when(m < 8, F.lit("b"))
+        .when(m < 9, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    base = docs.select("doc_id", stratum.alias("stratum"))
+    return temperature_mix(
+        base, stratum_col="stratum", alpha=0.3, target_frac=0.5
+    ).select("doc_id", "stratum", "rate_ppm")
+
+
+BATCH_7["temperature_mix"] = q_temperature_mix

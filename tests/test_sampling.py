@@ -173,3 +173,46 @@ def test_chunk_documents_null_text_doc_survives(spark):
     out = chunk_documents(docs, chunk_tokens=2, stride=1)
     by_doc = {r["doc_id"] for r in out.collect()}
     assert by_doc == {1, 2, 3}  # NULL-text doc must not vanish
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    """Rates follow p_i ~ n_i^alpha quantized to ppm; alpha=1 degenerates
+    to a flat target_frac; membership is deterministic and the corpus
+    side of the rate join is broadcast."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a") for i in range(8)] + [(100, "b"), (101, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, alpha=0.3, target_frac=0.5)
+    got = {r["doc_id"]: r["rate_ppm"] for r in out.collect()}
+
+    w_a, w_b = math.pow(8, 0.3), math.pow(2, 0.3)
+    wsum = w_a + w_b
+    exp = {
+        "a": min(1_000_000, int((500_000.0 * 10) * w_a / (wsum * 8) + 0.5)),
+        "b": min(1_000_000, int((500_000.0 * 10) * w_b / (wsum * 2) + 0.5)),
+    }
+    rates = {
+        r["source"]: r["rate_ppm"]
+        for r in out.select("source", "rate_ppm").distinct().collect()
+    }
+    assert rates == {k: v for k, v in exp.items() if k in rates}
+    assert exp["b"] > exp["a"]  # small stratum upsampled
+    # alpha=1 -> every stratum keeps at the flat target rate
+    flat = temperature_mix(df, alpha=1.0, target_frac=0.5)
+    assert {r["rate_ppm"] for r in flat.collect()} == {500_000}
+    # deterministic membership, subset of input
+    again = {r["doc_id"] for r in temperature_mix(df, alpha=0.3, target_frac=0.5).collect()}
+    assert again == set(got)
+    assert again <= {r[0] for r in rows}
+    # the rate table joins back via broadcast: corpus never shuffles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # guard rails
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_mix(df, target_frac=0.0)

@@ -150,6 +150,15 @@ def main() -> int:
         "q15b_extract_web_classified_fused",
         lambda: _force(Q.q_extract_web_classified_fused(spark, sf_dir)),
     )
+    # q16: the stateless curation gate chain as one zero-Exchange plan
+    # (quality + row-local repetition + PII redaction + split — the
+    # streaming gates' batch twin)
+    timed(
+        "q16_curation_gates",
+        lambda: _force(Q.q_curation_gates_rowlocal(spark, sf_dir)),
+    )
+    # q17: cross-document passage dedup (C4-style first-occurrence-wins)
+    timed("q17_dedup_cross_doc", lambda: _force(Q.q_dedup_cross_doc(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)

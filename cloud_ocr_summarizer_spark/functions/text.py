@@ -91,6 +91,22 @@ def whitespace_tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.coalesce(text, F.lit("")), _WS), lambda w: w != F.lit(""))
 
 
+def word_chunks_col(text: Column, k: int) -> Column:
+    """Consecutive ``k``-word chunks of a text column, each rendered as a
+    space-joined string (the passage unit of the intra-doc and cross-doc
+    dedup gates — keep both on this ONE expression so their chunk
+    boundaries can never diverge).  Empty/null text -> empty array."""
+    words = whitespace_tokens_col(text)
+    n = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("int"), n - 1),
+            lambda i: F.array_join(F.slice(words, i.cast("int") * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_count_col(text: Column) -> Column:
     """Whitespace-model token count (token_counter.py:71-72); null -> 1
     (scalar rule :67-68).  Mirrors oracle.token_count_text."""

@@ -1029,18 +1029,11 @@ def dedup_cross_doc_passages(
 
     Output: (id, clean_text, n_chunks, n_removed).
     """
-    words = whitespace_tokens_col(F.coalesce(F.col(text_col), F.lit("")))
-    n = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    chunks_arr = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0).cast("int"), n - 1),
-            lambda i: F.array_join(F.slice(words, i.cast("int") * k + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col), chunks_arr.alias("_chunks"))
-    occ = base.select(
-        F.col(id_col), F.posexplode(F.col("_chunks")).alias("_idx", "_chunk")
+    from cloud_ocr_summarizer_spark.functions.text import word_chunks_col
+
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(word_chunks_col(F.col(text_col), k)).alias("_idx", "_chunk"),
     )
     winners = occ.groupBy("_chunk").agg(
         F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_w")
@@ -1060,7 +1053,15 @@ def dedup_cross_doc_passages(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    totals = base.select(F.col(id_col), F.size("_chunks").alias("_n_chunks"))
+    # the totals branch needs only the COUNT of chunks — ceil(words/k)
+    # — so it never pays the chunk-string rendering the occ branch does
+    # (rendering is the gate's dominant map-side cost; halving it
+    # mattered enough to call out in dedup_intra_doc's docstring too)
+    n_chunks = F.ceil(
+        F.size(whitespace_tokens_col(F.coalesce(F.col(text_col), F.lit(""))))
+        / F.lit(k)
+    ).cast("int")
+    totals = df.select(F.col(id_col), n_chunks.alias("_n_chunks"))
     return totals.join(reassembled, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),

@@ -211,6 +211,7 @@ __all__ = [
     "pack_sequences",
     "chunk_documents",
     "cap_per_source",
+    "temperature_mix",
     "M31",
 ]
 
@@ -234,12 +235,19 @@ def temperature_mix(
       keep_rate_i = min(1, target_frac * N * p_i / n_i),
       p_i = n_i**alpha / sum_j n_j**alpha
 
-    Membership is the same deterministic hash threshold as
-    ``hash_sample`` (salted md5/31-bit vs rate in ppm, floor(x + 0.5)
-    quantization on BOTH engines), never a PRNG.  The residual
+    Membership is the same deterministic hash-threshold family as
+    ``hash_sample`` (salted md5/31-bit vs a ppm rate), never a PRNG.
+    The rate here is quantized floor(x + 0.5) identically on both
+    engines (hash_sample's caller-supplied rates use Python round(),
+    half-to-even — a different rule exactly at .5 ppm; the two samplers
+    share the hash family, not the quantizer).  The residual
     cross-engine risk is pow() ulp noise moving a rate across a ppm
     boundary — ~1e-11 absolute on a ~1e5-magnitude value, negligible
     and absorbed by the round-half-up quantization.
+
+    A NULL stratum is a stratum like any other (the rate join is
+    null-safe) — NULL-source docs are rated and sampled, not silently
+    dropped while still inflating everyone else's denominators.
 
     Scale: one per-stratum count aggregation (|strata| rows, map-side
     partial), a 1-row totals cross join onto it, and a BROADCAST join of
@@ -268,11 +276,16 @@ def temperature_mix(
         .cast("int")
         .alias("rate_ppm"),
     )
+    rates = rates.withColumnRenamed(stratum_col, "_rate_stratum")
     bucket = F.pmod(
         md5_hash31_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         F.lit(1_000_000),
     )
     return (
-        df.join(F.broadcast(rates), stratum_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(stratum_col).eqNullSafe(F.col("_rate_stratum")),
+        )
+        .drop("_rate_stratum")
         .filter(bucket < F.col("rate_ppm"))
     )

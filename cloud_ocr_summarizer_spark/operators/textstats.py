@@ -280,9 +280,13 @@ def repetition_flagged_col(text: Column) -> Column:
     thresholds, same basis-point arithmetic) for single-column consumers
     — the streaming gates and the inline curation filter."""
     n, top, uniq = _repetition_signals(text)
+    # 10000.0 (double), NOT the int literal: 10000 * top overflows
+    # IntegerType at top >= 214749 — under ANSI mode that THROWS on a
+    # single ~1MB doc and kills the whole job (and repetition_profile's
+    # arithmetic is double, so the twin would also diverge)
     return (n >= REP_MIN_TOKENS) & (
-        (F.floor(10000 * top / n) > REP_TOP_SHARE_BP)
-        | (F.floor(10000 * uniq / n) < REP_UNIQUE_RATIO_BP)
+        (F.floor(F.lit(10000.0) * top / n) > REP_TOP_SHARE_BP)
+        | (F.floor(F.lit(10000.0) * uniq / n) < REP_UNIQUE_RATIO_BP)
     )
 
 
@@ -575,15 +579,9 @@ def dedup_intra_doc(
     gate's dominant cost is tokenize+chunk rendering, not membership.)
 
     Output: (id, clean_text, n_chunks, n_removed)."""
-    words = whitespace_tokens_col(F.coalesce(F.col(text_col), F.lit("")))
-    n = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    chunks = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0).cast("int"), n - 1),
-            lambda i: F.array_join(F.slice(words, i.cast("int") * k + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from cloud_ocr_summarizer_spark.functions.text import word_chunks_col
+
+    chunks = word_chunks_col(F.col(text_col), k)
     kept = F.array_distinct(chunks)
     return df.select(
         F.col(id_col),

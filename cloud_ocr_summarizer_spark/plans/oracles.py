@@ -2826,7 +2826,8 @@ ORACLES["dedup_cross_doc"] = r"""
 WITH p AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+  FROM documents
 ), __base AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),

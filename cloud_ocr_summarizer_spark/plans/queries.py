@@ -2865,8 +2865,12 @@ def q_dedup_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    echo = docs.select(
-        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), F.col("text")
+    # offset = max(doc_id) + 1, NOT a fixed constant: a constant offset
+    # collides with real ids at any tier larger than it, and the engine
+    # and oracle disagree on the merged rows
+    offset = docs.agg((F.max("doc_id") + F.lit(1)).alias("_off"))
+    echo = docs.crossJoin(F.broadcast(offset)).select(
+        (F.col("doc_id") + F.col("_off")).alias("doc_id"), F.col("text")
     )
     return dedup_cross_doc_passages(docs.unionByName(echo))
 

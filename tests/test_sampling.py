@@ -200,7 +200,7 @@ def test_temperature_mix_rates_and_determinism(spark):
         r["source"]: r["rate_ppm"]
         for r in out.select("source", "rate_ppm").distinct().collect()
     }
-    assert rates == {k: v for k, v in exp.items() if k in rates}
+    assert rates == exp  # every stratum must survive with its exact rate
     assert exp["b"] > exp["a"]  # small stratum upsampled
     # alpha=1 -> every stratum keeps at the flat target rate
     flat = temperature_mix(df, alpha=1.0, target_frac=0.5)
@@ -216,3 +216,17 @@ def test_temperature_mix_rates_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_mix(df, target_frac=0.0)
+
+
+def test_temperature_mix_null_stratum_is_sampled_not_dropped(spark):
+    """A NULL stratum must be rated and sampled like any other (the rate
+    join is null-safe) — not silently dropped while inflating the other
+    strata's denominators."""
+    from cloud_ocr_summarizer_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a") for i in range(6)] + [(100 + i, None) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, alpha=0.3, target_frac=1.0).collect()
+    # target_frac=1.0 with equal-size strata -> rate 1e6, keep everything
+    assert {r["doc_id"] for r in out} == {r[0] for r in rows}
+    assert all(r["rate_ppm"] == 1_000_000 for r in out)

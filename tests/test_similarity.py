@@ -430,3 +430,30 @@ def test_repetition_profile_full_hand_computed(spark):
     assert r5["dup_line_frac_bp"] == 0
     assert r5["top_2gram_share_bp"] == 6666  # "foo bar" 2 of 3
     assert r5["flagged_full"] is True
+
+
+def test_repetition_flag_survives_huge_docs(spark):
+    """ANSI-overflow regression: 10000 * top as an int literal overflows
+    IntegerType at top >= 214749 and KILLS the job under Spark 4's
+    default ANSI mode — the flag arithmetic must be double like
+    repetition_profile's."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        repetition_flagged_col,
+    )
+
+    big_repeat = " ".join(["spam"] * 250_000)          # top count 250k
+    big_distinct = " ".join(str(i) for i in range(250_000))  # uniq 250k
+    df = spark.createDataFrame(
+        [(1, big_repeat), (2, big_distinct)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            F.coalesce(repetition_flagged_col(F.col("text")), F.lit(False)).alias("f"),
+        ).collect()
+    }
+    assert got[1] is True    # 100% top-word share
+    assert got[2] is False   # fully diverse

@@ -186,3 +186,37 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_curation_gates_rowlocal_is_zero_shuffle(spark, Q):
+    """The stateless gate chain (quality + row-local repetition + PII
+    redaction + split) must stay ONE map stage — no Exchange anywhere."""
+    p = _plan(Q.q_curation_gates_rowlocal(spark, SF))
+    assert "Exchange" not in p and "Join" not in p
+
+
+def test_dedup_cross_doc_shuffle_budget(spark, Q):
+    """Cross-doc passage dedup: per-chunk min agg + per-doc reassembly
+    agg + the 1:1 totals join — shuffle count stays bounded (no pairwise
+    expansion, no window-over-everything), and the per-chunk aggregation
+    is a hash agg with a map-side partial, never a global sort."""
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        dedup_cross_doc_passages,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    p = _plan(dedup_cross_doc_passages(docs))
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
+    # bounded shuffles: chunk agg (1) + doc agg (1) + totals join (<=2
+    # sides + possible AQE reuse) — never grows with duplication factor
+    assert p.count("Exchange") <= 5, p.count("Exchange")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_temperature_mix_corpus_never_shuffles(spark, Q):
+    """The corpus side reaches the rate join without an Exchange: only
+    the |strata|-row rate table is shuffled/broadcast."""
+    p = _plan(Q.q_temperature_mix(spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # no SortMergeJoin anywhere — the corpus is never exchange-partitioned
+    assert "SortMergeJoin" not in p

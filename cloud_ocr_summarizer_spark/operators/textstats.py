@@ -329,7 +329,23 @@ def repetition_profile_full(
     max-run fold (``_max_run_count``); the O(distinct x n) nested-HOF
     form measured 3.6x slower.
     """
-    t = F.coalesce(F.col(text_col), F.lit(""))
+    sig = _full_repetition_cols(F.col(text_col))
+    out = df.select(F.col(id_col), *(c.alias(name) for name, c in sig.items()))
+    return out.withColumn(
+        "flagged_full",
+        (F.col("dup_line_frac_bp") > REP_DUP_LINE_BP)
+        | (F.col("dup_line_char_frac_bp") > REP_DUP_LINE_CHAR_BP)
+        | (F.col("top_2gram_share_bp") > REP_TOP_NGRAM_BP[2])
+        | (F.col("top_3gram_share_bp") > REP_TOP_NGRAM_BP[3])
+        | (F.col("top_4gram_share_bp") > REP_TOP_NGRAM_BP[4]),
+    )
+
+
+def _full_repetition_cols(text: Column) -> dict[str, Column]:
+    """The line-level + n-gram repetition signals as named row-local
+    column expressions — shared by ``repetition_profile_full`` and the
+    single-column ``repetition_full_flagged_col``."""
+    t = F.coalesce(text, F.lit(""))
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
         lambda s: s != "",
@@ -359,22 +375,27 @@ def repetition_profile_full(
         ).otherwise(F.array().cast("array<string>"))
         return bp(_max_run_count(grams), F.size(grams))
 
-    out = df.select(
-        F.col(id_col),
-        n_lines.cast("int").alias("n_lines"),
-        bp(n_rep, n_lines).alias("dup_line_frac_bp"),
-        bp(rep_chars, line_chars).alias("dup_line_char_frac_bp"),
-        gram_share(2).alias("top_2gram_share_bp"),
-        gram_share(3).alias("top_3gram_share_bp"),
-        gram_share(4).alias("top_4gram_share_bp"),
-    )
-    return out.withColumn(
-        "flagged_full",
-        (F.col("dup_line_frac_bp") > REP_DUP_LINE_BP)
-        | (F.col("dup_line_char_frac_bp") > REP_DUP_LINE_CHAR_BP)
-        | (F.col("top_2gram_share_bp") > REP_TOP_NGRAM_BP[2])
-        | (F.col("top_3gram_share_bp") > REP_TOP_NGRAM_BP[3])
-        | (F.col("top_4gram_share_bp") > REP_TOP_NGRAM_BP[4]),
+    return {
+        "n_lines": n_lines.cast("int"),
+        "dup_line_frac_bp": bp(n_rep, n_lines),
+        "dup_line_char_frac_bp": bp(rep_chars, line_chars),
+        "top_2gram_share_bp": gram_share(2),
+        "top_3gram_share_bp": gram_share(3),
+        "top_4gram_share_bp": gram_share(4),
+    }
+
+
+def repetition_full_flagged_col(text: Column) -> Column:
+    """``repetition_profile_full``'s flag as ONE column expression (same
+    signals, same Table-A1 bounds) for single-column consumers — the
+    streaming gates' optional line/n-gram repetition filter."""
+    sig = _full_repetition_cols(text)
+    return (
+        (sig["dup_line_frac_bp"] > REP_DUP_LINE_BP)
+        | (sig["dup_line_char_frac_bp"] > REP_DUP_LINE_CHAR_BP)
+        | (sig["top_2gram_share_bp"] > REP_TOP_NGRAM_BP[2])
+        | (sig["top_3gram_share_bp"] > REP_TOP_NGRAM_BP[3])
+        | (sig["top_4gram_share_bp"] > REP_TOP_NGRAM_BP[4])
     )
 
 

@@ -137,6 +137,7 @@ def start_incremental_curation_gates(
     output_dir: str,
     checkpoint_dir: str,
     min_quality: int = 3000,
+    full_repetition: bool = False,
 ) -> StreamingQuery:
     """Streaming twin of the STATELESS curation stages: quality gate,
     repetition gate, PII redaction, and split assignment run under
@@ -156,6 +157,7 @@ def start_incremental_curation_gates(
         quality_score_col,
         redacted_text_col,
         repetition_flagged_col,
+        repetition_full_flagged_col,
     )
 
     stream = (
@@ -167,6 +169,12 @@ def start_incremental_curation_gates(
     kept = gated.filter(
         ~F.coalesce(repetition_flagged_col(F.col("text")), F.lit(False))
     )
+    if full_repetition:
+        # the line-level + n-gram half of the Gopher repetition family —
+        # also a pure row-local expression, so still no state store
+        kept = kept.filter(
+            ~F.coalesce(repetition_full_flagged_col(F.col("text")), F.lit(False))
+        )
     out = (
         kept.withColumn("text", redacted_text_col(F.col("text")))
         .withColumn("split", hash_split_col(F.col("doc_id")))

@@ -494,3 +494,53 @@ def test_available_now_incremental_extract_web(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert SnapshotSink(out).read_committed(spark).count() == 100
+
+
+def test_streaming_gates_full_repetition_variant(spark, tmp_path):
+    """full_repetition=True additionally drops docs flagged by the
+    line-level/n-gram family — same kept set as the batch
+    repetition_profile_full flag on the gate survivors."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        quality_score_col,
+        repetition_flagged_col,
+        repetition_profile_full,
+    )
+    from cloud_ocr_summarizer_spark.streaming.incremental import (
+        start_incremental_curation_gates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source",
+        # plant a duplicated line on doc_id % 3 so the full gate fires
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(F.col("text"), F.lit("\nrepeat me\nrepeat me")),
+        ).otherwise(F.col("text")).alias("text"),
+    ).limit(200)
+    in_dir = str(tmp_path / "in")
+    docs.write.mode("overwrite").parquet(in_dir)
+
+    q = start_incremental_curation_gates(
+        spark,
+        input_dir=in_dir,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        full_repetition=True,
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+
+    base = docs.filter(quality_score_col(F.col("text")) >= 3000).filter(
+        ~F.coalesce(repetition_flagged_col(F.col("text")), F.lit(False))
+    )
+    full_ok = repetition_profile_full(base).filter(~F.col("flagged_full")).select(
+        "doc_id"
+    )
+    want = {r["doc_id"] for r in full_ok.collect()}
+    assert got == want
+    assert want  # survivors exist
+    # the planted duplicate-line docs were genuinely dropped by the gate
+    assert any(d % 3 == 0 for d in
+               {r["doc_id"] for r in docs.select("doc_id").collect()} - want)

@@ -2966,3 +2966,55 @@ FROM p JOIN r USING (stratum)
 WHERE ('0x' || substr(md5('tmix:' || CAST(p.doc_id AS VARCHAR)), 1, 14))::BIGINT
       % 2147483647 % 1000000 < r.rate_ppm
 """
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Generate the chained-CTE DuckDB twin of q_bpe_merges: per round,
+    a weighted pair count, the (count DESC, left, right) argmax, and the
+    greedy merge applied as ONE literal replace on the chr(31)-joined
+    symbol string — byte-identical semantics to the engine's
+    F.replace (leftmost, non-overlapping, continue after replacement)."""
+    head = r"""
+WITH w0 AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS word
+        FROM documents)
+  WHERE NOT contains(word, chr(31))
+  GROUP BY word
+), s0 AS (
+  SELECT freq,
+         array_to_string(list_transform(range(length(word)),
+             i -> substring(word, CAST(i + 1 AS INT), 1)), chr(31)) AS syms
+  FROM w0
+)"""
+    rounds = []
+    for i in range(n_merges):
+        rounds.append(f""", p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, sum(freq) AS c
+  FROM (
+    SELECT freq,
+           unnest(list_transform(range(greatest(len(s) - 1, 0)),
+               j -> struct_pack(l := s[j+1], r := s[j+2]))) AS pr
+    FROM (SELECT freq, string_split(syms, chr(31)) AS s FROM s{i})
+  )
+  GROUP BY pr.l, pr.r
+), b{i} AS (
+  SELECT {i + 1} AS "rank", l, r, l || r AS merged,
+         CAST(c AS BIGINT) AS pair_count
+  FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+), s{i + 1} AS (
+  SELECT freq,
+         replace(syms, (SELECT l || chr(31) || r FROM b{i}),
+                       (SELECT l || r FROM b{i})) AS syms
+  FROM s{i}
+)""")
+    union = " UNION ALL ".join(f'SELECT * FROM b{i}' for i in range(n_merges))
+    tail = f"""
+SELECT "rank", l AS "left", r AS "right", merged, pair_count
+FROM ({union}) ORDER BY "rank"
+"""
+    return head + "".join(rounds) + tail
+
+
+ORACLES["bpe_merges"] = _bpe_merges_oracle(6)

@@ -2934,3 +2934,17 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["temperature_mix"] = q_temperature_mix
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the first
+    6 learned merges over the documents corpus.  One corpus-sized
+    wordcount shuffle; every merge round runs on the vocabulary-sized
+    distinct-word table with a 1-row winning-pair collect (metadata-
+    sized) and a localCheckpoint to stop iterative plan doubling."""
+    from cloud_ocr_summarizer_spark.operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(_read(spark, sf_dir, "documents"), n_merges=6)
+
+
+BATCH_7["bpe_merges"] = q_bpe_merges

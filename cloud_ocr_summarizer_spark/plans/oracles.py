@@ -3018,3 +3018,41 @@ FROM ({union}) ORDER BY "rank"
 
 
 ORACLES["bpe_merges"] = _bpe_merges_oracle(6)
+
+
+def _bpe_token_count_oracle(n_merges: int) -> str:
+    """Twin of q_bpe_token_count: re-learn the same ``n_merges`` merges
+    (the b0..b{n-1} CTEs from _bpe_merges_oracle, trained on THIS
+    corpus), then encode every document by applying them in rank order
+    to each word's chr(31)-joined symbol string and counting the splits.
+    Checks the ENCODER against data-dependent learned merges."""
+    learn = _bpe_merges_oracle(n_merges)
+    head = learn[: learn.rindex("SELECT \"rank\"")]
+    # DuckDB forbids subqueries inside lambdas, so the learned merge
+    # strings are hoisted into one 1-row relation cross-joined onto the
+    # docs; the lambda then references plain per-row columns.
+    mcols = ", ".join(
+        f"(SELECT l || chr(31) || r FROM b{i}) AS pat{i}, "
+        f"(SELECT l || r FROM b{i}) AS rep{i}"
+        for i in range(n_merges)
+    )
+    enc = "array_to_string(list_transform(range(length(w)), " \
+          "i -> substring(w, CAST(i + 1 AS INT), 1)), chr(31))"
+    for i in range(n_merges):
+        enc = f"replace({enc}, pat{i}, rep{i})"
+    return head + f""", m AS (
+  SELECT {mcols}
+)
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(lw,
+            w -> len(string_split({enc}, chr(31))))), 0) AS INT)
+         AS n_bpe_tokens,
+       CAST(len(lw) AS INT) AS n_words
+FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                               '\\s+'), w -> w <> '') AS lw
+      FROM documents) CROSS JOIN m
+"""
+
+
+ORACLES["bpe_token_count"] = _bpe_token_count_oracle(6)

@@ -2948,3 +2948,31 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["bpe_merges"] = q_bpe_merges
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE ENCODER under the learned merges: train the same 6
+    merges as q_bpe_merges, then encode every document row-locally
+    (bpe_encode_col — the merge list is baked into the expression) and
+    count subword tokens.  Value-checks the encoder against
+    data-dependent learned merges, not a fixed table."""
+    from cloud_ocr_summarizer_spark.operators.bpe import (
+        bpe_encode_col,
+        train_bpe_merges,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=6)
+    toks = bpe_encode_col(F.col("text"), merges)
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.size(words).cast("int").alias("n_words"),
+    )
+
+
+BATCH_7["bpe_token_count"] = q_bpe_token_count

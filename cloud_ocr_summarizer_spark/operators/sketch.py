@@ -33,7 +33,15 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from cloud_ocr_summarizer_spark.functions.hashing import M31, md5_hash31_col
 
-__all__ = ["kmv_distinct", "md5_hash31_col", "histogram_quantiles"]
+__all__ = [
+    "kmv_distinct",
+    "md5_hash31_col",
+    "histogram_quantiles",
+    "count_min_sketch",
+    "cms_estimate",
+    "hll_registers",
+    "hll_estimate",
+]
 
 _M = M31  # backward-compatible alias
 
@@ -167,3 +175,125 @@ def histogram_quantiles(
         .agg(*aggs)
         .drop("_mn", "_mx")
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    *,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over a column:
+    ``depth`` salted hash rows x ``width`` counters, returned as the
+    materialized sketch table (row, col, count) — integer end to end,
+    so the DuckDB twin reproduces it bit-exactly.
+
+    Point estimates are min over the d counters a value hashes to —
+    always an OVERestimate, never under (see tests).
+
+    Scale: one projection fanning each input row into ``depth`` (row,
+    col) pairs + one hash aggregation whose output is bounded at
+    depth x width rows REGARDLESS of corpus size (map-side partial agg
+    collapses the stream long before the exchange)."""
+    salted = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    F.pmod(
+                        md5_hash31_col(
+                            F.concat(
+                                F.lit(f"cms{j}:"), F.col(value_col).cast("string")
+                            )
+                        ),
+                        F.lit(width),
+                    ).cast("int").alias("col"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(salted.alias("_rc"))
+        .groupBy(F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, *, value_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-estimate each probe value against a materialized sketch:
+    min over the depth counters it hashes to (missing counter = 0).
+    Broadcast the sketch (depth x width rows, corpus-independent)."""
+    probe_cells = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(
+                            md5_hash31_col(
+                                F.concat(
+                                    F.lit(f"cms{j}:"),
+                                    F.col(value_col).cast("string"),
+                                )
+                            ),
+                            F.lit(width),
+                        ).cast("int").alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_rc"),
+    ).select(value_col, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
+    joined = probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("count"), F.lit(0))).alias("estimate")
+    )
+
+
+def hll_registers(
+    df: DataFrame, *, value_col: str, b: int = 6
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) with the
+    cross-engine md5/31-bit hash family: register = h mod 2^b, and
+    rho = leading-zero count of the remaining (31-b)-bit word plus one
+    — computed as (31-b) - len(bin(w)) + 1, INTEGER in both engines
+    (Spark ``bin`` and DuckDB ``bin`` both render without leading
+    zeros).  Returns (register, max_rho) for registers that saw at
+    least one value; the estimate itself involves float harmonic means
+    whose summation order is engine-dependent, so the value-checked
+    surface is the integer register table and the estimate lives in
+    operator code / tests (``hll_estimate``)."""
+    h = md5_hash31_col(F.col(value_col))
+    reg = F.pmod(h, F.lit(2**b)).cast("int")
+    w = (h / F.lit(2**b)).cast("bigint")  # == h >> b, h is non-negative
+    rho = (
+        F.when(w > 0, F.lit(31 - b) - F.length(F.bin(w)) + 1)
+        .otherwise(F.lit(31 - b + 1))
+        .cast("int")
+    )
+    return (
+        df.select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], *, b: int = 6) -> float:
+    """Driver-side HLL estimate from a collected register table (the
+    table is at most 2^b rows — metadata-sized).  Standard bias-corrected
+    formula with linear counting for the small range."""
+    import math
+
+    m = 2**b
+    got = dict(registers)
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s = sum(2.0 ** -got.get(r, 0) for r in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(got)
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est

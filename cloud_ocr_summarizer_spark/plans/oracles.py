@@ -3056,3 +3056,33 @@ FROM (SELECT doc_id,
 
 
 ORACLES["bpe_token_count"] = _bpe_token_count_oracle(6)
+
+
+# Count-Min sketch over events.user_id (q_cms_user_counts): four salted
+# md5/31-bit hash rows x 256 counters, all integer.
+ORACLES["cms_user_counts"] = r"""
+SELECT row, col, count(*) AS count
+FROM (
+  SELECT u.j AS row,
+         CAST(('0x' || substr(md5('cms' || u.j || ':' ||
+               CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+              % 2147483647 % 256 AS INT) AS col
+  FROM events, unnest([0, 1, 2, 3]) AS u(j)
+)
+GROUP BY row, col
+"""
+
+# HyperLogLog register table over events.user_id (q_hll_user_registers,
+# b=6): register = h % 64, rho = 25 - len(bin(h // 64)) + 1 (both
+# engines render bin() without leading zeros), max per register.
+ORACLES["hll_user_registers"] = r"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+         % 2147483647 AS h
+  FROM events
+)
+SELECT CAST(h % 64 AS INT) AS register,
+       CAST(max(CASE WHEN h // 64 > 0 THEN 25 - length(bin(h // 64)) + 1
+                     ELSE 26 END) AS INT) AS max_rho
+FROM h GROUP BY h % 64
+"""

@@ -2976,3 +2976,31 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["bpe_token_count"] = q_bpe_token_count
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (sketch.count_min_sketch) over events.user_id,
+    depth 4 x width 256: the materialized integer sketch table.  Output
+    bounded at 1024 rows regardless of corpus size (map-side partial
+    agg); every counter value-checked against the DuckDB hash twin."""
+    from cloud_ocr_summarizer_spark.operators.sketch import count_min_sketch
+
+    events = _read(spark, sf_dir, "events")
+    return count_min_sketch(events, value_col="user_id", depth=4, width=256)
+
+
+BATCH_7["cms_user_counts"] = q_cms_user_counts
+
+
+def q_hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (sketch.hll_registers, b=6) over
+    events.user_id — the integer (register, max_rho) surface; the
+    float harmonic-mean estimate stays driver-side (sketch.hll_estimate,
+    pytest-pinned) because its summation order is engine-dependent."""
+    from cloud_ocr_summarizer_spark.operators.sketch import hll_registers
+
+    events = _read(spark, sf_dir, "events")
+    return hll_registers(events, value_col="user_id", b=6)
+
+
+BATCH_7["hll_user_registers"] = q_hll_user_registers

@@ -88,3 +88,68 @@ def test_histogram_quantiles_empty_and_constant(spark):
     assert rows["a"]["n"] == 7 and rows["b"]["n"] == 1
     for r in rows.values():
         assert r["p50_est"] == r["p90_est"] == r["p99_est"] == 5.0
+
+
+def test_count_min_never_underestimates_and_is_tight_when_sparse(spark):
+    """CMS invariants: every point estimate >= the true count, and with
+    width >> distinct values the estimates are exact."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(f"u{i % 7}",) for i in range(100)] + [("heavy",)] * 40
+    df = spark.createDataFrame(rows, "user_id string")
+    true = {
+        r["user_id"]: r["c"]
+        for r in df.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    sketch = count_min_sketch(df, value_col="user_id", depth=4, width=512)
+    probes = df.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["estimate"]
+        for r in cms_estimate(
+            sketch, probes, value_col="user_id", depth=4, width=512
+        ).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[k] >= v for k, v in true.items())
+    # 8 distinct values in 4x512 counters: collisions vanish -> exact
+    assert est == true
+    # an unseen value estimates 0 (all its counters empty) or tiny
+    ghost = spark.createDataFrame([("never-seen",)], "user_id string")
+    g = cms_estimate(sketch, ghost, value_col="user_id", depth=4, width=512)
+    assert g.collect()[0]["estimate"] == 0
+
+
+def test_hll_registers_match_python_and_estimate_is_close(spark):
+    """Register table equals a pure-Python HLL over the same md5/31-bit
+    family, and the estimate lands within 15% of the true distinct
+    count at b=6 (theoretical rse ~ 1.04/sqrt(64) = 13%)."""
+    import hashlib
+
+    from cloud_ocr_summarizer_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n_distinct = 5000
+    rows = [(f"user-{i % n_distinct}",) for i in range(20000)]
+    df = spark.createDataFrame(rows, "user_id string")
+    got = {
+        r["register"]: r["max_rho"]
+        for r in hll_registers(df, value_col="user_id", b=6).collect()
+    }
+
+    want: dict[int, int] = {}
+    for i in range(n_distinct):
+        h = int(hashlib.md5(f"user-{i}".encode()).hexdigest()[:14], 16) % 2147483647
+        reg, w = h % 64, h // 64
+        rho = 25 - w.bit_length() + 1 if w > 0 else 26
+        want[reg] = max(want.get(reg, 0), rho)
+    assert got == want
+
+    est = hll_estimate(sorted(got.items()), b=6)
+    assert abs(est - n_distinct) / n_distinct < 0.15, est

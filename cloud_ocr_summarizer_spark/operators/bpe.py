@@ -17,25 +17,33 @@ Scale shape — the standard frequency-compressed formulation:
      merge application.  ``localCheckpoint()`` every round — iterative
      plans that reference their own previous iteration DOUBLE per
      round and OOM the driver by ~round 8 otherwise (the
-     duplicate_clusters lesson; persist() is NOT enough).
+     duplicate_clusters lesson).
 
-Cross-engine determinism: symbol sequences are represented as
-``SEP``-joined strings (SEP = U+001F unit separator) so that applying a
-merge is ONE literal, non-overlapping, left-to-right string replace —
-`aaa` under merge (a,a) becomes [aa, a] in Spark's ``replace`` and
-DuckDB's ``replace`` identically.  Ties in pair counts break on
-(count DESC, left, right) with binary string comparison in both
-engines.  Words containing SEP itself are dropped up front (both
-sides) so the representation is unambiguous.
+Merge application is a GREEDY LEFT-TO-RIGHT FOLD over the symbol array
+(``apply_merge_col``), exactly the reference algorithm: emit merged
+when (pending, current) == (left, right), otherwise flush pending.  An
+earlier version applied merges as a literal string replace on a
+separator-joined representation; that matches ACROSS symbol boundaries
+(symbols [ab, c] under merge (b, c) must NOT fuse, but the string
+"ab<sep>c" contains "b<sep>c") and no separator placement fixes both
+that and the consecutive-run case — the fold is the only correct
+primitive, and DuckDB mirrors it with a struct-accumulator
+``list_reduce``.
+
+Cross-engine determinism: ties in pair counts break on (count DESC,
+left, right) with binary string comparison in both engines.  Words
+containing U+001F are dropped up front in BOTH engines — the DuckDB
+twin keeps symbols as chr(31)-joined strings between rounds, so the
+separator must not occur inside a symbol.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
 
-SEP = "\x1f"  # U+001F unit separator — cannot appear in merged symbols
+SEP = "\x1f"  # U+001F — the oracle's symbol joiner; banned inside words
 
 
 def word_frequencies(
@@ -51,6 +59,48 @@ def word_frequencies(
         words.filter(~F.col("word").contains(SEP))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _chars_col(word) -> Column:
+    """word -> array of its characters (the initial symbol sequence)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, F.lit(1)),
+    )
+
+
+def apply_merge_col(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of ONE merge to a symbol array:
+    scan the symbols, emit ``left+right`` whenever the pending symbol is
+    ``left`` and the current one is ``right`` (the merged symbol does
+    not re-participate as a left within the same pass), otherwise flush
+    the pending symbol — the exact reference-BPE semantics, as a
+    row-local fold."""
+    merged = left + right
+
+    def step(acc, s):
+        flushed = F.when(
+            acc["p"].isNotNull(), F.concat(acc["o"], F.array(acc["p"]))
+        ).otherwise(acc["o"])
+        return F.when(
+            acc["p"].isNotNull() & (acc["p"] == left) & (s == right),
+            F.struct(
+                F.concat(acc["o"], F.array(F.lit(merged))).alias("o"),
+                F.lit(None).cast("string").alias("p"),
+            ),
+        ).otherwise(F.struct(flushed.alias("o"), s.alias("p")))
+
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("o"),
+            F.lit(None).cast("string").alias("p"),
+        ),
+        step,
+        lambda acc: F.when(
+            acc["p"].isNotNull(), F.concat(acc["o"], F.array(acc["p"]))
+        ).otherwise(acc["o"]),
     )
 
 
@@ -70,11 +120,7 @@ def train_bpe_merges(
     """
     freqs = word_frequencies(docs, text_col=text_col)
     syms = freqs.select(
-        F.col("freq"),
-        F.expr(
-            "array_join(transform(sequence(1, length(word)), "
-            f"i -> substring(word, i, 1)), '{SEP}')"
-        ).alias("syms"),
+        F.col("freq"), _chars_col(F.col("word")).alias("syms")
     ).localCheckpoint()
 
     merges: list[dict] = []
@@ -82,17 +128,15 @@ def train_bpe_merges(
         # guard: sequence(0, -1) DESCENDS in Spark, so a 1-symbol word
         # would index past the array — emit no pairs for it instead
         pairs = syms.select(
-            "freq", F.split(F.col("syms"), SEP).alias("_s")
-        ).select(
             "freq",
             F.explode(
                 F.when(
-                    F.size("_s") >= 2,
+                    F.size("syms") >= 2,
                     F.transform(
-                        F.sequence(F.lit(0), F.size("_s") - 2),
+                        F.sequence(F.lit(0), F.size("syms") - 2),
                         lambda i: F.struct(
-                            F.element_at(F.col("_s"), i.cast("int") + 1).alias("l"),
-                            F.element_at(F.col("_s"), i.cast("int") + 2).alias("r"),
+                            F.element_at(F.col("syms"), i.cast("int") + 1).alias("l"),
+                            F.element_at(F.col("syms"), i.cast("int") + 2).alias("r"),
                         ),
                     ),
                 ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
@@ -111,14 +155,13 @@ def train_bpe_merges(
         merges.append(
             {"rank": rank, "left": l, "right": r, "merged": l + r, "pair_count": c}
         )
-        old = syms
+        # localCheckpoint truncates the iterative lineage; the superseded
+        # round's blocks are reclaimed by the ContextCleaner (a
+        # Dataset-level unpersist() would be a no-op on checkpoint
+        # blocks) — acceptable because the word table is vocab-sized
         syms = syms.select(
-            "freq",
-            F.replace(
-                F.col("syms"), F.lit(l + SEP + r), F.lit(l + r)
-            ).alias("syms"),
+            "freq", apply_merge_col(F.col("syms"), l, r).alias("syms")
         ).localCheckpoint()
-        old.unpersist()
     return merges
 
 
@@ -153,17 +196,8 @@ def bpe_encode_col(text, merges: list[dict]):
         F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+"),
         lambda w: w != F.lit(""),
     )
-    syms = F.transform(
-        words,
-        lambda w: F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.length(w)),
-                lambda i: F.substring(w, i, F.lit(1)),
-            ),
-            SEP,
-        ),
-    )
+    syms = F.transform(words, _chars_col)
     for m in merges:
-        pat, rep = m["left"] + SEP + m["right"], m["merged"]
-        syms = F.transform(syms, lambda s: F.replace(s, F.lit(pat), F.lit(rep)))
-    return F.flatten(F.transform(syms, lambda s: F.split(s, SEP)))
+        left, right = m["left"], m["right"]
+        syms = F.transform(syms, lambda sa: apply_merge_col(sa, left, right))
+    return F.flatten(syms)

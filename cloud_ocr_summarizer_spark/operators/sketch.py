@@ -29,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from cloud_ocr_summarizer_spark.functions.hashing import M31, md5_hash31_col
 
@@ -192,32 +192,41 @@ def count_min_sketch(
     Point estimates are min over the d counters a value hashes to —
     always an OVERestimate, never under (see tests).
 
+    NULL values are excluded (same contract as ``kmv_distinct``) — a
+    NULL would hash to a NULL cell that no probe's equi-join could ever
+    match, silently vanishing from every estimate.
+
     Scale: one projection fanning each input row into ``depth`` (row,
     col) pairs + one hash aggregation whose output is bounded at
     depth x width rows REGARDLESS of corpus size (map-side partial agg
     collapses the stream long before the exchange)."""
-    salted = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("row"),
-                    F.pmod(
-                        md5_hash31_col(
-                            F.concat(
-                                F.lit(f"cms{j}:"), F.col(value_col).cast("string")
-                            )
-                        ),
-                        F.lit(width),
-                    ).cast("int").alias("col"),
-                )
-                for j in range(depth)
-            ]
-        )
-    )
+    salted = F.explode(_cms_cells(F.col(value_col), depth, width))
     return (
-        df.select(salted.alias("_rc"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(salted.alias("_rc"))
         .groupBy(F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
         .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _cms_cells(value: Column, depth: int, width: int) -> Column:
+    """The (row, col) counter cells a value hashes to — the ONE salted
+    hash layout shared by sketch construction and point estimation, so
+    the two cannot drift (pass the SAME depth/width to both: a probe
+    hashed with a different width silently misses every counter)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(
+                    md5_hash31_col(
+                        F.concat(F.lit(f"cms{j}:"), value.cast("string"))
+                    ),
+                    F.lit(width),
+                ).cast("int").alias("col"),
+            )
+            for j in range(depth)
+        ]
     )
 
 
@@ -225,28 +234,12 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, *, value_col: str,
                  depth: int = 4, width: int = 1024) -> DataFrame:
     """Point-estimate each probe value against a materialized sketch:
     min over the depth counters it hashes to (missing counter = 0).
-    Broadcast the sketch (depth x width rows, corpus-independent)."""
+    ``depth``/``width`` MUST match the sketch's (shared ``_cms_cells``
+    layout).  Broadcast the sketch (depth x width rows,
+    corpus-independent)."""
     probe_cells = probes.select(
         F.col(value_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("row"),
-                        F.pmod(
-                            md5_hash31_col(
-                                F.concat(
-                                    F.lit(f"cms{j}:"),
-                                    F.col(value_col).cast("string"),
-                                )
-                            ),
-                            F.lit(width),
-                        ).cast("int").alias("col"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("_rc"),
+        F.explode(_cms_cells(F.col(value_col), depth, width)).alias("_rc"),
     ).select(value_col, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
     joined = probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
     return joined.groupBy(value_col).agg(
@@ -266,7 +259,10 @@ def hll_registers(
     least one value; the estimate itself involves float harmonic means
     whose summation order is engine-dependent, so the value-checked
     surface is the integer register table and the estimate lives in
-    operator code / tests (``hll_estimate``)."""
+    operator code / tests (``hll_estimate``).  NULL values are excluded
+    (the ``kmv_distinct`` contract) — otherwise a bogus NULL-register
+    row would leak into ``hll_estimate``'s zero-register count."""
+    df = df.filter(F.col(value_col).isNotNull())
     h = md5_hash31_col(F.col(value_col))
     reg = F.pmod(h, F.lit(2**b)).cast("int")
     w = (h / F.lit(2**b)).cast("bigint")  # == h >> b, h is non-negative

@@ -333,11 +333,20 @@ def repetition_profile_full(
     out = df.select(F.col(id_col), *(c.alias(name) for name, c in sig.items()))
     return out.withColumn(
         "flagged_full",
-        (F.col("dup_line_frac_bp") > REP_DUP_LINE_BP)
-        | (F.col("dup_line_char_frac_bp") > REP_DUP_LINE_CHAR_BP)
-        | (F.col("top_2gram_share_bp") > REP_TOP_NGRAM_BP[2])
-        | (F.col("top_3gram_share_bp") > REP_TOP_NGRAM_BP[3])
-        | (F.col("top_4gram_share_bp") > REP_TOP_NGRAM_BP[4]),
+        _full_repetition_flag({name: F.col(name) for name in sig}),
+    )
+
+
+def _full_repetition_flag(sig: dict[str, Column]) -> Column:
+    """The Table-A1 threshold disjunction over the signal dict — ONE
+    definition shared by the batch profile and the streaming flag, so
+    the bounds cannot desynchronize."""
+    return (
+        (sig["dup_line_frac_bp"] > REP_DUP_LINE_BP)
+        | (sig["dup_line_char_frac_bp"] > REP_DUP_LINE_CHAR_BP)
+        | (sig["top_2gram_share_bp"] > REP_TOP_NGRAM_BP[2])
+        | (sig["top_3gram_share_bp"] > REP_TOP_NGRAM_BP[3])
+        | (sig["top_4gram_share_bp"] > REP_TOP_NGRAM_BP[4])
     )
 
 
@@ -387,16 +396,10 @@ def _full_repetition_cols(text: Column) -> dict[str, Column]:
 
 def repetition_full_flagged_col(text: Column) -> Column:
     """``repetition_profile_full``'s flag as ONE column expression (same
-    signals, same Table-A1 bounds) for single-column consumers — the
-    streaming gates' optional line/n-gram repetition filter."""
-    sig = _full_repetition_cols(text)
-    return (
-        (sig["dup_line_frac_bp"] > REP_DUP_LINE_BP)
-        | (sig["dup_line_char_frac_bp"] > REP_DUP_LINE_CHAR_BP)
-        | (sig["top_2gram_share_bp"] > REP_TOP_NGRAM_BP[2])
-        | (sig["top_3gram_share_bp"] > REP_TOP_NGRAM_BP[3])
-        | (sig["top_4gram_share_bp"] > REP_TOP_NGRAM_BP[4])
-    )
+    signals, same Table-A1 bounds via ``_full_repetition_flag``) for
+    single-column consumers — the streaming gates' optional line/n-gram
+    repetition filter."""
+    return _full_repetition_flag(_full_repetition_cols(text))
 
 
 def text_profile(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

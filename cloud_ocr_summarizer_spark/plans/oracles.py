@@ -2968,12 +2968,19 @@ WHERE ('0x' || substr(md5('tmix:' || CAST(p.doc_id AS VARCHAR)), 1, 14))::BIGINT
 """
 
 
-def _bpe_merges_oracle(n_merges: int) -> str:
-    """Generate the chained-CTE DuckDB twin of q_bpe_merges: per round,
-    a weighted pair count, the (count DESC, left, right) argmax, and the
-    greedy merge applied as ONE literal replace on the chr(31)-joined
-    symbol string — byte-identical semantics to the engine's
-    F.replace (leftmost, non-overlapping, continue after replacement)."""
+def _bpe_rounds_sql(n_merges: int, *, min_pair_count: int = 2) -> str:
+    """The shared chained-CTE core of the BPE oracles: per round, a
+    weighted pair count, the (count DESC, left, right) argmax GUARDED by
+    ``min_pair_count`` (an under-threshold round yields an EMPTY b{i},
+    leaves the symbols unchanged, and therefore empties every later
+    round too — mirroring the engine's break), and the greedy merge
+    applied as a struct-accumulator ``list_reduce`` fold — the exact
+    reference semantics (a string-replace formulation matched ACROSS
+    symbol boundaries and was wrong; see operators/bpe.py).  DuckDB
+    forbids subqueries inside lambdas, so each round's merge strings are
+    hoisted through a 1-row m{i} relation (chr(30) sentinel when the
+    round is empty — matches no symbol, so the fold is an identity
+    rebuild)."""
     head = r"""
 WITH w0 AS (
   SELECT word, count(*) AS freq
@@ -2983,11 +2990,21 @@ WITH w0 AS (
   WHERE NOT contains(word, chr(31))
   GROUP BY word
 ), s0 AS (
-  SELECT freq,
+  SELECT word, freq,
          array_to_string(list_transform(range(length(word)),
              i -> substring(word, CAST(i + 1 AS INT), 1)), chr(31)) AS syms
   FROM w0
 )"""
+    fold = (
+        "list_reduce(list_transform(string_split(syms, chr(31)), "
+        "s -> struct_pack(o := '', p := s)), "
+        "(acc, x) -> CASE WHEN acc.p = ml AND x.p = mr "
+        "THEN struct_pack(o := acc.o || CASE WHEN acc.o = '' THEN '' "
+        "ELSE chr(31) END || mm, p := CAST(NULL AS VARCHAR)) "
+        "ELSE struct_pack(o := CASE WHEN acc.p IS NULL THEN acc.o "
+        "ELSE acc.o || CASE WHEN acc.o = '' THEN '' ELSE chr(31) END || acc.p END, "
+        "p := x.p) END)"
+    )
     rounds = []
     for i in range(n_merges):
         rounds.append(f""", p{i} AS (
@@ -3002,19 +3019,39 @@ WITH w0 AS (
 ), b{i} AS (
   SELECT {i + 1} AS "rank", l, r, l || r AS merged,
          CAST(c AS BIGINT) AS pair_count
-  FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+  FROM p{i} WHERE c >= {min_pair_count} ORDER BY c DESC, l, r LIMIT 1
+), m{i} AS (
+  SELECT coalesce((SELECT l FROM b{i}), chr(30)) AS ml,
+         coalesce((SELECT r FROM b{i}), chr(30)) AS mr,
+         coalesce((SELECT l || r FROM b{i}), chr(30)) AS mm
 ), s{i + 1} AS (
-  SELECT freq,
-         replace(syms, (SELECT l || chr(31) || r FROM b{i}),
-                       (SELECT l || r FROM b{i})) AS syms
-  FROM s{i}
+  SELECT word, freq,
+         CASE WHEN red.p IS NULL THEN red.o
+              ELSE red.o || CASE WHEN red.o = '' THEN '' ELSE chr(31) END
+                   || red.p END AS syms
+  FROM (SELECT word, freq, {fold} AS red
+        FROM s{i} CROSS JOIN m{i})
 )""")
+    return head + "".join(rounds)
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Force MATERIALIZED on every CTE: the BPE rounds reference each
+    other multiply (pairs + three hoisted merge-string subqueries per
+    round), and DuckDB's default CTE inlining makes the plan grow
+    exponentially with rounds — the inlined 6-round query never
+    finishes, the materialized one runs in ~0.1 s."""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Twin of q_bpe_merges: the learned merge table (empty rounds union
+    away, mirroring the engine's early stop)."""
     union = " UNION ALL ".join(f'SELECT * FROM b{i}' for i in range(n_merges))
-    tail = f"""
+    return _materialize_ctes(_bpe_rounds_sql(n_merges)) + f"""
 SELECT "rank", l AS "left", r AS "right", merged, pair_count
 FROM ({union}) ORDER BY "rank"
 """
-    return head + "".join(rounds) + tail
 
 
 ORACLES["bpe_merges"] = _bpe_merges_oracle(6)
@@ -3022,36 +3059,32 @@ ORACLES["bpe_merges"] = _bpe_merges_oracle(6)
 
 def _bpe_token_count_oracle(n_merges: int) -> str:
     """Twin of q_bpe_token_count: re-learn the same ``n_merges`` merges
-    (the b0..b{n-1} CTEs from _bpe_merges_oracle, trained on THIS
-    corpus), then encode every document by applying them in rank order
-    to each word's chr(31)-joined symbol string and counting the splits.
-    Checks the ENCODER against data-dependent learned merges."""
-    learn = _bpe_merges_oracle(n_merges)
-    head = learn[: learn.rindex("SELECT \"rank\"")]
-    # DuckDB forbids subqueries inside lambdas, so the learned merge
-    # strings are hoisted into one 1-row relation cross-joined onto the
-    # docs; the lambda then references plain per-row columns.
-    mcols = ", ".join(
-        f"(SELECT l || chr(31) || r FROM b{i}) AS pat{i}, "
-        f"(SELECT l || r FROM b{i}) AS rep{i}"
-        for i in range(n_merges)
-    )
-    enc = "array_to_string(list_transform(range(length(w)), " \
-          "i -> substring(w, CAST(i + 1 AS INT), 1)), chr(31))"
-    for i in range(n_merges):
-        enc = f"replace({enc}, pat{i}, rep{i})"
-    return head + f""", m AS (
-  SELECT {mcols}
+    on THIS corpus, then count each document's subword tokens by
+    joining its words to the TRAINED final symbol table s{n} (every
+    corpus word is in the vocabulary by construction, and the engine's
+    per-doc encoder applies the identical greedy folds, so the trained
+    table IS the encoding).  Checks the encoder against data-dependent
+    learned merges."""
+    return _materialize_ctes(_bpe_rounds_sql(n_merges)) + f""", enc AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(syms, chr(31))) AS INT) AS ntok
+  FROM s{n_merges}
+), per_doc AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(COALESCE(sum(e.ntok), 0) AS INT) AS n_bpe_tokens,
+         CAST(count(e.ntok) AS INT) AS n_words
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                                        '\\s+'),
+                      w -> w <> '' AND NOT contains(w, chr(31))))
+                 AS word
+        FROM documents) d
+  LEFT JOIN enc e USING (word)
+  GROUP BY d.doc_id
 )
 SELECT doc_id,
-       CAST(COALESCE(list_sum(list_transform(lw,
-            w -> len(string_split({enc}, chr(31))))), 0) AS INT)
-         AS n_bpe_tokens,
-       CAST(len(lw) AS INT) AS n_words
-FROM (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
-                                               '\\s+'), w -> w <> '') AS lw
-      FROM documents) CROSS JOIN m
+       COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+       COALESCE(p.n_words, 0) AS n_words
+FROM documents LEFT JOIN per_doc p USING (doc_id)
 """
 
 

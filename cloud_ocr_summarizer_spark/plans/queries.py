@@ -2961,14 +2961,29 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe_merges,
     )
 
+    from cloud_ocr_summarizer_spark.operators.bpe import SEP
+
     docs = _read(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs, n_merges=6)
+    # separator-carrying words are excluded from training (oracle
+    # representation constraint); exclude them from the encoded counts
+    # too so both sides count the same word population
+    clean = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda w: (w != F.lit("")) & ~w.contains(SEP),
+            ),
+            " ",
+        ).alias("text"),
+    )
     toks = bpe_encode_col(F.col("text"), merges)
     words = F.filter(
-        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
         lambda w: w != F.lit(""),
     )
-    return docs.select(
+    return clean.select(
         "doc_id",
         F.size(toks).cast("int").alias("n_bpe_tokens"),
         F.size(words).cast("int").alias("n_words"),

@@ -111,3 +111,31 @@ def test_bpe_encoder_applies_learned_merges(spark):
     assert len(toks) < len(text.replace(" ", ""))
     # no token contains the separator
     assert all("\x1f" not in t for t in toks)
+
+
+def test_bpe_merge_never_matches_across_symbol_boundaries(spark):
+    """Regression for the string-replace implementation bug: symbols
+    [ab, c] under merge (b, c) must NOT fuse (the pair (b, c) does not
+    occur), and consecutive runs must merge greedily left-to-right.
+    Corpus chosen so round 1 learns (a,b) and round 2 learns (b,c):
+    'abc' is then [ab, c] and must survive as two symbols."""
+    from collections import Counter
+
+    from cloud_ocr_summarizer_spark.operators.bpe import (
+        apply_merge_col,
+        train_bpe_merges,
+    )
+    from pyspark.sql import functions as F
+
+    text = " ".join(["ab"] * 5 + ["abc"] * 2 + ["xbc"] * 4)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = train_bpe_merges(docs, n_merges=6)
+    want = py_bpe_merges(Counter(text.split()), 6)
+    assert got == want
+
+    # direct fold semantics: boundary non-match + consecutive-run greed
+    df = spark.createDataFrame([(["ab", "c"],), (["a"] * 5,)], "syms array<string>")
+    out = df.select(apply_merge_col(F.col("syms"), "b", "c").alias("o")).collect()
+    assert out[0]["o"] == ["ab", "c"]
+    out2 = df.select(apply_merge_col(F.col("syms"), "a", "a").alias("o")).collect()
+    assert out2[1]["o"] == ["aa", "aa", "a"]

@@ -153,3 +153,21 @@ def test_hll_registers_match_python_and_estimate_is_close(spark):
 
     est = hll_estimate(sorted(got.items()), b=6)
     assert abs(est - n_distinct) / n_distinct < 0.15, est
+
+
+def test_sketches_exclude_null_values(spark):
+    """NULLs must not leak into either sketch: CMS cells with NULL cols
+    are unjoinable (estimates silently lose mass), and a NULL register
+    would corrupt hll_estimate's zero-register count."""
+    from cloud_ocr_summarizer_spark.operators.sketch import (
+        count_min_sketch,
+        hll_registers,
+    )
+
+    rows = [("a",), (None,), ("a",), (None,), ("b",)]
+    df = spark.createDataFrame(rows, "user_id string")
+    cms = count_min_sketch(df, value_col="user_id", depth=2, width=16).collect()
+    assert all(r["col"] is not None for r in cms)
+    assert sum(r["count"] for r in cms) == 3 * 2  # 3 non-null rows x depth
+    regs = hll_registers(df, value_col="user_id", b=4).collect()
+    assert all(r["register"] is not None for r in regs)

@@ -3119,3 +3119,35 @@ SELECT CAST(h % 64 AS INT) AS register,
                      ELSE 26 END) AS INT) AS max_rho
 FROM h GROUP BY h % 64
 """
+
+
+# Corpus-trained bigram LM rarity features (q_lm_rarity): corpus pair
+# counts joined back to each doc's pairs; integer bp arithmetic.
+ORACLES["lm_rarity"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'),
+                     w -> w <> '') AS lw
+  FROM documents
+), bi AS (
+  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(greatest(len(lw) - 1, 0)),
+                   i -> struct_pack(w1 := lw[i+1], w2 := lw[i+2]))) AS pr
+        FROM toks)
+), counts AS (
+  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+), per_doc AS (
+  SELECT b.doc_id, count(*) AS n,
+         sum(CASE WHEN c.c2 <= 1 THEN 1 ELSE 0 END) AS nr,
+         sum(c.c2) AS sp
+  FROM bi b JOIN counts c USING (w1, w2)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n, 0) AS INT) AS n_bigrams,
+       CAST(coalesce(CASE WHEN p.n > 0 THEN floor(10000.0 * p.nr / p.n) END,
+                     0) AS INT) AS rare_bigram_bp,
+       CAST(coalesce(p.sp, 0) AS BIGINT) AS sum_pair_count
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

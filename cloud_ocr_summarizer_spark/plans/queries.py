@@ -3019,3 +3019,17 @@ def q_hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_7["hll_user_registers"] = q_hll_user_registers
+
+
+def q_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM rarity features (operators/lm.py — the
+    CCNet-flavored filter's integer surface): per-doc adjacent-pair
+    count, rare-transition share in bp, summed corpus support.  Two
+    vocab-sized count aggregations + one bigram-keyed join + one per-doc
+    rollup; the float perplexity sibling is pytest-pinned."""
+    from cloud_ocr_summarizer_spark.operators.lm import lm_rarity_profile
+
+    return lm_rarity_profile(_read(spark, sf_dir, "documents"))
+
+
+BATCH_7["lm_rarity"] = q_lm_rarity

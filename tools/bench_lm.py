@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Tiered throughput for the corpus-trained bigram LM rarity filter
+(operators/lm.lm_rarity_profile).
+
+Shape under test: two vocabulary-sized count aggregations + one
+bigram-keyed join back to the corpus pair stream + a per-doc rollup —
+a different shuffle profile from the map-stage gates (the join side
+grows with the corpus, the count tables with the vocabulary).  Same
+cached corpora/protocol as the other tier benches; also prints the
+distinct-bigram count per tier so the vocab-vs-corpus growth gap is
+visible.
+
+Writes BENCH/lm.json and appends a BASELINE.md section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.bench_html_layout import build_corpus  # noqa: E402
+
+TIERS = [120_000, 1_000_000, 4_000_000]
+
+
+def main() -> int:
+    from cloud_ocr_summarizer_spark.operators.lm import (
+        bigram_count_tables,
+        lm_rarity_profile,
+    )
+    from cloud_ocr_summarizer_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-lm", cores=32)
+
+    def timed(make_df) -> float:
+        def run() -> float:
+            t0 = time.monotonic()
+            make_df().write.format("noop").mode("overwrite").save()
+            return time.monotonic() - t0
+
+        run()  # warm-up
+        return min(run() for _ in range(2))
+
+    tiers = []
+    for n in TIERS:
+        docs = spark.read.parquet(build_corpus(spark, n)).select("doc_id", "text")
+        _, bigrams = bigram_count_tables(docs)
+        n_bigram_vocab = bigrams.count()
+        sec = timed(lambda: lm_rarity_profile(docs))
+        row = {
+            "n_docs": n,
+            "n_bigram_vocab": int(n_bigram_vocab),
+            "sec": round(sec, 3),
+            "docs_per_sec": round(n / sec, 1),
+        }
+        tiers.append(row)
+        print(json.dumps(row))
+
+    with open(os.path.join(REPO, "BENCH", "lm.json"), "w", encoding="utf-8") as f:
+        json.dump({"tiers": tiers}, f)
+
+    lines = [
+        "", "## Bigram LM rarity filter at tiers", "",
+        "lm_rarity_profile (corpus-trained counts + bigram-keyed join +",
+        "per-doc rollup); local[32], seed=42, best-of-2 warm.  The",
+        "synthetic lexicon keeps the count table tiny (join broadcasts);",
+        "the cost driver is the corpus-sized pair stream + per-doc",
+        "rollup shuffle — inherent to per-token LM scoring:", "",
+        "| docs | distinct bigrams | sec | docs/s |",
+        "|---|---|---|---|",
+    ]
+    for t in tiers:
+        lines.append(
+            "| {n_docs} | {n_bigram_vocab} | {sec} | {docs_per_sec} |".format(**t)
+        )
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -54,15 +54,21 @@ def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
 
 
 def bigram_count_tables(
-    docs: DataFrame, *, text_col: str = "text"
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
     """(unigrams, bigrams) corpus count tables: (w1, c1) counts each
     word's occurrences as a bigram LEFT context (the add-one
-    conditional's denominator base), (w1, w2, c2) counts pairs."""
-    bi = _doc_bigrams(docs.select(F.lit(0).alias("_d"), text_col),
-                      id_col="_d", text_col=text_col)
-    bigrams = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    unigrams = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    conditional's denominator base), (w1, w2, c2) counts pairs.  Both
+    are vocabulary-sized and returned PERSISTED — the scoring operators
+    reference each multiple times (per-branch recomputation would
+    re-explode the corpus pair stream); they stay cached for the
+    session like curate_documents_full's core (tiny, documented
+    tradeoff)."""
+    bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    bigrams = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    ).persist()
+    unigrams = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).persist()
     return unigrams, bigrams
 
 
@@ -81,7 +87,7 @@ def lm_rarity_profile(
 
     Every document surfaces (left join), including empty ones with
     zeros.  Integer end to end — DuckDB-value-checkable."""
-    _, bigrams = bigram_count_tables(docs, text_col=text_col)
+    _, bigrams = bigram_count_tables(docs, id_col=id_col, text_col=text_col)
     doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
     scored = doc_bi.join(bigrams, ["w1", "w2"])  # every pair exists
     per_doc = scored.groupBy(id_col).agg(
@@ -119,21 +125,31 @@ def bigram_perplexity(
       logprob = sum over pairs of ln((c2 + 1) / (c1 + V))
       ppl     = exp(-logprob / n_bigrams)
 
-    V = distinct left-context vocabulary size.  Float output — pinned
-    against a pure-Python model in pytest, NOT DuckDB (log/exp ulp
-    behavior is engine-specific).  Docs with no bigrams report NULL."""
-    unigrams, bigrams = bigram_count_tables(docs, text_col=text_col)
-    v = unigrams.count()  # vocabulary size: one tiny job, scalar
+    V = distinct left-context vocabulary size (computed lazily: a 1-row
+    aggregate cross-joined in, never an eager driver job).  Float
+    output — pinned against a pure-Python model in pytest, NOT DuckDB
+    (log/exp ulp behavior is engine-specific).  Every document
+    surfaces; docs with no bigrams report NULL perplexity (same
+    every-doc contract as ``lm_rarity_profile``)."""
+    unigrams, bigrams = bigram_count_tables(docs, id_col=id_col, text_col=text_col)
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("_v"))
     doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
     scored = (
         doc_bi.join(bigrams, ["w1", "w2"])
         .join(unigrams, "w1")
+        .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
-            F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(v))).alias("_lp"),
+            F.log((F.col("c2") + 1) / (F.col("c1") + F.col("_v"))).alias("_lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.exp(-F.sum("_lp") / F.count(F.lit(1))).alias("perplexity"),
+    )
+    base = docs.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias("n_bigrams"),
+        F.col("perplexity"),
     )

@@ -68,10 +68,11 @@ def test_bigram_perplexity_matches_python_model(spark):
         return math.exp(-lp / len(pairs))
 
     got = {r["doc_id"]: r["perplexity"] for r in bigram_perplexity(df).collect()}
+    assert set(got) == {i for i, _ in texts}  # every doc surfaces
     for i, t in texts:
         want = py_ppl(t)
         if want is None:
-            assert i not in got
+            assert got[i] is None  # no bigrams -> NULL perplexity
         else:
             assert got[i] == pytest.approx(want, rel=1e-9), (i, t)
     # NOTE: under add-one smoothing a rare pair out of a COMMON left
@@ -85,5 +86,5 @@ def test_bigram_perplexity_matches_python_model(spark):
         "doc_id long, text string",
     )
     got2 = {r["doc_id"]: r["perplexity"] for r in bigram_perplexity(smooth).collect()}
-    ordered = sorted(got2.values())
+    ordered = sorted(v for v in got2.values() if v is not None)
     assert got2[200] <= ordered[len(ordered) // 2]

@@ -93,15 +93,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cover all entries every round regardless of order.
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(getattr(_queries, "BATCH_6", {}))
-    out.update({"events_daily": _queries.q_events_daily})
-    # BATCH_7 (late round-3 TPC-H shapes) follows the earlier never-checked
-    # block in insertion order; whatever misses this round's window is
-    # front-of-queue next round, and check_oracles covers it now.
-    out.update(getattr(_queries, "BATCH_7", {}))
-    for extra in ("BATCH_1", "BATCH_UDF", "BATCH_2", "BATCH_3", "BATCH_4", "BATCH_5"):
-        out.update(getattr(_queries, extra, {}))
-    return {name: _with_shipped(fn) for name, fn in out.items()}
+    for batch in (
+        "BATCH_1",
+        "BATCH_UDF",
+        "BATCH_2",
+        "BATCH_3",
+        "BATCH_4",
+        "BATCH_5",
+        "BATCH_6",
+        "BATCH_7",
+        "BATCH_8",
+    ):
+        out.update(getattr(_queries, batch, {}))
+    out.setdefault("events_daily", _queries.q_events_daily)
+    ordered = _rotate_never_checked_first(out)
+    return {name: _with_shipped(ordered[name]) for name in ordered}
+
+
+def _rotate_never_checked_first(qmap: dict) -> dict:
+    """Order the map so never-driver-green queries come first.
+
+    Self-maintaining rotation: the committed CORRECTNESS_r*.json files
+    record which queries the driver has value-checked green in any past
+    round.  Queries without a green row (never in a window, or red) lead;
+    already-banked greens follow in canonical batch order.  If the
+    snapshots are unreadable (e.g. the contract module was copied out of
+    the repo), the canonical order stands — every entry is still present
+    either way, and tools/check_oracles.py covers all of them each round.
+    """
+    green: set[str] = set()
+    try:
+        import glob
+        import json
+
+        for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+            with open(path) as fh:
+                for name, row in json.load(fh).items():
+                    value_green = (
+                        row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match", True)
+                    )
+                    # rows-only-by-design queries bank their (weaker)
+                    # rows-only row the first time the driver records it
+                    rows_only_recorded = (
+                        row.get("err") == "no_oracle"
+                        and (row.get("spark_rows") or 0) > 0
+                    )
+                    if value_green or rows_only_recorded:
+                        green.add(name)
+    except Exception:
+        return dict(qmap)
+    fresh = {k: v for k, v in qmap.items() if k not in green}
+    banked = {k: v for k, v in qmap.items() if k in green}
+    return {**fresh, **banked}
 
 
 def oracle_sql() -> dict[str, str]:

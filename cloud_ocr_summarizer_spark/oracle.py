@@ -272,3 +272,54 @@ def deep_tree_blocks(doc_id, pages) -> list[tuple]:
                 )
             )
     return out
+
+
+def deep_tree_geometry_rows(doc_id, pages) -> list[tuple]:
+    """Pure-Python walk of the detailed-mode (bbox-carrying) deep tree —
+    the executable spec for operators/deeptree.extract_deep_tree_geometry.
+    The reference's detailed mode emits text + a 4-vertex rectangle at
+    block (vision_processor.py:300-313), paragraph (:340-353), and word
+    (:378-391) level; here each node's stored ``bbox`` is read back
+    (vertex 1 = top-left, vertex 3 = bottom-right) and text is assembled
+    bottom-up exactly as deep_tree_blocks.
+
+    Returns [(doc_id, level, page_number, block_seq, para_seq, word_seq,
+    text, x0, y0, x1, y1, bbox_area), ...]; seq columns are 1-based with
+    0 = not applicable at that level.
+    """
+    ascii_ws = " \t\n\x0b\f\r"
+
+    def box(node):
+        v = node["bbox"]
+        x0, y0 = v[0]["x"], v[0]["y"]
+        x1, y1 = v[2]["x"], v[2]["y"]
+        return x0, y0, x1, y1, (x1 - x0) * (y1 - y0)
+
+    out = []
+    for page_idx, page in enumerate(pages or []):
+        for block_idx, block in enumerate(page.get("blocks") or []):
+            pn, bs = page_idx + 1, block_idx + 1
+            block_text = ""
+            para_rows, word_rows = [], []
+            for para_idx, para in enumerate(block.get("paragraphs") or []):
+                para_text = ""
+                for word_idx, word in enumerate(para.get("words") or []):
+                    word_text = "".join(word.get("symbols") or [])
+                    para_text += word_text + " "
+                    word_rows.append(
+                        (doc_id, "word", pn, bs, para_idx + 1, word_idx + 1,
+                         word_text, *box(word))
+                    )
+                para_text = para_text.strip(ascii_ws)
+                block_text += para_text + "\n"
+                para_rows.append(
+                    (doc_id, "paragraph", pn, bs, para_idx + 1, 0,
+                     para_text, *box(para))
+                )
+            out.append(
+                (doc_id, "block", pn, bs, 0, 0,
+                 block_text.strip(ascii_ws), *box(block))
+            )
+            out.extend(para_rows)
+            out.extend(word_rows)
+    return out

@@ -44,6 +44,28 @@ def _normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
+def _kind_mismatches(sdf, ddf) -> list[str]:
+    """Columns where one engine yields integer dtype and the other float.
+
+    The driver hashes pandas values, and int64(5) hashes differently from
+    float64(5.0) — but Python ``==`` (used by our value compare) treats
+    them as equal.  DuckDB's HUGEINT (from ``sum(BIGINT)``) lands in
+    pandas as float64, which is exactly how the round-3 ``train_split`` /
+    ``linestatus_priority_counts`` driver-only hash mismatches slipped
+    past the local sweep.  This check makes the sweep strictly stronger
+    than the driver on numeric typing.
+    """
+    bad = []
+    for c in sdf.columns:
+        if c not in ddf.columns:
+            continue
+        sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
+        ints, flts = set("iu"), set("f")
+        if (sk in ints and dk in flts) or (sk in flts and dk in ints):
+            bad.append(f"{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}")
+    return bad
+
+
 def compare_query(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict[str, Any]:
     sdf = spark_df.toPandas()
     ddf = con.sql(sql).df()
@@ -55,6 +77,7 @@ def compare_query(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict[st
     }
     result["cols_match"] = result["spark_cols"] == result["duck_cols"]
     result["rows_match"] = len(sdf) == len(ddf)
+    result["kind_mismatches"] = _kind_mismatches(sdf, ddf)
     if not (result["cols_match"] and result["rows_match"]):
         result["values_match"] = False
         return result

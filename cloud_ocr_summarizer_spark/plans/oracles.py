@@ -1409,7 +1409,7 @@ WITH assigned AS (
          len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
            AS n_tokens
   FROM documents)
-SELECT split, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM assigned GROUP BY split
 """
 
@@ -1953,10 +1953,10 @@ WHERE value_cents * 2 * n_parts > 3 * total_cents
 # TPC-H Q12 shape: conditional counting by l_linestatus.
 ORACLES["linestatus_priority_counts"] = r"""
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -2033,7 +2033,7 @@ cum AS (
          sum(c) OVER (PARTITION BY event_type) AS n
   FROM counts)
 SELECT event_type,
-       max(n) AS n,
+       CAST(max(n) AS BIGINT) AS n,
        round(mn + min(CASE WHEN cumc >= ceil(0.5 * n) THEN bin END)
                   * (mx - mn) / 1024, 4) AS p50_est,
        round(mn + min(CASE WHEN cumc >= ceil(0.9 * n) THEN bin END)
@@ -3150,4 +3150,69 @@ SELECT d.doc_id,
                      0) AS INT) AS rare_bigram_bp,
        CAST(coalesce(p.sp, 0) AS BIGINT) AS sum_pair_count
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# Detailed-mode per-level geometry (deep_tree_geometry): one row per node
+# at block/paragraph/word level with its text and the deterministic
+# integer-milli rectangle.  Mirrors operators/deeptree.py's layout grid
+# (block: y half-page; paragraph: 160-milli band; word: 250-milli slot,
+# width min(230, len*25)) — keep the three derivations (Spark deriver,
+# this SQL, oracle.deep_tree_geometry_rows) in lockstep.
+ORACLES["deep_tree_geometry"] = r"""
+WITH wordsrc AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+  FROM documents
+), sized AS (
+  SELECT doc_id, words, len(words) AS nw,
+         CAST(ceil(len(words) / 4.0) AS INT) AS nparas,
+         CAST(ceil(ceil(len(words) / 4.0) / 3.0) AS INT) AS nblocks
+  FROM wordsrc WHERE len(words) > 0
+), block_rows AS (
+  SELECT doc_id, 'block' AS level,
+         CAST(b // 2 + 1 AS INT) AS page_number,
+         CAST(b % 2 + 1 AS INT) AS block_seq,
+         0 AS para_seq, 0 AS word_seq,
+         array_to_string(
+           list_transform(range(b * 3, least(b * 3 + 3, nparas)),
+             p -> array_to_string(words[p * 4 + 1 : p * 4 + 4], ' ')),
+           chr(10)) AS text,
+         0 AS x0, CAST((b % 2) * 500 AS INT) AS y0,
+         1000 AS x1, CAST((b % 2) * 500 + 480 AS INT) AS y1
+  FROM sized, unnest(range(nblocks)) t(b)
+), para_rows AS (
+  SELECT doc_id, 'paragraph' AS level,
+         CAST((p // 3) // 2 + 1 AS INT) AS page_number,
+         CAST((p // 3) % 2 + 1 AS INT) AS block_seq,
+         CAST(p % 3 + 1 AS INT) AS para_seq, 0 AS word_seq,
+         array_to_string(words[p * 4 + 1 : p * 4 + 4], ' ') AS text,
+         5 AS x0,
+         CAST(((p // 3) % 2) * 500 + (p % 3) * 160 AS INT) AS y0,
+         995 AS x1,
+         CAST(((p // 3) % 2) * 500 + (p % 3) * 160 + 150 AS INT) AS y1
+  FROM sized, unnest(range(nparas)) t(p)
+), word_rows AS (
+  SELECT doc_id, 'word' AS level,
+         CAST(((w // 4) // 3) // 2 + 1 AS INT) AS page_number,
+         CAST(((w // 4) // 3) % 2 + 1 AS INT) AS block_seq,
+         CAST((w // 4) % 3 + 1 AS INT) AS para_seq,
+         CAST(w % 4 + 1 AS INT) AS word_seq,
+         words[w + 1] AS text,
+         CAST((w % 4) * 250 + 10 AS INT) AS x0,
+         CAST((((w // 4) // 3) % 2) * 500 + ((w // 4) % 3) * 160 + 10 AS INT)
+           AS y0,
+         CAST((w % 4) * 250 + 10
+              + least(230, len(words[w + 1]) * 25) AS INT) AS x1,
+         CAST((((w // 4) // 3) % 2) * 500 + ((w // 4) % 3) * 160 + 140 AS INT)
+           AS y1
+  FROM sized, unnest(range(nw)) t(w)
+), unioned AS (
+  SELECT * FROM block_rows
+  UNION ALL SELECT * FROM para_rows
+  UNION ALL SELECT * FROM word_rows
+)
+SELECT doc_id, level, page_number, block_seq, para_seq, word_seq, text,
+       x0, y0, x1, y1, CAST((x1 - x0) * (y1 - y0) AS INT) AS bbox_area
+FROM unioned
 """

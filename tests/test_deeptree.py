@@ -211,3 +211,181 @@ def test_null_elements_match_jvm_twin(spark):
     assert (1, 2, 1, None, None) in a          # the null block row
     assert any(r[3] == "TEXT" and r[4] is None for r in a)  # null paragraphs
     assert any(r[4] == "ab" for r in a)        # null word/symbols skipped
+
+
+# --------------------------------------------------------------------------
+# detailed mode: per-level bounding boxes (VERDICT r3 missing item 3)
+# --------------------------------------------------------------------------
+from cloud_ocr_summarizer_spark.operators.deeptree import (  # noqa: E402
+    DEEP_TREE_GEOM_SCHEMA,
+    derive_deep_tree_geometry_from_documents,
+    extract_deep_tree_geometry,
+)
+from cloud_ocr_summarizer_spark.oracle import deep_tree_geometry_rows  # noqa: E402
+
+
+def rect(x0: int, y0: int, x1: int, y1: int) -> list[dict]:
+    return [
+        {"x": x0, "y": y0},
+        {"x": x1, "y": y0},
+        {"x": x1, "y": y1},
+        {"x": x0, "y": y1},
+    ]
+
+
+def gword(w: str, bbox: list[dict]) -> dict:
+    return {"bbox": bbox, "symbols": list(w)}
+
+
+def gpara(bbox: list[dict], *words: dict) -> dict:
+    return {"bbox": bbox, "words": list(words)}
+
+
+def gblock(kind: str, bbox: list[dict], *paras: dict) -> dict:
+    return {"block_type": kind, "bbox": bbox, "paragraphs": list(paras)}
+
+
+GEOM_DOCS = [
+    (
+        "g1",
+        [
+            {
+                "blocks": [
+                    gblock(
+                        "TEXT",
+                        rect(0, 0, 1000, 480),
+                        gpara(
+                            rect(5, 0, 995, 150),
+                            gword("hi", rect(10, 10, 60, 140)),
+                            gword("there", rect(260, 10, 385, 140)),
+                        ),
+                        gpara(rect(5, 160, 995, 310), gword("x", rect(10, 170, 35, 300))),
+                    ),
+                    gblock(
+                        "TABLE",
+                        rect(0, 500, 1000, 980),
+                        gpara(rect(5, 500, 995, 650), gword("row", rect(10, 510, 85, 640))),
+                    ),
+                ]
+            },
+            {"blocks": [gblock("TEXT", rect(0, 0, 1000, 480))]},
+        ],
+    ),
+    ("g2", []),
+    ("g3", [{"blocks": []}]),
+    # strip points still fire in the para/block texts of geometry rows
+    (
+        "g4",
+        [
+            {
+                "blocks": [
+                    gblock(
+                        "TEXT",
+                        rect(0, 0, 1000, 480),
+                        gpara(
+                            rect(5, 0, 995, 150),
+                            gword(" a", rect(10, 10, 60, 140)),
+                        ),
+                    )
+                ]
+            }
+        ],
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def geom_tree(spark):
+    return spark.createDataFrame(
+        GEOM_DOCS, f"doc_id string, pages {DEEP_TREE_GEOM_SCHEMA}"
+    )
+
+
+GEOM_COLS = (
+    "doc_id level page_number block_seq para_seq word_seq text "
+    "x0 y0 x1 y1 bbox_area"
+).split()
+
+
+def _geom_got(df):
+    return sorted(tuple(r[c] for c in GEOM_COLS) for r in df.collect())
+
+
+def test_extract_deep_tree_geometry_matches_oracle_walk(spark, geom_tree):
+    want = sorted(
+        row for doc_id, pages in GEOM_DOCS
+        for row in deep_tree_geometry_rows(doc_id, pages)
+    )
+    assert _geom_got(extract_deep_tree_geometry(geom_tree)) == want
+
+
+def test_geometry_block_rows_equal_plain_extractor(spark):
+    """Detailed mode is a superset: its block-level rows must carry the
+    same keys/kind-free text as extract_deep_tree on the same documents
+    (the reference's two output modes share the block assembly,
+    vision_processor.py:316-325)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima mike"),
+            (2, "one two three"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {
+        (r["doc_id"], r["page_number"], r["block_seq"]): r["text"]
+        for r in extract_deep_tree(derive_deep_tree_from_documents(docs)).collect()
+    }
+    detailed = extract_deep_tree_geometry(
+        derive_deep_tree_geometry_from_documents(docs)
+    )
+    got = {
+        (r["doc_id"], r["page_number"], r["block_seq"]): r["text"]
+        for r in detailed.where("level = 'block'").collect()
+    }
+    assert got == plain
+
+
+def test_geometry_containment_invariants(spark):
+    """Derived boxes nest: every word box inside its paragraph's box,
+    every paragraph box inside its block's slot; areas positive; words
+    rejoin to the paragraph text."""
+    docs = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over a lazy dog near the riverbank "
+             "while seventeen extraordinarily long hippopotamuses watch")],
+        "doc_id long, text string",
+    )
+    rows = extract_deep_tree_geometry(
+        derive_deep_tree_geometry_from_documents(docs)
+    ).collect()
+    by_level: dict = {"block": {}, "paragraph": {}, "word": []}
+    for r in rows:
+        key = (r["page_number"], r["block_seq"], r["para_seq"])
+        if r["level"] == "block":
+            by_level["block"][key[:2]] = r
+        elif r["level"] == "paragraph":
+            by_level["paragraph"][key] = r
+        else:
+            by_level["word"].append(r)
+        assert r["bbox_area"] == (r["x1"] - r["x0"]) * (r["y1"] - r["y0"]) > 0
+    assert by_level["block"] and by_level["paragraph"] and by_level["word"]
+    for w in by_level["word"]:
+        p = by_level["paragraph"][(w["page_number"], w["block_seq"], w["para_seq"])]
+        b = by_level["block"][(w["page_number"], w["block_seq"])]
+        assert p["x0"] <= w["x0"] <= w["x1"] <= p["x1"]
+        assert p["y0"] <= w["y0"] <= w["y1"] <= p["y1"]
+        assert b["y0"] <= p["y0"] <= p["y1"] <= b["y1"] + 0  # para band in block
+    # words rejoin to the paragraph text
+    for key, p in by_level["paragraph"].items():
+        words = sorted(
+            (w["word_seq"], w["text"])
+            for w in by_level["word"]
+            if (w["page_number"], w["block_seq"], w["para_seq"]) == key
+        )
+        assert " ".join(t for _, t in words) == p["text"]
+
+
+def test_geometry_extractor_plan_is_shuffle_free(spark, geom_tree):
+    plan = extract_deep_tree_geometry(geom_tree)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

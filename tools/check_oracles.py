@@ -40,7 +40,12 @@ def main() -> int:
             print(f"{name:36s} rows-only ({n} rows)")
             continue
         res = compare_query(fn(spark, sf_dir), con, oracles[name])
-        ok = res["cols_match"] and res["rows_match"] and res["values_match"]
+        ok = (
+            res["cols_match"]
+            and res["rows_match"]
+            and res["values_match"]
+            and not res.get("kind_mismatches")
+        )
         status = "OK " if ok else "FAIL"
         print(
             f"{name:36s} {status} spark={res['spark_rows']} duck={res['duck_rows']}"

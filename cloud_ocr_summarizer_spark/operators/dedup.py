@@ -1070,3 +1070,50 @@ def dedup_cross_doc_passages(
         .cast("int")
         .alias("n_removed"),
     )
+
+
+def dedup_keep_best(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-dup cluster canonicalization: keep the best-quality member.
+
+    Mining pairs (or even clusters) only answers "what is duplicated";
+    a curation pipeline must then DECIDE which copy survives.  The
+    standard policy is keep-best: group near-dups into connected
+    components (:func:`duplicate_clusters`) and keep the member with the
+    highest quality score, ties to the smallest doc_id.
+
+    Output: (doc_id, cluster_id, quality_bp, kept) for EVERY input doc —
+    singletons are their own cluster and always kept, so the kept=true
+    subset is the curated corpus and the kept=false subset is the
+    audit trail.
+
+    Scale shape: the rank window runs ONLY over the clustered subset
+    (the duplicate docs — orders of magnitude smaller than the corpus);
+    singletons never enter a window, so the corpus-sized branch is one
+    anti-join against the small cluster table, not a full-corpus
+    shuffle-and-rank.  quality_bp is integer basis points
+    (textstats.quality_score_col) — cross-engine exact.
+    """
+    from pyspark.sql import Window
+
+    from cloud_ocr_summarizer_spark.operators.textstats import quality_score_col
+
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    scored = docs.select(
+        F.col("doc_id"), quality_score_col(F.col("text")).alias("quality_bp")
+    )
+    in_cluster = scored.join(clusters, "doc_id")
+    rank = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_bp").desc(), F.col("doc_id").asc()
+        )
+    )
+    ranked = in_cluster.select(
+        "doc_id", "cluster_id", "quality_bp", (rank == 1).alias("kept")
+    )
+    singles = scored.join(clusters.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        "quality_bp",
+        F.lit(True).alias("kept"),
+    )
+    return ranked.unionByName(singles)

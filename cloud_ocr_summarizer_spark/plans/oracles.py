@@ -3216,3 +3216,41 @@ SELECT doc_id, level, page_number, block_seq, para_seq, word_seq, text,
        x0, y0, x1, y1, CAST((x1 - x0) * (y1 - y0) AS INT) AS bbox_area
 FROM unioned
 """
+
+
+# Keep-best canonicalization over the near-dup clusters: the recursive
+# closure (reused verbatim from dedup_clusters) left-joined onto every
+# document's integer-bp quality score (same formula as text_profile),
+# rank window only deciding within clusters — singletons are their own
+# cluster and always kept, mirroring operators/dedup.dedup_keep_best.
+ORACLES["dedup_keep_best"] = (
+    "WITH cl AS (\n  SELECT * FROM (\n"
+    + ORACLES["dedup_clusters"]
+    + "\n  )\n), scored AS (\n"
+    + r"""
+  SELECT doc_id,
+         CAST(floor((0.4 * least(len(words) / 100.0, 1.0)
+               + 0.3 * (1 - CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) / length(text)
+                  ELSE 0.0 END)
+               + 0.3 * least((CASE WHEN len(words) > 0
+                  THEN list_sum(list_transform(words, w -> length(w))) / len(words)
+                  ELSE 0.0 END) / 8.0, 1.0)) * 10000) AS INT) AS quality_bp
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')
+                 AS words
+        FROM documents)
+), joined AS (
+  SELECT s.doc_id,
+         coalesce(cl.cluster_id, s.doc_id) AS cluster_id,
+         s.quality_bp,
+         cl.doc_id IS NOT NULL AS in_cluster
+  FROM scored s LEFT JOIN cl ON s.doc_id = cl.doc_id
+)
+SELECT doc_id, cluster_id, quality_bp,
+       (NOT in_cluster) OR row_number() OVER (
+         PARTITION BY cluster_id
+         ORDER BY quality_bp DESC, doc_id ASC) = 1 AS kept
+FROM joined
+"""
+)

@@ -3058,3 +3058,31 @@ def q_deep_tree_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["deep_tree_geometry"] = q_deep_tree_geometry
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization (operators/dedup.dedup_keep_best):
+    connected components over the checked-MinHash pair edges, then keep
+    the highest-quality member per cluster (integer-bp quality, ties to
+    the smaller doc_id); singletons pass through without entering the
+    rank window.  The curation DECISION layer on top of dedup_clusters —
+    DuckDB twin = recursive-CTE closure + the same quality formula +
+    one rank window."""
+    from cloud_ocr_summarizer_spark.operators.dedup import (
+        dedup_keep_best,
+        minhash_lsh_pairs_checked,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_checked(
+        docs,
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return dedup_keep_best(docs.select("doc_id", "text"), pairs)
+
+
+BATCH_8["dedup_keep_best"] = q_dedup_keep_best

@@ -505,3 +505,47 @@ def test_dedup_cross_doc_passages_hand_computed(spark):
         for r in dedup_cross_doc_passages(df2, k=2).collect()
     }
     assert got2 == {1: "z z", 2: "p q r s"}
+
+
+def test_dedup_keep_best_hand_computed(spark):
+    """Keep-best canonicalization: within each connected component the
+    highest quality_bp wins (ties to the smaller doc_id); singletons are
+    their own cluster and always kept."""
+    from cloud_ocr_summarizer_spark.operators.dedup import dedup_keep_best
+    from cloud_ocr_summarizer_spark.operators.textstats import quality_score_col
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3} via chain 1-2, 2-3: doc 2 has the longest,
+            # cleanest text -> highest quality -> the keeper
+            (1, "short text"),
+            (2, "a perfectly reasonable sentence with many plain words "
+                "that scores well on length and word size"),
+            (3, "puncty!!! ###"),
+            # cluster {10,11}: identical text -> equal score -> tie to 10
+            (10, "same words here exactly"),
+            (11, "same words here exactly"),
+            # singleton
+            (42, "alone and uncontested"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert len(rows) == 6  # every doc labeled exactly once
+    assert [rows[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [rows[i]["cluster_id"] for i in (10, 11)] == [10, 10]
+    assert rows[42]["cluster_id"] == 42 and rows[42]["kept"]
+    kept = {i for i, r in rows.items() if r["kept"]}
+    assert kept == {2, 10, 42}
+    # quality_bp is exactly the shared integer-bp column
+    want_bp = {
+        r["doc_id"]: r["bp"]
+        for r in docs.select(
+            "doc_id", quality_score_col(F.col("text")).alias("bp")
+        ).collect()
+    }
+    assert {i: r["quality_bp"] for i, r in rows.items()} == want_bp

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud_ocr_summarizer_spark import config
-from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
+from cloud_ocr_summarizer_spark.functions.text import let_col, whitespace_tokens_col
 
 # Small fixed vocabulary; some entries carry nasty whitespace to exercise
 # the assembly semantics (trim points, vision_processor.py:176,325,363).
@@ -178,43 +178,55 @@ def derive_spans_from_documents(docs: DataFrame, keep: tuple[str, ...] = ()) -> 
     re-join shuffle.
     """
     k = config.SPAN_WORDS_PER_CHUNK
-    words = whitespace_tokens_col(F.col("text"))
-    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
     d = F.col("doc_id")
 
-    def make_span(i: Column) -> Column:
-        is_media = F.pmod(d * 31 + i, F.lit(config.MEDIA_EVERY)) == 0
-        chunk = F.array_join(F.slice(words, i.cast("int") * k + 1, k), " ")
-        # rotate media extensions so mime dispatch (P1) sees all branches,
-        # including the octet-stream default (.bin)
-        ext = F.element_at(
-            F.array(F.lit(".png"), F.lit(".jpg"), F.lit(".bin")),
-            (F.pmod(i, F.lit(3)) + 1).cast("int"),
-        )
-        return F.struct(
-            F.when(is_media, F.lit(config.KIND_PICTURE))
-            .otherwise(F.lit(config.KIND_TEXT))
-            .alias("kind"),
-            F.when(~is_media, chunk).alias("text"),
-            F.when(
-                is_media,
-                F.concat(
-                    F.lit(config.MEDIA_REF_PREFIX),
-                    d.cast("string"),
-                    F.lit("/"),
-                    i.cast("string"),
-                    ext,
-                ),
-            ).alias("media_ref"),
-            i.cast("int").alias("offset"),
-        )
+    # The token array is LET-BOUND (functions.text.let_col): expressions
+    # inside a higher-order-function lambda are re-evaluated PER ELEMENT
+    # (Catalyst does no loop-invariant code motion), so referencing
+    # split(text) from make_span would re-tokenize the whole document
+    # once per span — O(words^2 / k) per doc, measured 35x+ on
+    # 10^5-word docs.  let_col (rather than a hoisted projection) also
+    # survives predicate pushdown: a downstream filter on the spans
+    # column gets the WHOLE expression substituted into its condition,
+    # and the internal binding keeps that copy linear too.
+    def spans_of(words: Column) -> Column:
+        n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
 
-    empty = F.array().cast(
-        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
-    )
-    spans = F.when(n_spans > 0, F.transform(
-        F.sequence(F.lit(0).cast("int"), n_spans - 1), make_span
-    )).otherwise(empty)
+        def make_span(i: Column) -> Column:
+            is_media = F.pmod(d * 31 + i, F.lit(config.MEDIA_EVERY)) == 0
+            chunk = F.array_join(F.slice(words, i.cast("int") * k + 1, k), " ")
+            # rotate media extensions so mime dispatch (P1) sees all
+            # branches, including the octet-stream default (.bin)
+            ext = F.element_at(
+                F.array(F.lit(".png"), F.lit(".jpg"), F.lit(".bin")),
+                (F.pmod(i, F.lit(3)) + 1).cast("int"),
+            )
+            return F.struct(
+                F.when(is_media, F.lit(config.KIND_PICTURE))
+                .otherwise(F.lit(config.KIND_TEXT))
+                .alias("kind"),
+                F.when(~is_media, chunk).alias("text"),
+                F.when(
+                    is_media,
+                    F.concat(
+                        F.lit(config.MEDIA_REF_PREFIX),
+                        d.cast("string"),
+                        F.lit("/"),
+                        i.cast("string"),
+                        ext,
+                    ),
+                ).alias("media_ref"),
+                i.cast("int").alias("offset"),
+            )
+
+        empty = F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        )
+        return F.when(n_spans > 0, F.transform(
+            F.sequence(F.lit(0).cast("int"), n_spans - 1), make_span
+        )).otherwise(empty)
+
+    spans = let_col(whitespace_tokens_col(F.col("text")), spans_of)
     return docs.select(
         d.alias("doc_id"), spans.alias("spans"), *[F.col(c) for c in keep]
     )
@@ -234,30 +246,35 @@ def derive_html_from_documents(docs: DataFrame, keep: tuple[str, ...] = ()) -> D
     synthesize->tokenize->strip->reassemble round trip.
     """
     d = F.col("doc_id")
-    words = whitespace_tokens_col(F.col("text"))
-    n = F.size(words)
-    half = F.ceil(n / F.lit(2)).cast("int")
-    p1 = F.array_join(F.slice(words, F.lit(1), half), " ")
-    p2 = F.when(
-        n > half, F.array_join(F.slice(words, half + 1, n - half), " ")
-    ).otherwise(F.lit(""))
     src = F.coalesce(F.col("source"), F.lit("unknown"))
-    html = F.concat(
-        F.lit('<html><head><title>Doc '),
-        d.cast("string"),
-        F.lit('</title><script>var x=1;</script><style>p { color: red; }'
-              '</style></head>\n<body><header><h1>Site '),
-        src,
-        F.lit('</h1></header><nav><a href="http://nav/home">Home</a> '
-              '<a href="http://nav/about">About</a></nav>'
-              '<!-- begin content --><div class="main"><p>'),
-        p1,
-        F.lit('</p><aside>Sponsored http://spam.example <b>ads</b></aside><p>'),
-        p2,
-        F.lit('</p><br/></div><footer>(c) 2026 '),
-        src,
-        F.lit('</footer></body></html>'),
-    )
+
+    # token array let-bound (see derive_spans_from_documents): referenced
+    # 4x below (n/p1/p2) — one tokenize per row, pushdown-proof
+    def html_of(words: Column) -> Column:
+        n = F.size(words)
+        half = F.ceil(n / F.lit(2)).cast("int")
+        p1 = F.array_join(F.slice(words, F.lit(1), half), " ")
+        p2 = F.when(
+            n > half, F.array_join(F.slice(words, half + 1, n - half), " ")
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit('<html><head><title>Doc '),
+            d.cast("string"),
+            F.lit('</title><script>var x=1;</script><style>p { color: red; }'
+                  '</style></head>\n<body><header><h1>Site '),
+            src,
+            F.lit('</h1></header><nav><a href="http://nav/home">Home</a> '
+                  '<a href="http://nav/about">About</a></nav>'
+                  '<!-- begin content --><div class="main"><p>'),
+            p1,
+            F.lit('</p><aside>Sponsored http://spam.example <b>ads</b></aside><p>'),
+            p2,
+            F.lit('</p><br/></div><footer>(c) 2026 '),
+            src,
+            F.lit('</footer></body></html>'),
+        )
+
+    html = let_col(whitespace_tokens_col(F.col("text")), html_of)
     return docs.select(
         d.alias("doc_id"), html.alias("html"), *[F.col(c) for c in keep]
     )
@@ -282,43 +299,48 @@ def derive_linked_html_from_documents(docs: DataFrame) -> DataFrame:
     keep the two in lockstep (oracles.py ``html_main_dense``).
     """
     d = F.col("doc_id")
-    words = whitespace_tokens_col(F.col("text"))
     k = config.SPAN_WORDS_PER_CHUNK
-    n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
 
-    def make_block(i: Column) -> Column:
-        cls = F.pmod(d * 31 + i, F.lit(5))
-        chunk = F.slice(words, i.cast("int") * k + 1, k)
-        n = F.size(chunk)
-        half = F.floor(n / 2).cast("int")
-        full_link = F.concat(
-            F.lit('<p><a href="http://x/'),
-            i.cast("string"),
-            F.lit('">'),
-            F.array_join(chunk, " "),
-            F.lit("</a></p>"),
-        )
-        half_link = F.concat(
-            F.lit('<p><a href="http://x/h">'),
-            F.array_join(F.slice(chunk, F.lit(1), half), " "),
-            F.lit("</a> "),
-            F.array_join(F.slice(chunk, half + 1, n - half), " "),
-            F.lit("</p>"),
-        )
-        plain = F.concat(F.lit("<p>"), F.array_join(chunk, " "), F.lit("</p>"))
-        return (
-            F.when(cls == 0, full_link).when(cls == 1, half_link).otherwise(plain)
-        )
+    # token array let-bound — see derive_spans_from_documents (per-element
+    # re-tokenization inside the block lambda is quadratic in doc length)
+    def body_of(words: Column) -> Column:
+        n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
 
-    body = F.when(
-        n_blocks > 0,
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+        def make_block(i: Column) -> Column:
+            cls = F.pmod(d * 31 + i, F.lit(5))
+            chunk = F.slice(words, i.cast("int") * k + 1, k)
+            n = F.size(chunk)
+            half = F.floor(n / 2).cast("int")
+            full_link = F.concat(
+                F.lit('<p><a href="http://x/'),
+                i.cast("string"),
+                F.lit('">'),
+                F.array_join(chunk, " "),
+                F.lit("</a></p>"),
+            )
+            half_link = F.concat(
+                F.lit('<p><a href="http://x/h">'),
+                F.array_join(F.slice(chunk, F.lit(1), half), " "),
+                F.lit("</a> "),
+                F.array_join(F.slice(chunk, half + 1, n - half), " "),
+                F.lit("</p>"),
+            )
+            plain = F.concat(F.lit("<p>"), F.array_join(chunk, " "), F.lit("</p>"))
+            return (
+                F.when(cls == 0, full_link).when(cls == 1, half_link).otherwise(plain)
+            )
+
+        return F.when(
+            n_blocks > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+                ),
+                "\n",
             ),
-            "\n",
-        ),
-    ).otherwise(F.lit(""))
+        ).otherwise(F.lit(""))
+
+    body = let_col(whitespace_tokens_col(F.col("text")), body_of)
     html = F.concat(
         F.lit("<html><head><title>D"),
         d.cast("string"),
@@ -353,28 +375,32 @@ def derive_density_html_from_documents(docs: DataFrame) -> DataFrame:
     ``html_main_density``).
     """
     d = F.col("doc_id")
-    words = whitespace_tokens_col(F.col("text"))
     k = config.SPAN_WORDS_PER_CHUNK
-    n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
 
-    def make_block(i: Column) -> Column:
-        cls = F.pmod(d * 31 + i, F.lit(5))
-        chunk = F.slice(words, i.cast("int") * k + 1, k)
-        cj = F.array_join(chunk, " ")
-        fragment = F.array_join(F.slice(chunk, 1, 2), " ")
-        triple = F.concat_ws(" ", cj, cj, cj)
-        content = F.when(cls == 0, fragment).when(cls == 1, triple).otherwise(cj)
-        return F.concat(F.lit("<p>"), content, F.lit("</p>"))
+    # token array let-bound — see derive_spans_from_documents
+    def body_of(words: Column) -> Column:
+        n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
 
-    body = F.when(
-        n_blocks > 0,
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+        def make_block(i: Column) -> Column:
+            cls = F.pmod(d * 31 + i, F.lit(5))
+            chunk = F.slice(words, i.cast("int") * k + 1, k)
+            cj = F.array_join(chunk, " ")
+            fragment = F.array_join(F.slice(chunk, 1, 2), " ")
+            triple = F.concat_ws(" ", cj, cj, cj)
+            content = F.when(cls == 0, fragment).when(cls == 1, triple).otherwise(cj)
+            return F.concat(F.lit("<p>"), content, F.lit("</p>"))
+
+        return F.when(
+            n_blocks > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+                ),
+                "\n",
             ),
-            "\n",
-        ),
-    ).otherwise(F.lit(""))
+        ).otherwise(F.lit(""))
+
+    body = let_col(whitespace_tokens_col(F.col("text")), body_of)
     html = F.concat(
         F.lit("<html><head><title>D"),
         d.cast("string"),
@@ -405,41 +431,45 @@ def derive_pdf_streams_from_documents(docs: DataFrame) -> DataFrame:
     ``)`` or ``\\`` (same class of contract as the HTML derivers).
     """
     d = F.col("doc_id")
-    words = whitespace_tokens_col(F.col("text"))
     k = config.SPAN_WORDS_PER_CHUNK
     half = k // 2
-    n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
 
-    def make_block(i: Column) -> Column:
-        chunk = F.slice(words, i.cast("int") * k + 1, k)
-        n = F.size(chunk)
-        x = (F.lit(50) + F.pmod(i, F.lit(2)) * 300).cast("int")
-        y = (F.lit(720) - F.floor(i / 2).cast("int") * 40).cast("int")
-        l1 = F.array_join(F.slice(chunk, 1, half), " ")
-        l2 = F.array_join(F.slice(chunk, half + 1, k - half), " ")
-        head = F.concat(
-            F.lit("BT 1 0 0 1 "),
-            x.cast("string"),
-            F.lit(" "),
-            y.cast("string"),
-            F.lit(" Tm ("),
-            l1,
-            F.lit(") Tj"),
-        )
-        tail = F.when(
-            n > half, F.concat(F.lit(" 0 -12 Td ("), l2, F.lit(") Tj"))
-        ).otherwise(F.lit(""))
-        return F.concat(head, tail, F.lit(" ET"))
+    # token array let-bound — see derive_spans_from_documents
+    def body_of(words: Column) -> Column:
+        n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
 
-    body = F.when(
-        n_blocks > 0,
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+        def make_block(i: Column) -> Column:
+            chunk = F.slice(words, i.cast("int") * k + 1, k)
+            n = F.size(chunk)
+            x = (F.lit(50) + F.pmod(i, F.lit(2)) * 300).cast("int")
+            y = (F.lit(720) - F.floor(i / 2).cast("int") * 40).cast("int")
+            l1 = F.array_join(F.slice(chunk, 1, half), " ")
+            l2 = F.array_join(F.slice(chunk, half + 1, k - half), " ")
+            head = F.concat(
+                F.lit("BT 1 0 0 1 "),
+                x.cast("string"),
+                F.lit(" "),
+                y.cast("string"),
+                F.lit(" Tm ("),
+                l1,
+                F.lit(") Tj"),
+            )
+            tail = F.when(
+                n > half, F.concat(F.lit(" 0 -12 Td ("), l2, F.lit(") Tj"))
+            ).otherwise(F.lit(""))
+            return F.concat(head, tail, F.lit(" ET"))
+
+        return F.when(
+            n_blocks > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+                ),
+                "\n",
             ),
-            "\n",
-        ),
-    ).otherwise(F.lit(""))
+        ).otherwise(F.lit(""))
+
+    body = let_col(whitespace_tokens_col(F.col("text")), body_of)
     stream = F.concat(
         F.lit("%PDF-1.4\n% synthetic content stream D"),
         d.cast("string"),
@@ -469,49 +499,53 @@ def derive_classified_html_from_documents(
     same integer arithmetic — keep in lockstep.
     """
     d = F.col("doc_id")
-    words = whitespace_tokens_col(F.col("text"))
     k = config.SPAN_WORDS_PER_CHUNK
-    n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
 
-    def make_block(i: Column) -> Column:
-        cls = F.pmod(d * 31 + i, F.lit(5))
-        chunk = F.slice(words, i.cast("int") * k + 1, k)
-        n = F.size(chunk)
-        half = F.floor(n / 2).cast("int")
-        full_link = F.concat(
-            F.lit('<p><a href="http://x/'),
-            i.cast("string"),
-            F.lit('">'),
-            F.array_join(chunk, " "),
-            F.lit("</a></p>"),
-        )
-        half_link = F.concat(
-            F.lit('<p><a href="http://x/h">'),
-            F.array_join(F.slice(chunk, F.lit(1), half), " "),
-            F.lit("</a> "),
-            F.array_join(F.slice(chunk, half + 1, n - half), " "),
-            F.lit("</p>"),
-        )
-        fragment = F.concat(
-            F.lit("<p>"), F.array_join(F.slice(chunk, 1, 2), " "), F.lit("</p>")
-        )
-        plain = F.concat(F.lit("<p>"), F.array_join(chunk, " "), F.lit("</p>"))
-        return (
-            F.when(cls == 0, full_link)
-            .when(cls == 1, half_link)
-            .when(cls == 2, fragment)
-            .otherwise(plain)
-        )
+    # token array let-bound — see derive_spans_from_documents
+    def body_of(words: Column) -> Column:
+        n_blocks = F.ceil(F.size(words) / F.lit(k)).cast("int")
 
-    body = F.when(
-        n_blocks > 0,
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+        def make_block(i: Column) -> Column:
+            cls = F.pmod(d * 31 + i, F.lit(5))
+            chunk = F.slice(words, i.cast("int") * k + 1, k)
+            n = F.size(chunk)
+            half = F.floor(n / 2).cast("int")
+            full_link = F.concat(
+                F.lit('<p><a href="http://x/'),
+                i.cast("string"),
+                F.lit('">'),
+                F.array_join(chunk, " "),
+                F.lit("</a></p>"),
+            )
+            half_link = F.concat(
+                F.lit('<p><a href="http://x/h">'),
+                F.array_join(F.slice(chunk, F.lit(1), half), " "),
+                F.lit("</a> "),
+                F.array_join(F.slice(chunk, half + 1, n - half), " "),
+                F.lit("</p>"),
+            )
+            fragment = F.concat(
+                F.lit("<p>"), F.array_join(F.slice(chunk, 1, 2), " "), F.lit("</p>")
+            )
+            plain = F.concat(F.lit("<p>"), F.array_join(chunk, " "), F.lit("</p>"))
+            return (
+                F.when(cls == 0, full_link)
+                .when(cls == 1, half_link)
+                .when(cls == 2, fragment)
+                .otherwise(plain)
+            )
+
+        return F.when(
+            n_blocks > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0).cast("int"), n_blocks - 1), make_block
+                ),
+                "\n",
             ),
-            "\n",
-        ),
-    ).otherwise(F.lit(""))
+        ).otherwise(F.lit(""))
+
+    body = let_col(whitespace_tokens_col(F.col("text")), body_of)
     html = F.concat(
         F.lit("<html><head><title>D"),
         d.cast("string"),

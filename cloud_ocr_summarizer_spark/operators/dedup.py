@@ -31,23 +31,30 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from cloud_ocr_summarizer_spark.functions.text import (
+    let_col,
     normalize_block_text_col,
     whitespace_tokens_col,
 )
 
 
 def word_ngrams_col(text: Column, n: int) -> Column:
-    """Distinct word n-grams of a text column, row-local."""
-    words = whitespace_tokens_col(text)
-    n_words = F.size(words)
-    grams = F.when(
-        n_words >= n,
-        F.transform(
-            F.sequence(F.lit(0), n_words - n),
-            lambda i: F.array_join(F.slice(words, i.cast("int") + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    """Distinct word n-grams of a text column, row-local.  The token
+    array is let-bound (functions.text.let_col) so the per-gram lambda
+    never re-tokenizes the document (quadratic otherwise)."""
+
+    def grams_of(words: Column) -> Column:
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(
+                    F.slice(words, i.cast("int") + 1, n), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams)
+
+    return let_col(whitespace_tokens_col(text), grams_of)
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -204,47 +204,57 @@ def derive_deep_tree_from_documents(docs: DataFrame) -> DataFrame:
     (doc_id*13 + b) % 7 == 3 else TEXT.  Mirrored 1:1 by
     oracles.ORACLES["extract_deep_tree"] — keep in lockstep.
     """
-    from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
+    from cloud_ocr_summarizer_spark.functions.text import (
+        let_col,
+        whitespace_tokens_col,
+    )
 
     d = F.col("doc_id")
-    words = whitespace_tokens_col(F.col("text"))
-    n_words = F.size(words)
-    n_paras = F.ceil(n_words / F.lit(WORDS_PER_PARAGRAPH)).cast("int")
-    n_blocks = F.ceil(n_paras / F.lit(PARAGRAPHS_PER_BLOCK)).cast("int")
-    n_pages = F.ceil(n_blocks / F.lit(BLOCKS_PER_PAGE)).cast("int")
+    # token array let-bound (functions.text.let_col): HOF lambda bodies
+    # re-evaluate invariant subexpressions per element (no loop-invariant
+    # motion in Catalyst), so element_at(split(text), i) inside the
+    # nested word lambda would re-tokenize the document once per WORD —
+    # O(n^2); the binding also survives predicate pushdown substitution.
+    def pages_of(words: Column) -> Column:
+        n_words = F.size(words)
+        n_paras = F.ceil(n_words / F.lit(WORDS_PER_PARAGRAPH)).cast("int")
+        n_blocks = F.ceil(n_paras / F.lit(PARAGRAPHS_PER_BLOCK)).cast("int")
+        n_pages = F.ceil(n_blocks / F.lit(BLOCKS_PER_PAGE)).cast("int")
 
-    def word_struct(i: Column) -> Column:
-        w = F.element_at(words, i.cast("int") + 1)
-        symbols = F.transform(
-            F.sequence(F.lit(1), F.length(w)), lambda j: w.substr(j, F.lit(1))
-        )
-        return F.struct(symbols.alias("symbols"))
+        def word_struct(i: Column) -> Column:
+            w = F.element_at(words, i.cast("int") + 1)
+            symbols = F.transform(
+                F.sequence(F.lit(1), F.length(w)), lambda j: w.substr(j, F.lit(1))
+            )
+            return F.struct(symbols.alias("symbols"))
 
-    def para_struct(p: Column) -> Column:
-        lo = p.cast("int") * WORDS_PER_PARAGRAPH
-        hi = F.least(lo + WORDS_PER_PARAGRAPH, n_words)
-        ws = F.transform(F.sequence(lo, hi - 1), word_struct)
-        return F.struct(ws.alias("words"))
+        def para_struct(p: Column) -> Column:
+            lo = p.cast("int") * WORDS_PER_PARAGRAPH
+            hi = F.least(lo + WORDS_PER_PARAGRAPH, n_words)
+            ws = F.transform(F.sequence(lo, hi - 1), word_struct)
+            return F.struct(ws.alias("words"))
 
-    def block_struct(b: Column) -> Column:
-        lo = b.cast("int") * PARAGRAPHS_PER_BLOCK
-        hi = F.least(lo + PARAGRAPHS_PER_BLOCK, n_paras)
-        ps = F.transform(F.sequence(lo, hi - 1), para_struct)
-        kind = F.when(
-            F.pmod(d * 13 + b, F.lit(7)) == 3, F.lit("TABLE")
-        ).otherwise(F.lit("TEXT"))
-        return F.struct(kind.alias("block_type"), ps.alias("paragraphs"))
+        def block_struct(b: Column) -> Column:
+            lo = b.cast("int") * PARAGRAPHS_PER_BLOCK
+            hi = F.least(lo + PARAGRAPHS_PER_BLOCK, n_paras)
+            ps = F.transform(F.sequence(lo, hi - 1), para_struct)
+            kind = F.when(
+                F.pmod(d * 13 + b, F.lit(7)) == 3, F.lit("TABLE")
+            ).otherwise(F.lit("TEXT"))
+            return F.struct(kind.alias("block_type"), ps.alias("paragraphs"))
 
-    def page_struct(g: Column) -> Column:
-        lo = g.cast("int") * BLOCKS_PER_PAGE
-        hi = F.least(lo + BLOCKS_PER_PAGE, n_blocks)
-        bs = F.transform(F.sequence(lo, hi - 1), block_struct)
-        return F.struct(bs.alias("blocks"))
+        def page_struct(g: Column) -> Column:
+            lo = g.cast("int") * BLOCKS_PER_PAGE
+            hi = F.least(lo + BLOCKS_PER_PAGE, n_blocks)
+            bs = F.transform(F.sequence(lo, hi - 1), block_struct)
+            return F.struct(bs.alias("blocks"))
 
-    pages = F.when(
-        n_pages > 0,
-        F.transform(F.sequence(F.lit(0).cast("int"), n_pages - 1), page_struct),
-    ).otherwise(F.array().cast(DEEP_TREE_SCHEMA))
+        return F.when(
+            n_pages > 0,
+            F.transform(F.sequence(F.lit(0).cast("int"), n_pages - 1), page_struct),
+        ).otherwise(F.array().cast(DEEP_TREE_SCHEMA))
+
+    pages = let_col(whitespace_tokens_col(F.col("text")), pages_of)
     return docs.select(d.alias("doc_id"), pages.alias("pages"))
 
 
@@ -306,67 +316,77 @@ def derive_deep_tree_geometry_from_documents(docs: DataFrame) -> DataFrame:
     * word i (wi = i mod 4): x [wi*250 + 10, + min(230, len*25)],
       y [para_y0 + 10, para_y0 + 140]
     """
-    from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
+    from cloud_ocr_summarizer_spark.functions.text import (
+        let_col,
+        whitespace_tokens_col,
+    )
 
     d = F.col("doc_id")
-    words = whitespace_tokens_col(F.col("text"))
-    n_words = F.size(words)
-    n_paras = F.ceil(n_words / F.lit(WORDS_PER_PARAGRAPH)).cast("int")
-    n_blocks = F.ceil(n_paras / F.lit(PARAGRAPHS_PER_BLOCK)).cast("int")
-    n_pages = F.ceil(n_blocks / F.lit(BLOCKS_PER_PAGE)).cast("int")
+    # token array let-bound (functions.text.let_col): HOF lambda bodies
+    # re-evaluate invariant subexpressions per element (no loop-invariant
+    # motion in Catalyst), so element_at(split(text), i) inside the
+    # nested word lambda would re-tokenize the document once per WORD —
+    # O(n^2); the binding also survives predicate pushdown substitution.
+    def pages_of(words: Column) -> Column:
+        n_words = F.size(words)
+        n_paras = F.ceil(n_words / F.lit(WORDS_PER_PARAGRAPH)).cast("int")
+        n_blocks = F.ceil(n_paras / F.lit(PARAGRAPHS_PER_BLOCK)).cast("int")
+        n_pages = F.ceil(n_blocks / F.lit(BLOCKS_PER_PAGE)).cast("int")
 
-    def block_y0(b: Column) -> Column:
-        return F.pmod(b, F.lit(BLOCKS_PER_PAGE)) * BLOCK_SLOT_Y
+        def block_y0(b: Column) -> Column:
+            return F.pmod(b, F.lit(BLOCKS_PER_PAGE)) * BLOCK_SLOT_Y
 
-    def para_y0(p: Column) -> Column:
-        b = F.floor(p / F.lit(PARAGRAPHS_PER_BLOCK)).cast("int")
-        return block_y0(b) + F.pmod(p, F.lit(PARAGRAPHS_PER_BLOCK)) * PARA_SLOT_Y
+        def para_y0(p: Column) -> Column:
+            b = F.floor(p / F.lit(PARAGRAPHS_PER_BLOCK)).cast("int")
+            return block_y0(b) + F.pmod(p, F.lit(PARAGRAPHS_PER_BLOCK)) * PARA_SLOT_Y
 
-    def word_struct(i: Column) -> Column:
-        w = F.element_at(words, i.cast("int") + 1)
-        symbols = F.transform(
-            F.sequence(F.lit(1), F.length(w)), lambda j: w.substr(j, F.lit(1))
-        )
-        p = F.floor(i / F.lit(WORDS_PER_PARAGRAPH)).cast("int")
-        x0 = F.pmod(i, F.lit(WORDS_PER_PARAGRAPH)) * WORD_SLOT_X + WORD_X_PAD
-        x1 = x0 + F.least(F.lit(WORD_W_MAX), F.length(w) * WORD_W_PER_CHAR)
-        y0 = para_y0(p) + WORD_Y_PAD
-        bbox = _rect_vertices(x0, y0, x1, y0 + WORD_H)
-        return F.struct(bbox.alias("bbox"), symbols.alias("symbols"))
+        def word_struct(i: Column) -> Column:
+            w = F.element_at(words, i.cast("int") + 1)
+            symbols = F.transform(
+                F.sequence(F.lit(1), F.length(w)), lambda j: w.substr(j, F.lit(1))
+            )
+            p = F.floor(i / F.lit(WORDS_PER_PARAGRAPH)).cast("int")
+            x0 = F.pmod(i, F.lit(WORDS_PER_PARAGRAPH)) * WORD_SLOT_X + WORD_X_PAD
+            x1 = x0 + F.least(F.lit(WORD_W_MAX), F.length(w) * WORD_W_PER_CHAR)
+            y0 = para_y0(p) + WORD_Y_PAD
+            bbox = _rect_vertices(x0, y0, x1, y0 + WORD_H)
+            return F.struct(bbox.alias("bbox"), symbols.alias("symbols"))
 
-    def para_struct(p: Column) -> Column:
-        lo = p.cast("int") * WORDS_PER_PARAGRAPH
-        hi = F.least(lo + WORDS_PER_PARAGRAPH, n_words)
-        ws = F.transform(F.sequence(lo, hi - 1), word_struct)
-        y0 = para_y0(p)
-        bbox = _rect_vertices(
-            F.lit(PARA_X0), y0, F.lit(PARA_X1), y0 + PARA_H
-        )
-        return F.struct(bbox.alias("bbox"), ws.alias("words"))
+        def para_struct(p: Column) -> Column:
+            lo = p.cast("int") * WORDS_PER_PARAGRAPH
+            hi = F.least(lo + WORDS_PER_PARAGRAPH, n_words)
+            ws = F.transform(F.sequence(lo, hi - 1), word_struct)
+            y0 = para_y0(p)
+            bbox = _rect_vertices(
+                F.lit(PARA_X0), y0, F.lit(PARA_X1), y0 + PARA_H
+            )
+            return F.struct(bbox.alias("bbox"), ws.alias("words"))
 
-    def block_struct(b: Column) -> Column:
-        lo = b.cast("int") * PARAGRAPHS_PER_BLOCK
-        hi = F.least(lo + PARAGRAPHS_PER_BLOCK, n_paras)
-        ps = F.transform(F.sequence(lo, hi - 1), para_struct)
-        kind = F.when(
-            F.pmod(d * 13 + b, F.lit(7)) == 3, F.lit("TABLE")
-        ).otherwise(F.lit("TEXT"))
-        y0 = block_y0(b)
-        bbox = _rect_vertices(F.lit(0), y0, F.lit(PAGE_MILLI), y0 + BLOCK_H)
-        return F.struct(
-            kind.alias("block_type"), bbox.alias("bbox"), ps.alias("paragraphs")
-        )
+        def block_struct(b: Column) -> Column:
+            lo = b.cast("int") * PARAGRAPHS_PER_BLOCK
+            hi = F.least(lo + PARAGRAPHS_PER_BLOCK, n_paras)
+            ps = F.transform(F.sequence(lo, hi - 1), para_struct)
+            kind = F.when(
+                F.pmod(d * 13 + b, F.lit(7)) == 3, F.lit("TABLE")
+            ).otherwise(F.lit("TEXT"))
+            y0 = block_y0(b)
+            bbox = _rect_vertices(F.lit(0), y0, F.lit(PAGE_MILLI), y0 + BLOCK_H)
+            return F.struct(
+                kind.alias("block_type"), bbox.alias("bbox"), ps.alias("paragraphs")
+            )
 
-    def page_struct(g: Column) -> Column:
-        lo = g.cast("int") * BLOCKS_PER_PAGE
-        hi = F.least(lo + BLOCKS_PER_PAGE, n_blocks)
-        bs = F.transform(F.sequence(lo, hi - 1), block_struct)
-        return F.struct(bs.alias("blocks"))
+        def page_struct(g: Column) -> Column:
+            lo = g.cast("int") * BLOCKS_PER_PAGE
+            hi = F.least(lo + BLOCKS_PER_PAGE, n_blocks)
+            bs = F.transform(F.sequence(lo, hi - 1), block_struct)
+            return F.struct(bs.alias("blocks"))
 
-    pages = F.when(
-        n_pages > 0,
-        F.transform(F.sequence(F.lit(0).cast("int"), n_pages - 1), page_struct),
-    ).otherwise(F.array().cast(DEEP_TREE_GEOM_SCHEMA))
+        return F.when(
+            n_pages > 0,
+            F.transform(F.sequence(F.lit(0).cast("int"), n_pages - 1), page_struct),
+        ).otherwise(F.array().cast(DEEP_TREE_GEOM_SCHEMA))
+
+    pages = let_col(whitespace_tokens_col(F.col("text")), pages_of)
     return docs.select(d.alias("doc_id"), pages.alias("pages"))
 
 

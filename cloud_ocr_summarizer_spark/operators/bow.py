@@ -1,0 +1,164 @@
+"""Distributed bag-of-words document classifier (integer arithmetic).
+
+Web-scale curation pipelines gate documents with a cheap supervised
+classifier (CCNet/fastText language & quality models): train on a
+labeled slice, score the whole corpus.  This module implements the
+linear bag-of-words family Spark-first:
+
+* **train** = pure counting — one exploded-token aggregate per
+  (token, label) plus label totals.  The weight table is
+  vocabulary×labels-sized (bounded by the vocabulary, not the corpus),
+  exactly like the bigram-LM count tables (operators/lm.py).
+* **score** = explode tokens once, broadcast-join the weight table,
+  one (doc, label) aggregate, argmax via ``max_by`` — a single
+  corpus-sized shuffle; scoring cost is flat per token at any corpus
+  size.
+
+Weights are integer token frequencies per label,
+``w(token,label) = (count(token,label) * 10^6) div total_tokens(label)``,
+and a document's score for a label is the sum of ``w`` over its token
+OCCURRENCES (multiplicity counts) plus an integer prior
+``(docs(label) * 10^6) div docs``.  This is the additive-frequency
+member of the linear BoW family — NOT log-space naive Bayes: logs are
+transcendental and would make the cross-engine value check float-fragile,
+so the engine keeps the established integer policy (see the bp quality
+scores and micro-unit PageRank).  The prediction is the argmax with
+ties broken by label ascending, making every output cell exact in both
+engines.
+
+Train/score split is the leakage-safe hash family
+(functions/hashing.md5_hash31_col with its own salt), so membership is
+a pure function of doc_id — reproducible across runs, partitionings,
+and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
+from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
+
+SCALE = 1_000_000
+SPLIT_SALT = "bowtrain"
+TRAIN_PCT = 80
+
+
+def _with_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    h = md5_hash31_col(
+        F.concat(F.lit(SPLIT_SALT + ":"), F.col(id_col).cast("string"))
+    )
+    return docs.withColumn("_is_train", (h % 100) < F.lit(TRAIN_PCT))
+
+
+def _token_occurrences(docs: DataFrame, *, text_col: str, label_col: str) -> DataFrame:
+    """One row per token OCCURRENCE: (doc_id, label, token)."""
+    return docs.select(
+        "doc_id",
+        F.col(label_col).alias("label"),
+        F.explode(whitespace_tokens_col(F.lower(F.col(text_col)))).alias("token"),
+    )
+
+
+def train_bow_weights(
+    train: DataFrame, *, text_col: str = "text", label_col: str = "lang"
+) -> tuple[DataFrame, DataFrame]:
+    """-> (weights(token,label,w), priors(label,prior)); both vocab-sized.
+
+    ``w = (count(token,label) * 10^6) div total_tokens(label)``;
+    ``prior = (docs(label) * 10^6) div docs`` — all BIGINT.
+
+    Overflow bound: ``count * 10^6`` holds in BIGINT while a label's
+    token count stays under ~9.2·10^12; past that, train on a
+    hash-sampled slice (operators/sampling.hash_sample) — which is how
+    production curation classifiers are trained anyway (the full-corpus
+    pass is the SCORING side, which is per-doc bounded).
+    """
+    occ = _token_occurrences(train, text_col=text_col, label_col=label_col)
+    totals = occ.groupBy("label").agg(F.count("*").alias("_tot"))
+    weights = (
+        occ.groupBy("token", "label")
+        .agg(F.count("*").alias("_cnt"))
+        .join(F.broadcast(totals), "label")
+        .select("token", "label", F.expr(f"(_cnt * {SCALE}) div _tot").alias("w"))
+    )
+    label_counts = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("_n")
+    )
+    priors = (
+        label_counts.crossJoin(
+            F.broadcast(label_counts.agg(F.sum("_n").alias("_tot_docs")))
+        )
+        .select("label", F.expr(f"(_n * {SCALE}) div _tot_docs").alias("prior"))
+    )
+    return weights, priors
+
+
+def score_bow(
+    score_docs: DataFrame,
+    weights: DataFrame,
+    priors: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """-> (doc_id, label, predicted, score, correct) for every input doc.
+
+    Tokens explode once; the vocab-sized weight table is broadcast, so
+    the only corpus-sized shuffle is the (doc, label) sum.  Docs whose
+    tokens all miss the vocabulary still score every label's prior (the
+    prior cross join is labels-sized).  Argmax via max_by over a
+    (score, -label) struct — ties to the lexicographically smaller
+    label, exact in both engines.
+    """
+    occ = _token_occurrences(score_docs, text_col=text_col, label_col=label_col)
+    tok_scores = (
+        occ.join(F.broadcast(weights.withColumnRenamed("label", "_wl")), "token")
+        .groupBy("doc_id", "_wl")
+        .agg(F.sum("w").alias("tok_score"))
+    )
+    per_label = (
+        score_docs.select("doc_id", F.col(label_col).alias("label"))
+        .crossJoin(F.broadcast(priors.withColumnRenamed("label", "_wl")))
+        .join(tok_scores, ["doc_id", "_wl"], "left")
+        .select(
+            "doc_id",
+            "label",
+            "_wl",
+            (F.col("prior") + F.coalesce("tok_score", F.lit(0))).alias("s"),
+        )
+    )
+    best = F.min(
+        F.struct((-F.col("s")).alias("ns"), F.col("_wl").alias("l"))
+    ).alias("_best")
+    return (
+        per_label.groupBy("doc_id", "label")
+        .agg(best)
+        .select(
+            "doc_id",
+            "label",
+            F.col("_best.l").alias("predicted"),
+            (-F.col("_best.ns")).alias("score"),
+            (F.col("_best.l") == F.col("label")).alias("correct"),
+        )
+    )
+
+
+def classify_bow(
+    docs: DataFrame, *, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """The composed job: hash-split, train on the 80% slice, score the
+    held-out 20% -> (doc_id, label, predicted, score, correct).
+
+    Training tables are vocab-sized aggregates computed once and
+    broadcast into the scoring join; the held-out docs never feed the
+    weights, so the accuracy column is honest generalization.
+    """
+    split = _with_split(docs)
+    weights, priors = train_bow_weights(
+        split.where("_is_train"), text_col=text_col, label_col=label_col
+    )
+    heldout = split.where(~F.col("_is_train")).drop("_is_train")
+    return score_bow(
+        heldout, weights, priors, text_col=text_col, label_col=label_col
+    )

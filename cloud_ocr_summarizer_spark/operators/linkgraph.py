@@ -1,0 +1,194 @@
+"""Web link graph: outlink extraction from HTML and integer PageRank.
+
+A web-scale curation pipeline needs graph signals on top of per-document
+text signals — Common-Crawl-style corpora rank and filter hosts by link
+centrality (harmonic centrality / PageRank over the crawl's link graph)
+before any text gate runs.  The reference pipeline is single-document
+(vision_processor.py:146-326 has no cross-document stage), so this module
+is part of the engine's web-scale extension surface, same tier as dedup
+and ANN.
+
+Three stages, each independently checkable:
+
+* ``derive_linkgraph_html_from_documents`` — deterministic tag-soup
+  corpus where doc ``d`` carries ``1 + d % 3`` internal anchors
+  ``<a href="doc://T">`` with ``T = (d*7919 + j*104729) % N`` (dense ids
+  0..N-1, so every target exists), plus external/nav anchors that the
+  extractor must NOT count as corpus edges.
+* ``extract_outlinks`` — pure-JVM regexp scan of the anchor scheme
+  (zero Python, row-local; one ``distinct`` shuffle to canonicalize the
+  edge set).  The DuckDB twin re-derives the edge set straight from the
+  target arithmetic, so the value check is a full synthesize->parse
+  round trip (same pattern as the dom.py oracles).
+* ``pagerank`` — fixed-iteration PageRank in integer micro-units:
+  every node starts at 1_000_000, one round is
+  ``rank' = 150_000 + sum over in-edges of ((rank div outdeg) * 85) div 100``
+  (damping 0.85, teleport 0.15, all BIGINT — integer division makes the
+  result exact and order-independent, so the cross-engine value hash is
+  byte-stable; same integer-arithmetic policy as the bp quality scores).
+  Dangling-node mass is NOT redistributed (it decays into the teleport
+  term) — documented deviation from normalized PageRank; rankings are
+  what curation consumes and those are preserved.
+
+Scale: one iteration is edges⋈ranks (shuffle on src) + groupBy dst
+(shuffle on dst) + a node-sized left join — all key-partitioned, no
+broadcast of anything corpus-sized, no driver-side state.  The iterative
+plan self-references, so each round is cut with ``localCheckpoint()``
+(plan-doubling trap, see operators/dedup.duplicate_clusters).  Per-edge
+contributions are ≤ rank ≤ total corpus mass ≈ N·10^6, so BIGINT holds
+through N = 10^12 docs (max ~8.5·10^17 < 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DAMP_NUM = 85  # damping 0.85 as integer percent
+TELEPORT_MICRO = 150_000  # (1 - 0.85) * 10^6
+INIT_MICRO = 1_000_000
+
+
+def derive_linkgraph_html_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, html) with deterministic internal anchors.
+
+    Doc ``d`` links to ``(d*7919 + j*104729) % N`` for ``j`` in
+    ``1..1+d%3`` (N = max(doc_id)+1; testdata ids are dense 0..N-1).
+    Self-targets stay in the HTML — the extractor is responsible for
+    dropping them.  Nav/external anchors (http:// scheme) surround the
+    references block so a lazy 'every href' parse fails the value check.
+    """
+    n_docs = docs.agg((F.max("doc_id") + 1).alias("_n"))
+    d = F.col("doc_id")
+    deg = (d % 3 + 1).cast("int")
+    anchors = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), deg),
+            lambda j: F.concat(
+                F.lit('<a href="doc://'),
+                F.pmod(d * 7919 + j.cast("bigint") * 104729, F.col("_n")).cast(
+                    "string"
+                ),
+                F.lit('">ref</a> '),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit('<html><body><nav><a href="http://nav/home">Home</a></nav>'
+              '<div class="main"><p>'),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p><div class="refs">'),
+        anchors,
+        F.lit('</div></div><footer><a href="http://ext.example/x">ext</a>'
+              "</footer></body></html>"),
+    )
+    return docs.crossJoin(F.broadcast(n_docs)).select(
+        d.alias("doc_id"), html.alias("html")
+    )
+
+
+def extract_outlinks(html_df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """(doc_id, html) -> distinct (src_doc_id, dst_doc_id) corpus edges.
+
+    Only the internal ``doc://`` scheme counts as a graph edge; self
+    links are dropped.  Row-local regexp scan (whole-stage codegen) +
+    one distinct shuffle to canonicalize the edge set.
+    """
+    dst = F.explode(
+        F.regexp_extract_all(F.col(html_col), F.lit('href="doc://(\\d+)"'), 1)
+    ).alias("_dst")
+    return (
+        html_df.select(F.col("doc_id").alias("src_doc_id"), dst)
+        .select("src_doc_id", F.col("_dst").cast("bigint").alias("dst_doc_id"))
+        .where(F.col("dst_doc_id") != F.col("src_doc_id"))
+        .distinct()
+    )
+
+
+def degree_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node (doc_id, out_degree, in_degree) over the full node set.
+
+    Two edge-sized aggs left-joined onto the node table — orphans report
+    0/0 rather than vanishing (they still carry teleport rank).
+    """
+    outd = edges.groupBy(F.col("src_doc_id").alias("doc_id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    ind = edges.groupBy(F.col("dst_doc_id").alias("doc_id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        nodes.select("doc_id")
+        .join(outd, "doc_id", "left")
+        .join(ind, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, *, n_iter: int = 5) -> DataFrame:
+    """Fixed-iteration integer PageRank -> (doc_id, rank_micro).
+
+    See the module docstring for the exact recurrence and why it is
+    integer.  ``nodes`` must carry ``doc_id``; ``edges`` carries
+    (src_doc_id, dst_doc_id).  Each iteration's result is cut with
+    ``localCheckpoint`` so the self-referencing plan stays flat.
+    """
+    node_ids = nodes.select("doc_id")
+    outdeg = edges.groupBy(F.col("src_doc_id").alias("doc_id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    # (src, dst, outdeg) is iteration-invariant: compute once, reuse.
+    fan = (
+        edges.join(outdeg, edges.src_doc_id == outdeg.doc_id)
+        .select("src_doc_id", "dst_doc_id", "outdeg")
+        .localCheckpoint(eager=False)
+    )
+    ranks = node_ids.select(
+        "doc_id", F.lit(INIT_MICRO).cast("bigint").alias("rank_micro")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            fan.join(ranks, fan.src_doc_id == ranks.doc_id)
+            .select(
+                F.col("dst_doc_id").alias("doc_id"),
+                F.expr(
+                    f"((rank_micro div outdeg) * {DAMP_NUM}) div 100"
+                ).alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            node_ids.join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(TELEPORT_MICRO).cast("bigint")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_over_documents(docs: DataFrame, *, n_iter: int = 5) -> DataFrame:
+    """documents -> (doc_id, rank_micro, in_degree): the composed job.
+
+    synthesize HTML -> parse outlinks -> iterate rank, joined with the
+    in-degree so the output is directly consumable as a curation signal
+    ("rank high, few inlinks" = teleport-propped page).
+    """
+    html = derive_linkgraph_html_from_documents(docs)
+    edges = extract_outlinks(html)
+    ranks = pagerank(docs, edges, n_iter=n_iter)
+    return (
+        ranks.join(
+            degree_stats(docs, edges).select("doc_id", "in_degree"), "doc_id"
+        )
+        .select("doc_id", "rank_micro", "in_degree")
+    )

@@ -3254,3 +3254,179 @@ SELECT doc_id, cluster_id, quality_bp,
 FROM joined
 """
 )
+
+
+# Link graph: the twin derives the edge set straight from the anchor
+# target arithmetic (doc d -> (d*7919 + j*104729) % N for j in
+# 1..1+d%3, self-loops dropped, distinct), so checking it against the
+# engine's synthesize-HTML->regexp-parse path is a full round trip —
+# the two sides share only the formula, not the mechanism (same policy
+# as the dom.py oracles).  Keep in lockstep with
+# operators/linkgraph.derive_linkgraph_html_from_documents.
+LINK_EDGES_CTE = r"""
+WITH nn AS MATERIALIZED (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id AS src_doc_id,
+         (d.doc_id * 7919 + t.j * 104729) % nn.n AS dst_doc_id
+  FROM documents d, nn,
+       unnest(generate_series(1, 1 + (d.doc_id % 3))) AS t(j)
+  WHERE (d.doc_id * 7919 + t.j * 104729) % nn.n <> d.doc_id
+)
+"""
+
+ORACLES["link_outlinks"] = LINK_EDGES_CTE + r"""
+SELECT src_doc_id, dst_doc_id FROM edges
+"""
+
+ORACLES["link_degree_stats"] = LINK_EDGES_CTE + r"""
+SELECT d.doc_id,
+       CAST(coalesce(o.od, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(i.ind, 0) AS BIGINT) AS in_degree
+FROM documents d
+LEFT JOIN (SELECT src_doc_id, count(*) AS od FROM edges GROUP BY 1) o
+  ON d.doc_id = o.src_doc_id
+LEFT JOIN (SELECT dst_doc_id, count(*) AS ind FROM edges GROUP BY 1) i
+  ON d.doc_id = i.dst_doc_id
+"""
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Generated chain of MATERIALIZED CTEs mirroring linkgraph.pagerank.
+
+    One CTE per iteration (r1..rK), each summing the integer per-edge
+    contribution ((rank div outdeg) * 85) div 100 from the previous
+    round.  MATERIALIZED is load-bearing: each rK is referenced by the
+    next round's join AND DuckDB would otherwise inline the chain
+    exponentially (same trap as the generated BPE oracle).  The sum is
+    HUGEINT-typed, so every rank is cast back to BIGINT at each level.
+    """
+    parts = [
+        LINK_EDGES_CTE.strip()[4:],  # drop the leading 'WITH' to splice
+        """outdeg AS MATERIALIZED (
+  SELECT src_doc_id, count(*) AS od FROM edges GROUP BY 1
+)""",
+        """r0 AS MATERIALIZED (
+  SELECT doc_id, CAST(1000000 AS BIGINT) AS rank_micro FROM documents
+)""",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(150000 + coalesce(s.inflow, 0) AS BIGINT) AS rank_micro
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.dst_doc_id AS doc_id,
+           sum(((r.rank_micro // o.od) * 85) // 100) AS inflow
+    FROM edges e
+    JOIN outdeg o ON e.src_doc_id = o.src_doc_id
+    JOIN r{k - 1} r ON e.src_doc_id = r.doc_id
+    GROUP BY e.dst_doc_id) s ON d.doc_id = s.doc_id
+)""")
+    chain = "WITH " + ",\n".join(parts)
+    return chain + f"""
+SELECT r.doc_id, r.rank_micro,
+       CAST(coalesce(i.ind, 0) AS BIGINT) AS in_degree
+FROM r{n_iter} r
+LEFT JOIN (SELECT dst_doc_id, count(*) AS ind FROM edges GROUP BY 1) i
+  ON r.doc_id = i.dst_doc_id
+"""
+
+
+ORACLES["pagerank"] = _pagerank_oracle(5)
+
+
+# Bag-of-words classifier twin (operators/bow.py): identical hash
+# split, identical integer weight/prior arithmetic; the argmax is a
+# rank window (ORDER BY s DESC, label ASC) where Spark uses
+# min(struct(-s, label)) — different mechanism, same exact cell values.
+ORACLES["bow_classify"] = r"""
+WITH split AS MATERIALIZED (
+  SELECT doc_id, text, lang,
+         (('0x' || substr(md5('bowtrain:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+           % 2147483647) % 100 < 80 AS is_train
+  FROM documents
+), occ AS MATERIALIZED (
+  SELECT doc_id, lang AS label, is_train,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            w -> w <> '')) AS token
+  FROM split
+), totals AS (
+  SELECT label, count(*) AS tot FROM occ WHERE is_train GROUP BY 1
+), weights AS MATERIALIZED (
+  SELECT o.token, o.label,
+         CAST((count(*) * 1000000) // t.tot AS BIGINT) AS w
+  FROM occ o JOIN totals t USING (label)
+  WHERE o.is_train GROUP BY o.token, o.label, t.tot
+), label_counts AS (
+  SELECT lang AS label, count(*) AS n FROM split WHERE is_train GROUP BY 1
+), priors AS (
+  SELECT label,
+         CAST((n * 1000000) // (SELECT sum(n) FROM label_counts) AS BIGINT)
+           AS prior
+  FROM label_counts
+), tok_scores AS MATERIALIZED (
+  SELECT o.doc_id, w.label AS wl, CAST(sum(w.w) AS BIGINT) AS ts
+  FROM occ o JOIN weights w ON o.token = w.token
+  WHERE NOT o.is_train GROUP BY 1, 2
+), per_label AS (
+  SELECT h.doc_id, h.lang AS label, p.label AS wl,
+         CAST(p.prior + coalesce(ts.ts, 0) AS BIGINT) AS s
+  FROM split h
+  CROSS JOIN priors p
+  LEFT JOIN tok_scores ts ON h.doc_id = ts.doc_id AND p.label = ts.wl
+  WHERE NOT h.is_train
+)
+SELECT doc_id, label, wl AS predicted, s AS score, wl = label AS correct
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY s DESC, wl ASC) AS rn
+      FROM per_label)
+WHERE rn = 1
+"""
+
+
+# URL parser round trip (operators/urls.py): every field re-derived
+# from (doc_id, source, lang) arithmetic — the twin never touches the
+# URL string, so agreement proves the engine's regexp parser inverts
+# the synthesis exactly.  Keep in lockstep with
+# operators/urls.derive_urls_from_documents.
+URL_FIELDS_CTE = r"""
+WITH fields AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'https' ELSE 'http' END AS scheme,
+         coalesce(source, 'unknown') || '-' || coalesce(lang, 'xx')
+           || '.example-' || CAST(doc_id % 10 AS VARCHAR) || '.'
+           || CASE coalesce(lang, 'xx')
+                WHEN 'en' THEN 'com' WHEN 'de' THEN 'de' WHEN 'es' THEN 'es'
+                WHEN 'fr' THEN 'fr' WHEN 'zh' THEN 'cn' ELSE 'org' END
+           AS host,
+         CASE WHEN doc_id % 5 = 0 THEN CAST(8080 AS INT) END AS port,
+         '/' || coalesce(lang, 'xx') || '/doc-' || CAST(doc_id AS VARCHAR)
+           || '.html' AS path,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'ref=' || CAST(doc_id % 7 AS VARCHAR) END AS query_string,
+         'example-' || CAST(doc_id % 10 AS VARCHAR) || '.'
+           || CASE coalesce(lang, 'xx')
+                WHEN 'en' THEN 'com' WHEN 'de' THEN 'de' WHEN 'es' THEN 'es'
+                WHEN 'fr' THEN 'fr' WHEN 'zh' THEN 'cn' ELSE 'org' END
+           AS domain
+  FROM documents
+), with_url AS (
+  SELECT *,
+         scheme || '://' || host
+           || CASE WHEN port IS NOT NULL THEN ':8080' ELSE '' END
+           || path
+           || CASE WHEN query_string IS NOT NULL
+                   THEN '?' || query_string ELSE '' END AS url
+  FROM fields
+)
+"""
+
+ORACLES["url_parse"] = URL_FIELDS_CTE + r"""
+SELECT doc_id, url, scheme, host, port, path, query_string, domain
+FROM with_url
+"""
+
+ORACLES["domain_gate"] = URL_FIELDS_CTE + r"""
+SELECT doc_id, host, domain FROM with_url
+WHERE domain NOT IN ('example-2.com', 'example-5.de', 'example-8.cn')
+"""

@@ -2668,15 +2668,25 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloud_ocr_summarizer_spark.operators.textstats import readability_profile
 
     docs = _read(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
-    n = F.size(words)
+    from cloud_ocr_summarizer_spark.functions.text import let_col
+
     k = 12
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.ceil(n / F.lit(k)).cast("int") - 1),
-        lambda i: F.array_join(F.slice(words, i.cast("int") * k + 1, k), " "),
+
+    def to_sentences(words):
+        n = F.size(words)
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.ceil(n / F.lit(k)).cast("int") - 1),
+            lambda i: F.array_join(F.slice(words, i.cast("int") * k + 1, k), " "),
+        )
+        return F.when(
+            n > 0, F.concat(F.array_join(chunks, ". "), F.lit("."))
+        ).otherwise(F.lit(""))
+
+    # let-bound token array: the per-chunk lambda must slice the bound
+    # array, not the split expression (re-tokenize per chunk = O(n^2))
+    sentence_text = let_col(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""), to_sentences
     )
-    sentence_text = F.when(n > 0, F.concat(F.array_join(chunks, ". "), F.lit("."))
-                           ).otherwise(F.lit(""))
     return readability_profile(
         docs.select("doc_id", sentence_text.alias("text"))
     )
@@ -3086,3 +3096,108 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["dedup_keep_best"] = q_dedup_keep_best
+
+
+def q_link_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus link-graph edges: synthesize anchor HTML per document,
+    then parse the internal doc:// hrefs back out (JVM regexp, row-local)
+    — the DuckDB twin re-derives the edge set from the target arithmetic
+    alone, so the value check is a synthesize->parse round trip
+    (operators/linkgraph.extract_outlinks)."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        extract_outlinks,
+    )
+
+    return extract_outlinks(
+        derive_linkgraph_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_8["link_outlinks"] = q_link_outlinks
+
+
+def q_link_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out/in degree over the full node set (orphans report
+    0/0) — the graph-shape profile a crawl-curation pass reads before
+    deciding centrality cutoffs (operators/linkgraph.degree_stats)."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        degree_stats,
+        derive_linkgraph_html_from_documents,
+        extract_outlinks,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return degree_stats(
+        docs, extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    )
+
+
+BATCH_8["link_degree_stats"] = q_link_degree_stats
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank over the corpus link graph
+    (operators/linkgraph.pagerank, 5 rounds, micro-unit BIGINT ranks) —
+    iterative self-referencing plan cut per round with localCheckpoint;
+    DuckDB twin is a generated chain of MATERIALIZED CTEs r1..r5."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        pagerank_over_documents,
+    )
+
+    return pagerank_over_documents(_read(spark, sf_dir, "documents"), n_iter=5)
+
+
+BATCH_8["pagerank"] = q_pagerank
+
+
+def q_bow_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised bag-of-words curation classifier (operators/bow.py):
+    train integer token-frequency weights on the 80% hash-split slice,
+    score the held-out 20% with an exact argmax (ties to the smaller
+    label) — the CCNet/fastText-style model gate, integer arithmetic
+    end-to-end so the cross-engine hash is byte-stable."""
+    from cloud_ocr_summarizer_spark.operators.bow import classify_bow
+
+    return classify_bow(_read(spark, sf_dir, "documents"))
+
+
+BATCH_8["bow_classify"] = q_bow_classify
+
+
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parser round trip (operators/urls.py): synthesize a URL per
+    document covering every branch (scheme/port/query variants,
+    doc-varying registered domain), parse it back with row-local JVM
+    regexps — the DuckDB twin re-derives each field from doc_id
+    arithmetic, never from the string, so the check proves the parser
+    inverts the synthesis exactly."""
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    return parse_urls(derive_urls_from_documents(_read(spark, sf_dir, "documents")))
+
+
+BATCH_8["url_parse"] = q_url_parse
+
+
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate (operators/urls.domain_gate): broadcast
+    anti-join of the parsed corpus against a blocklist of registered
+    domains — the C4/RefinedWeb URL-level filter; output is the kept
+    rows' (doc_id, host, domain)."""
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        domain_gate,
+        parse_urls,
+    )
+
+    parsed = parse_urls(
+        derive_urls_from_documents(_read(spark, sf_dir, "documents"))
+    )
+    return domain_gate(parsed, spark).select("doc_id", "host", "domain")
+
+
+BATCH_8["domain_gate"] = q_domain_gate

@@ -1,0 +1,115 @@
+"""Link graph: outlink extraction round trip + integer PageRank.
+
+PageRank is pinned against a hand-rolled pure-Python evaluation of the
+same integer recurrence on the same derived edge set — an implementation
+the Spark plan shares nothing with (the DuckDB chained-CTE twin is the
+cross-engine check; this is the cross-IMPLEMENTATION check).
+"""
+
+from pyspark.sql import functions as F
+
+from cloud_ocr_summarizer_spark.operators.linkgraph import (
+    DAMP_NUM,
+    INIT_MICRO,
+    TELEPORT_MICRO,
+    degree_stats,
+    derive_linkgraph_html_from_documents,
+    extract_outlinks,
+    pagerank,
+    pagerank_over_documents,
+)
+
+
+def _docs(spark, n=12):
+    return spark.createDataFrame(
+        [(i, f"word{i} common text") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def _expected_edges(n):
+    edges = set()
+    for d in range(n):
+        for j in range(1, 2 + d % 3):
+            t = (d * 7919 + j * 104729) % n
+            if t != d:
+                edges.add((d, t))
+    return edges
+
+
+def test_outlinks_match_target_arithmetic(spark):
+    n = 12
+    got = {
+        (r.src_doc_id, r.dst_doc_id)
+        for r in extract_outlinks(
+            derive_linkgraph_html_from_documents(_docs(spark, n))
+        ).collect()
+    }
+    assert got == _expected_edges(n)
+
+
+def test_outlinks_ignore_external_anchors(spark):
+    # the derived HTML carries http:// nav/footer anchors; none may leak
+    html = derive_linkgraph_html_from_documents(_docs(spark, 6))
+    one = html.where(F.col("doc_id") == 1).collect()[0].html
+    assert 'href="http://nav/home"' in one  # the decoys are really there
+    edges = extract_outlinks(html).collect()
+    assert all(isinstance(r.dst_doc_id, int) for r in edges)
+
+
+def _python_pagerank(n, n_iter=3):
+    edges = _expected_edges(n)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {d: INIT_MICRO for d in range(n)}
+    for _ in range(n_iter):
+        inflow = {d: 0 for d in range(n)}
+        for s, t in edges:
+            inflow[t] += (ranks[s] // outdeg[s]) * DAMP_NUM // 100
+        ranks = {d: TELEPORT_MICRO + inflow[d] for d in range(n)}
+    return ranks
+
+
+def test_pagerank_matches_pure_python(spark):
+    n = 12
+    docs = _docs(spark, n)
+    edges = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    got = {r.doc_id: r.rank_micro for r in pagerank(docs, edges, n_iter=3).collect()}
+    assert got == _python_pagerank(n, n_iter=3)
+
+
+def test_pagerank_orphan_gets_teleport_only(spark):
+    docs = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    edges = spark.createDataFrame([(0, 1)], "src_doc_id long, dst_doc_id long")
+    got = {r.doc_id: r.rank_micro for r in pagerank(docs, edges, n_iter=2).collect()}
+    # node 2 never receives an edge: teleport only, every round
+    assert got[2] == TELEPORT_MICRO
+    # node 1 receives all of node 0's damped rank each round
+    assert got[1] == TELEPORT_MICRO + (TELEPORT_MICRO * DAMP_NUM) // 100
+
+
+def test_degree_stats_cover_all_nodes(spark):
+    n = 9
+    docs = _docs(spark, n)
+    ds = degree_stats(
+        docs, extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    )
+    rows = {r.doc_id: (r.out_degree, r.in_degree) for r in ds.collect()}
+    assert set(rows) == set(range(n))
+    edges = _expected_edges(n)
+    for d in range(n):
+        assert rows[d] == (
+            sum(1 for s, _ in edges if s == d),
+            sum(1 for _, t in edges if t == d),
+        )
+
+
+def test_pagerank_over_documents_schema(spark):
+    out = pagerank_over_documents(_docs(spark, 8), n_iter=2)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "rank_micro",
+        "in_degree",
+    ]
+    assert out.count() == 8

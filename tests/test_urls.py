@@ -1,0 +1,60 @@
+"""URL synthesis/parse round trip + domain blocklist gate."""
+
+from pyspark.sql import functions as F
+
+from cloud_ocr_summarizer_spark.operators.urls import (
+    BLOCKED_DOMAINS,
+    derive_urls_from_documents,
+    domain_gate,
+    parse_urls,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "src0", "en"),   # https (0%4), port (0%5), query (0%3)
+        (1, "src1", "de"),   # http, no port, no query
+        (3, "src3", "zh"),   # query only
+        (5, "src5", "fr"),   # port only
+        (7, "src7", "xx"),   # unknown lang -> .org tld
+        (12, "src12", "es"),  # https + query
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, lang string")
+
+
+def test_parse_inverts_synthesis(spark):
+    parsed = parse_urls(derive_urls_from_documents(_docs(spark)))
+    rows = {r.doc_id: r for r in parsed.collect()}
+
+    r0 = rows[0]
+    assert r0.scheme == "https" and r0.port == 8080
+    assert r0.host == "src0-en.example-0.com"
+    assert r0.path == "/en/doc-0.html" and r0.query_string == "ref=0"
+    assert r0.domain == "example-0.com"
+    assert r0.url == "https://src0-en.example-0.com:8080/en/doc-0.html?ref=0"
+
+    r1 = rows[1]
+    assert r1.scheme == "http" and r1.port is None
+    assert r1.query_string is None
+    assert r1.domain == "example-1.de"
+
+    assert rows[3].query_string == "ref=3" and rows[3].port is None
+    assert rows[5].port == 8080 and rows[5].query_string is None
+    assert rows[7].host.endswith(".org")
+    assert rows[12].scheme == "https" and rows[12].query_string == "ref=5"
+
+
+def test_domain_gate_drops_blocklisted(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i}", "en") for i in range(40)],
+        "doc_id long, source string, lang string",
+    )
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    kept = domain_gate(parsed, spark)
+    kept_domains = {r.domain for r in kept.select("domain").distinct().collect()}
+    assert kept_domains.isdisjoint(set(BLOCKED_DOMAINS))
+    # example-2.com = en docs with id%10==2 -> ids 2,12,22,32 exist
+    assert parsed.where(F.col("domain") == "example-2.com").count() > 0
+    assert kept.count() == parsed.count() - parsed.where(
+        F.col("domain").isin(*BLOCKED_DOMAINS)
+    ).count()

@@ -104,43 +104,62 @@ def score_bow(
 ) -> DataFrame:
     """-> (doc_id, label, predicted, score, correct) for every input doc.
 
-    Tokens explode once; the vocab-sized weight table is broadcast, so
-    the only corpus-sized shuffle is the (doc, label) sum.  Docs whose
-    tokens all miss the vocabulary still score every label's prior (the
-    prior cross join is labels-sized).  Argmax via max_by over a
-    (score, -label) struct — ties to the lexicographically smaller
-    label, exact in both engines.
+    Plan shape: tokens explode once and broadcast-join the vocab-sized
+    weight table; per-(doc, label) sums collapse to ONE row per doc as
+    a label->score map; the labels-sized prior table rides in as a
+    single broadcast array row; the argmax is then a row-local fold
+    over that array — the corpus never multiplies by the label count
+    and never joins on anything but its own doc_id (1:1).  Docs whose
+    tokens all miss the vocabulary still score every label's prior.
+    Argmax = array_min over (negated score, label) structs — ties to
+    the lexicographically smaller label, exact in both engines.
     """
     occ = _token_occurrences(score_docs, text_col=text_col, label_col=label_col)
-    tok_scores = (
+    score_map = (
         occ.join(F.broadcast(weights.withColumnRenamed("label", "_wl")), "token")
         .groupBy("doc_id", "_wl")
-        .agg(F.sum("w").alias("tok_score"))
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_wl"), F.col("s")))
+            ).alias("_sm")
+        )
     )
-    per_label = (
+    prior_arr = priors.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("label").alias("l"), F.col("prior").alias("p"))
+            )
+        ).alias("_pa")
+    )
+    scored = (
         score_docs.select("doc_id", F.col(label_col).alias("label"))
-        .crossJoin(F.broadcast(priors.withColumnRenamed("label", "_wl")))
-        .join(tok_scores, ["doc_id", "_wl"], "left")
-        .select(
-            "doc_id",
-            "label",
-            "_wl",
-            (F.col("prior") + F.coalesce("tok_score", F.lit(0))).alias("s"),
+        .join(score_map, "doc_id", "left")
+        .crossJoin(F.broadcast(prior_arr))
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_pa"),
+            lambda e: F.struct(
+                (
+                    -(
+                        e["p"]
+                        + F.coalesce(
+                            F.try_element_at(F.col("_sm"), e["l"]), F.lit(0)
+                        )
+                    )
+                ).alias("ns"),
+                e["l"].alias("l"),
+            ),
         )
     )
-    best = F.min(
-        F.struct((-F.col("s")).alias("ns"), F.col("_wl").alias("l"))
-    ).alias("_best")
-    return (
-        per_label.groupBy("doc_id", "label")
-        .agg(best)
-        .select(
-            "doc_id",
-            "label",
-            F.col("_best.l").alias("predicted"),
-            (-F.col("_best.ns")).alias("score"),
-            (F.col("_best.l") == F.col("label")).alias("correct"),
-        )
+    return scored.select(
+        "doc_id",
+        "label",
+        best["l"].alias("predicted"),
+        (-best["ns"]).alias("score"),
+        (best["l"] == F.col("label")).alias("correct"),
     )
 
 

@@ -220,3 +220,34 @@ def test_temperature_mix_corpus_never_shuffles(spark, Q):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     # no SortMergeJoin anywhere — the corpus is never exchange-partitioned
     assert "SortMergeJoin" not in p
+
+
+def test_url_queries_are_map_or_broadcast_only(spark, Q):
+    """URL parse is a pure map stage; the domain gate adds only a
+    broadcast anti-join (the corpus never reshuffles)."""
+    p = _plan(Q.q_url_parse(spark, SF))
+    assert "Exchange" not in p
+    g = _plan(Q.q_domain_gate(spark, SF))
+    assert "BroadcastHashJoin" in g and "LeftAnti" in g
+    assert "Exchange hashpartitioning" not in g
+
+
+def test_bow_scoring_broadcasts_vocab_tables(spark, Q):
+    """The vocab-sized weight table broadcasts into the token join and
+    the priors ride as a 1-row broadcast array; the only sort-merge
+    join allowed is the 1:1 doc_id map join (corpus vs its own
+    per-doc score map) — never a join on token or (doc, label)."""
+    p = _plan(Q.q_bow_classify(spark, SF))
+    assert "BroadcastHashJoin" in p
+    smjs = [ln for ln in p.splitlines() if "SortMergeJoin" in ln]
+    assert smjs and all("doc_id" in ln and "_wl" not in ln for ln in smjs)
+
+
+def test_outlink_extraction_shuffle_budget(spark, Q):
+    """Edge extraction is map + ONE distinct (the canonical edge set);
+    the only join is the 1-row max(doc_id) scalar broadcast cross —
+    never a hash-partitioned join."""
+    p = _plan(Q.q_link_outlinks(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 2  # distinct partials
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in p

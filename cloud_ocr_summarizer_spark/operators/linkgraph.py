@@ -68,7 +68,13 @@ def derive_linkgraph_html_from_documents(docs: DataFrame) -> DataFrame:
                 F.pmod(d * 7919 + j.cast("bigint") * 104729, F.col("_n")).cast(
                     "string"
                 ),
-                F.lit('">ref</a> '),
+                # anchor text varies per (source, slot) so the inbound
+                # anchor-text aggregation has a real signal to collect
+                F.lit('">ref-'),
+                d.cast("string"),
+                F.lit("-"),
+                j.cast("string"),
+                F.lit("</a> "),
             ),
         ),
         "",
@@ -191,4 +197,37 @@ def pagerank_over_documents(docs: DataFrame, *, n_iter: int = 5) -> DataFrame:
             degree_stats(docs, edges).select("doc_id", "in_degree"), "doc_id"
         )
         .select("doc_id", "rank_micro", "in_degree")
+    )
+
+
+def inbound_anchor_texts(html_df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """Per TARGET doc: the sorted inbound anchor texts (the classic web
+    ranking/description signal — what OTHER pages call this page).
+
+    One row-local regexp pass pulls (dst, anchor_text) pairs from the
+    internal anchors, self-links drop (same contract as
+    :func:`extract_outlinks`), then one aggregate per target assembles
+    the texts sorted (deterministic across partitionings; duplicates
+    kept — repetition IS signal strength).  Output:
+    (doc_id, n_inbound, anchor_texts as ' | '-joined sorted string).
+    """
+    pairs = F.transform(
+        F.regexp_extract_all(
+            F.col(html_col), F.lit('<a href="doc://\\d+">[^<]*</a>'), 0
+        ),
+        lambda m: F.struct(
+            F.regexp_extract(m, r"doc://(\d+)", 1).cast("bigint").alias("dst"),
+            F.regexp_extract(m, r">([^<]*)<", 1).alias("txt"),
+        ),
+    )
+    exploded = (
+        html_df.select(F.col("doc_id").alias("src"), F.explode(pairs).alias("p"))
+        .select("src", F.col("p.dst").alias("doc_id"), F.col("p.txt").alias("txt"))
+        .where(F.col("doc_id") != F.col("src"))
+    )
+    return exploded.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_inbound"),
+        F.array_join(F.sort_array(F.collect_list("txt")), " | ").alias(
+            "anchor_texts"
+        ),
     )

@@ -3430,3 +3430,23 @@ ORACLES["domain_gate"] = URL_FIELDS_CTE + r"""
 SELECT doc_id, host, domain FROM with_url
 WHERE domain NOT IN ('example-2.com', 'example-5.de', 'example-8.cn')
 """
+
+
+# Inbound anchor texts: the twin re-derives every (target, 'ref-d-j')
+# pair straight from the anchor arithmetic (never parsing the HTML) —
+# note this oracle does NOT dedupe pairs like LINK_EDGES_CTE does:
+# every anchor occurrence contributes its text.
+ORACLES["anchor_texts"] = r"""
+WITH nn AS MATERIALIZED (SELECT max(doc_id) + 1 AS n FROM documents),
+pairs AS (
+  SELECT (d.doc_id * 7919 + t.j * 104729) % nn.n AS doc_id,
+         'ref-' || CAST(d.doc_id AS VARCHAR) || '-' || CAST(t.j AS VARCHAR)
+           AS txt
+  FROM documents d, nn,
+       unnest(generate_series(1, 1 + (d.doc_id % 3))) AS t(j)
+  WHERE (d.doc_id * 7919 + t.j * 104729) % nn.n <> d.doc_id
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_inbound,
+       array_to_string(list_sort(list(txt)), ' | ') AS anchor_texts
+FROM pairs GROUP BY doc_id
+"""

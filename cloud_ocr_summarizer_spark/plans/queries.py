@@ -3201,3 +3201,21 @@ def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["domain_gate"] = q_domain_gate
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation per link target
+    (operators/linkgraph.inbound_anchor_texts) — the signal web search
+    and crawl curation read off the link graph; the DuckDB twin
+    re-derives every (target, text) pair from the anchor arithmetic."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        inbound_anchor_texts,
+    )
+
+    return inbound_anchor_texts(
+        derive_linkgraph_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_8["anchor_texts"] = q_anchor_texts

@@ -113,3 +113,26 @@ def test_pagerank_over_documents_schema(spark):
         "in_degree",
     ]
     assert out.count() == 8
+
+
+def test_inbound_anchor_texts_hand_computed(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        inbound_anchor_texts,
+    )
+
+    n = 12
+    got = {
+        r.doc_id: (r.n_inbound, r.anchor_texts)
+        for r in inbound_anchor_texts(
+            derive_linkgraph_html_from_documents(_docs(spark, n))
+        ).collect()
+    }
+    expected = {}
+    for d in range(n):
+        for j in range(1, 2 + d % 3):
+            t = (d * 7919 + j * 104729) % n
+            if t != d:
+                expected.setdefault(t, []).append(f"ref-{d}-{j}")
+    assert set(got) == set(expected)
+    for t, texts in expected.items():
+        assert got[t] == (len(texts), " | ".join(sorted(texts)))

@@ -29,12 +29,17 @@ BLOCKED_DOMAINS = ("example-2.com", "example-5.de", "example-8.cn")
 _TLD_BY_LANG = {"en": "com", "de": "de", "es": "es", "fr": "fr", "zh": "cn"}
 
 
-def derive_urls_from_documents(docs: DataFrame) -> DataFrame:
+def derive_urls_from_documents(
+    docs: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """documents -> (doc_id, url) exercising every parser branch.
 
     scheme https iff doc_id%4==0; host = source-lang.example-(id%10).tld
     with the tld a function of lang; port 8080 iff doc_id%5==0; path
-    /lang/doc-id.html; query ref=(id%7) iff doc_id%3==0.
+    /lang/doc-id.html; query ref=(id%7) iff doc_id%3==0.  ``keep``
+    carries extra document columns through (projection, no join — the
+    datagen convention), so URL-keyed rollups over document content
+    never pay a doc_id re-join shuffle.
     """
     d = F.col("doc_id")
     lang = F.coalesce(F.col("lang"), F.lit("xx"))
@@ -70,7 +75,36 @@ def derive_urls_from_documents(docs: DataFrame) -> DataFrame:
             d % 3 == 0, F.concat(F.lit("?ref="), (d % 7).cast("string"))
         ).otherwise(F.lit("")),
     )
-    return docs.select(d.alias("doc_id"), url.alias("url"))
+    return docs.select(
+        d.alias("doc_id"), url.alias("url"), *[F.col(c) for c in keep]
+    )
+
+
+def domain_quality_rollup(docs: DataFrame) -> DataFrame:
+    """Per registered domain: doc count, total tokens, summed quality.
+
+    The composed URL-keyed curation rollup — synthesize/parse the URL,
+    drop blocklisted domains, score each doc (integer-bp quality,
+    textstats.quality_score_col), aggregate by domain.  ``keep``
+    carries text through the derive/parse projections, so the only
+    shuffle is the final domain aggregate (plus the broadcast anti-join
+    gate); sums stay integer so the cross-engine hash is exact (the
+    consumer divides sum_quality_bp / n_docs itself).
+    """
+    from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
+    from cloud_ocr_summarizer_spark.operators.textstats import quality_score_col
+
+    parsed = parse_urls(derive_urls_from_documents(docs, keep=("text",)))
+    kept = domain_gate(parsed)
+    return kept.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(whitespace_tokens_col(F.col("text"))))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.sum(quality_score_col(F.col("text"))).cast("bigint").alias(
+            "sum_quality_bp"
+        ),
+    )
 
 
 def _extract(url: Column, pattern: str) -> Column:

@@ -3450,3 +3450,32 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_inbound,
        array_to_string(list_sort(list(txt)), ' | ') AS anchor_texts
 FROM pairs GROUP BY doc_id
 """
+
+
+# Per-domain quality rollup: URL fields + the integer-bp quality formula
+# (same expression as the dedup_keep_best / text_profile twins), gated
+# by the blocklist, one GROUP BY domain.  All-integer outputs.
+ORACLES["domain_quality_rollup"] = URL_FIELDS_CTE + r"""
+, scored AS (
+  SELECT f.domain,
+         len(w.words) AS nt,
+         CAST(floor((0.4 * least(len(w.words) / 100.0, 1.0)
+               + 0.3 * (1 - CASE WHEN length(d.text) > 0
+                  THEN (length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9\s]', '', 'g'))) / length(d.text)
+                  ELSE 0.0 END)
+               + 0.3 * least((CASE WHEN len(w.words) > 0
+                  THEN list_sum(list_transform(w.words, x -> length(x))) / len(w.words)
+                  ELSE 0.0 END) / 8.0, 1.0)) * 10000) AS INT) AS quality_bp
+  FROM with_url f
+  JOIN documents d USING (doc_id)
+  CROSS JOIN LATERAL (SELECT list_filter(
+      regexp_split_to_array(coalesce(d.text, ''), '\s+'), x -> x <> '')
+      AS words) w
+  WHERE f.domain NOT IN ('example-2.com', 'example-5.de', 'example-8.cn')
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(quality_bp) AS BIGINT) AS sum_quality_bp
+FROM scored GROUP BY domain
+"""

@@ -3219,3 +3219,16 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["anchor_texts"] = q_anchor_texts
+
+
+def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation rollup (operators/urls.domain_quality_rollup):
+    URL parse -> blocklist gate -> integer-bp quality scoring ->
+    one domain aggregate; the text column rides the projections so the
+    only corpus shuffle is the final groupBy."""
+    from cloud_ocr_summarizer_spark.operators.urls import domain_quality_rollup
+
+    return domain_quality_rollup(_read(spark, sf_dir, "documents"))
+
+
+BATCH_8["domain_quality_rollup"] = q_domain_quality_rollup

@@ -58,3 +58,22 @@ def test_domain_gate_drops_blocklisted(spark):
     assert kept.count() == parsed.count() - parsed.where(
         F.col("domain").isin(*BLOCKED_DOMAINS)
     ).count()
+
+
+def test_domain_quality_rollup_hand_checked(spark):
+    from cloud_ocr_summarizer_spark.operators.urls import domain_quality_rollup
+
+    docs = spark.createDataFrame(
+        [
+            (10, "s", "en", "five plain words right here"),
+            (20, "s", "en", "five plain words right here"),  # same domain
+            (2, "s", "en", "blocked doc"),                   # example-2.com
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    rows = {r.domain: r for r in domain_quality_rollup(docs).collect()}
+    assert "example-2.com" not in rows  # gate fired
+    r = rows["example-0.com"]
+    assert (r.n_docs, r.total_tokens) == (2, 10)
+    # quality identical for identical texts -> sum is 2x one doc's bp
+    assert r.sum_quality_bp % 2 == 0 and r.sum_quality_bp > 0

@@ -231,3 +231,74 @@ def inbound_anchor_texts(html_df: DataFrame, *, html_col: str = "html") -> DataF
             "anchor_texts"
         ),
     )
+
+
+def pagerank_bucketed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    n_iter: int = 5,
+    n_buckets: int = 32,
+    table: str = "pagerank_fan_bucketed",
+    path: str | None = None,
+) -> DataFrame:
+    """:func:`pagerank` with the edge-side iteration shuffle removed.
+
+    The (src, dst, outdeg) fan table is iteration-INVARIANT but edge-
+    sized — in the plain loop it re-shuffles into the join every round,
+    so per-iteration shuffled bytes are O(edges + nodes).  Here it is
+    written ONCE as a bucketed+sorted table on the join key; each
+    round's sort-merge join then reads the buckets in place and only
+    the node-sized ranks side shuffles (plus the dst aggregate) —
+    per-iteration shuffle drops to O(nodes), which at web scale (edges
+    >> nodes, 5-50 iterations) is the difference that matters.  Same
+    integer recurrence, bit-identical output (pytest-asserted).
+
+    The caller owns the table lifecycle (it must outlive consumption of
+    the returned ranks); pass ``path`` to place it outside the default
+    warehouse.  This is the repeated-fact-join bucketing strategy of
+    SURVEY.md §4.3, applied to an iterative graph job.
+    """
+    spark = nodes.sparkSession
+    node_ids = nodes.select("doc_id")
+    outdeg = edges.groupBy(F.col("src_doc_id").alias("doc_id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    fan = edges.join(outdeg, edges.src_doc_id == outdeg.doc_id).select(
+        "src_doc_id", "dst_doc_id", "outdeg"
+    )
+    writer = fan.write.mode("overwrite")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.bucketBy(n_buckets, "src_doc_id").sortBy("src_doc_id").saveAsTable(
+        table
+    )
+    fan_t = spark.table(table)
+    ranks = node_ids.select(
+        "doc_id", F.lit(INIT_MICRO).cast("bigint").alias("rank_micro")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            fan_t.hint("merge")
+            .join(ranks, fan_t.src_doc_id == ranks.doc_id)
+            .select(
+                F.col("dst_doc_id").alias("doc_id"),
+                F.expr(
+                    f"((rank_micro div outdeg) * {DAMP_NUM}) div 100"
+                ).alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            node_ids.join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(TELEPORT_MICRO).cast("bigint")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -136,3 +136,43 @@ def test_inbound_anchor_texts_hand_computed(spark):
     assert set(got) == set(expected)
     for t, texts in expected.items():
         assert got[t] == (len(texts), " | ".join(sorted(texts)))
+
+
+def test_pagerank_bucketed_matches_plain_and_skips_fan_shuffle(
+    spark, tmp_path
+):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        pagerank_bucketed,
+    )
+
+    n = 12
+    docs = _docs(spark, n)
+    edges = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    plain = {r.doc_id: r.rank_micro for r in pagerank(docs, edges, n_iter=3).collect()}
+    bucketed_df = pagerank_bucketed(
+        docs,
+        edges,
+        n_iter=3,
+        n_buckets=4,
+        table="pagerank_fan_test",
+        path=str(tmp_path / "fan_b"),
+    )
+    try:
+        got = {r.doc_id: r.rank_micro for r in bucketed_df.collect()}
+        assert got == plain  # bit-identical recurrence
+        # plan property: the per-iteration join reads the bucketed fan
+        # in place (no Exchange between the bucketed scan and the join)
+        fan_t = spark.table("pagerank_fan_test")
+        ranks0 = docs.select(
+            "doc_id", F.lit(1_000_000).cast("bigint").alias("rank_micro")
+        )
+        j = fan_t.hint("merge").join(ranks0, fan_t.src_doc_id == ranks0.doc_id)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        fan_branch = plan[plan.index("pagerank_fan_test"):]
+        assert "Exchange" not in fan_branch.splitlines()[0]
+        # exactly ONE exchange feeds the join: the node-sized ranks side
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert join_part.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pagerank_fan_test")

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""A/B: plain vs bucketed-fan PageRank (operators/linkgraph).
+
+The bucketed variant writes the edge-sized fan table once (bucketed on
+the join key) so each of the 5 iterations shuffles only the node-sized
+ranks.  Local mode shares one shuffle substrate, so the wall-clock win
+here UNDERSTATES a real cluster's (where the avoided exchange is
+network, not page-cache); the honest local signal is the removed
+Exchange (plan-asserted in tests/test_linkgraph.py) plus whatever wall
+delta survives.  Interleaved A,B,A,B in one window per the host-noise
+protocol.  Writes BENCH/pagerank_bucketed.json + a BASELINE.md section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.bench_html_layout import build_corpus  # noqa: E402
+
+N_DOCS = 1_000_000
+
+
+def main() -> int:
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        extract_outlinks,
+        pagerank,
+        pagerank_bucketed,
+    )
+    from cloud_ocr_summarizer_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-pagerank-bucketed", cores=32)
+    docs = spark.read.parquet(build_corpus(spark, N_DOCS))
+    edges = extract_outlinks(
+        derive_linkgraph_html_from_documents(docs)
+    ).localCheckpoint()
+    edges.count()  # materialize once; both variants start from edges
+
+    fan_path = "/tmp/spark_graft_bench/pagerank_fan_ab"
+
+    def run_plain() -> float:
+        t0 = time.monotonic()
+        pagerank(docs, edges, n_iter=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.monotonic() - t0
+
+    def run_bucketed() -> float:
+        # table write is part of the timed cost — the one-time price the
+        # bucketing pays for the per-iteration saving
+        shutil.rmtree(fan_path, ignore_errors=True)
+        t0 = time.monotonic()
+        pagerank_bucketed(
+            docs, edges, n_iter=5, n_buckets=32,
+            table="pagerank_fan_ab", path=fan_path,
+        ).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    run_plain(); run_bucketed()  # warm both paths
+    a = [run_plain()]
+    b = [run_bucketed()]
+    a.append(run_plain())
+    b.append(run_bucketed())
+    spark.sql("DROP TABLE IF EXISTS pagerank_fan_ab")
+
+    out = {
+        "n_docs": N_DOCS,
+        "n_iter": 5,
+        "plain_sec": round(min(a), 3),
+        "bucketed_sec": round(min(b), 3),
+        "speedup_plain_over_bucketed": round(min(a) / min(b), 3),
+        "note": (
+            "bucketed time INCLUDES the one-time fan table write; "
+            "interleaved A,B,A,B best-of-2 per side, local[32]"
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH", "pagerank_bucketed.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+    lines = [
+        "", "## A/B: bucketed-fan PageRank (iteration shuffle removal)",
+        "",
+        "5 iterations over the 1M-doc corpus edges; the bucketed variant",
+        "writes the fan table once (32 buckets on src_doc_id, write",
+        "INSIDE the timed region) and then joins it in place every round:",
+        "",
+        "| variant | wall (best of 2, interleaved) |", "|---|---|",
+        f"| plain loop (fan re-shuffles x5) | {out['plain_sec']} s |",
+        f"| bucketed fan (ranks-only shuffle) | {out['bucketed_sec']} s |",
+        "",
+        f"Bucketed is {out['speedup_plain_over_bucketed']}x vs plain on",
+        "shared-substrate local mode; the structural win (one Exchange",
+        "removed from every iteration, plan-asserted) is the signal that",
+        "transfers to a real cluster where the avoided shuffle is network.",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a",
+              encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

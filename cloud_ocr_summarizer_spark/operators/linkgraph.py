@@ -302,3 +302,93 @@ def pagerank_bucketed(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+# KMV-ball harmonic centrality (HyperBall structure, Boldi & Vigna
+# "In-Core Computation of Geometric Centralities with HyperBall", with
+# the HLL counter swapped for a k-minimum-values sketch so every state
+# cell is an exact integer — the repo's cross-engine policy; HLL's
+# harmonic-mean estimate is float and engine-fragile, KMV's
+# ((k-1)*M) div kth_min is pure integer division).
+KMV_K = 8
+
+
+def harmonic_centrality_kmv(
+    nodes: DataFrame, edges: DataFrame, *, k: int = KMV_K, n_iter: int = 3
+) -> DataFrame:
+    """Approximate harmonic centrality via iterated KMV ball sketches.
+
+    Ball t of node v = nodes within t hops ALONG INCOMING edges (who
+    can reach v — the direction harmonic centrality counts).  Each node
+    carries the k smallest 31-bit hashes of its ball; one iteration is
+
+      sketch'(v) = first k of sort(distinct(sketch(v) ∪ ⋃_{(u,v)∈E} sketch(u)))
+
+    — an edges⋈sketches join + one groupBy merge, per-node state
+    bounded at k BIGINTs regardless of ball size (the 100-TB property;
+    exact BFS frontiers are corpus-sized per node).  Ball-size estimate
+    est_t = |sketch| while < k (exact), else ((k-1)*M) div kth_min —
+    all integer.  harmonic_milli = Σ_t max(0, est_t - est_{t-1}) * 1000
+    div t, the discrete harmonic sum over newly reached nodes.  Output:
+    (doc_id, n_reached_est, harmonic_milli), byte-stable across engines
+    and partitionings; DuckDB twin is a generated chain of MATERIALIZED
+    CTEs (ORACLES["harmonic_centrality"]).
+    """
+    from cloud_ocr_summarizer_spark.functions.hashing import (
+        M31,
+        md5_hash31_col,
+    )
+
+    empty = F.array().cast("array<bigint>")
+    cur = nodes.select(
+        "doc_id",
+        F.array(md5_hash31_col(F.col("doc_id"))).alias("sketch"),
+        F.lit(1).cast("bigint").alias("est"),
+        F.lit(0).cast("bigint").alias("harmonic_milli"),
+    )
+    for t in range(1, n_iter + 1):
+        nbr = (
+            edges.join(
+                cur.select(F.col("doc_id").alias("_u"), "sketch"),
+                edges.src_doc_id == F.col("_u"),
+            )
+            .groupBy(F.col("dst_doc_id").alias("doc_id"))
+            .agg(F.flatten(F.collect_list("sketch")).alias("_nbr"))
+        )
+        merged = cur.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            "est",
+            "harmonic_milli",
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(F.col("sketch"), F.coalesce("_nbr", empty))
+                    )
+                ),
+                1,
+                k,
+            ).alias("sketch"),
+        )
+        # single precomputed BIGINT literal: (k-1) * M31 written as an
+        # int-literal product would multiply as INT and THROW under ANSI
+        num = (k - 1) * M31
+        est_t = F.when(
+            F.size("sketch") < k, F.size("sketch").cast("bigint")
+        ).otherwise(F.expr(f"{num} div element_at(sketch, {k})"))
+        stepped = merged.select(
+            "doc_id",
+            "sketch",
+            "harmonic_milli",
+            est_t.alias("_est_t"),
+            (F.greatest(F.lit(0).cast("bigint"), est_t - F.col("est")) * 1000)
+            .alias("_gain_milli"),
+        )
+        cur = stepped.select(
+            "doc_id",
+            "sketch",
+            F.col("_est_t").alias("est"),
+            (
+                F.col("harmonic_milli") + F.expr(f"_gain_milli div {t}")
+            ).alias("harmonic_milli"),
+        ).localCheckpoint(eager=False)
+    return cur.select("doc_id", F.col("est").alias("n_reached_est"), "harmonic_milli")

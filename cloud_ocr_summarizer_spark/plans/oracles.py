@@ -3479,3 +3479,53 @@ SELECT domain,
        CAST(sum(quality_bp) AS BIGINT) AS sum_quality_bp
 FROM scored GROUP BY domain
 """
+
+
+def _harmonic_oracle(k: int = 8, n_iter: int = 3) -> str:
+    """Generated MATERIALIZED-CTE chain mirroring
+    linkgraph.harmonic_centrality_kmv: one CTE per ball iteration, each
+    merging neighbor sketches along INCOMING edges, truncating to the k
+    smallest hashes, and accumulating the integer harmonic gain.  All
+    BIGINT (the KMV estimate is ((k-1)*M31) // kth_min — no floats)."""
+    num = (k - 1) * 2147483647
+    parts = [
+        LINK_EDGES_CTE.strip()[4:],  # splice nn + edges
+        f"""s0 AS MATERIALIZED (
+  SELECT doc_id,
+         [('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+            % 2147483647] AS sketch,
+         CAST(1 AS BIGINT) AS est, CAST(0 AS BIGINT) AS harm
+  FROM documents
+)""",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""s{t} AS MATERIALIZED (
+  SELECT doc_id, sketch, est_new AS est,
+         CAST(harm + (greatest(0, est_new - est) * 1000) // {t} AS BIGINT)
+           AS harm
+  FROM (
+    SELECT doc_id, sketch, est, harm,
+           CAST(CASE WHEN len(sketch) < {k} THEN len(sketch)
+                ELSE {num} // sketch[{k}] END AS BIGINT) AS est_new
+    FROM (
+      SELECT p.doc_id,
+             (list_sort(list_distinct(
+                p.sketch || coalesce(nb.nbr, CAST([] AS BIGINT[])))))[1:{k}]
+               AS sketch,
+             p.est, p.harm
+      FROM s{t - 1} p
+      LEFT JOIN (
+        SELECT e.dst_doc_id AS doc_id, flatten(list(s.sketch)) AS nbr
+        FROM edges e JOIN s{t - 1} s ON e.src_doc_id = s.doc_id
+        GROUP BY 1) nb USING (doc_id)
+    )
+  )
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT doc_id, est AS n_reached_est, harm AS harmonic_milli"
+          f" FROM s{n_iter}\n"
+    )
+
+
+ORACLES["harmonic_centrality"] = _harmonic_oracle(8, 3)

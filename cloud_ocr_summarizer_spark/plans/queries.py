@@ -3232,3 +3232,24 @@ def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["domain_quality_rollup"] = q_domain_quality_rollup
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate harmonic centrality over the corpus link graph
+    (operators/linkgraph.harmonic_centrality_kmv): HyperBall-style
+    iterated ball sketches with a k-minimum-values counter so every
+    state cell is an exact integer — per-node state bounded at k hashes
+    regardless of ball size.  DuckDB twin is a generated chain of
+    MATERIALIZED CTEs over the same integer recurrence."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        extract_outlinks,
+        harmonic_centrality_kmv,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    return harmonic_centrality_kmv(docs, edges, k=8, n_iter=3)
+
+
+BATCH_8["harmonic_centrality"] = q_harmonic_centrality

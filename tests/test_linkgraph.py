@@ -176,3 +176,40 @@ def test_pagerank_bucketed_matches_plain_and_skips_fan_shuffle(
         assert join_part.count("Exchange hashpartitioning") == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS pagerank_fan_test")
+
+
+def test_harmonic_centrality_matches_pure_python(spark):
+    import hashlib
+
+    from cloud_ocr_summarizer_spark.functions.hashing import M31
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        harmonic_centrality_kmv,
+    )
+
+    n, k, iters = 12, 4, 3
+    docs = _docs(spark, n)
+    edges_df = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    got = {
+        r.doc_id: (r.n_reached_est, r.harmonic_milli)
+        for r in harmonic_centrality_kmv(docs, edges_df, k=k, n_iter=iters).collect()
+    }
+
+    def h31(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16) % M31
+
+    edges = _expected_edges(n)
+    sk = {d: [h31(d)] for d in range(n)}
+    est = {d: 1 for d in range(n)}
+    harm = {d: 0 for d in range(n)}
+    for t in range(1, iters + 1):
+        nbr = {}
+        for s, dst in edges:
+            nbr.setdefault(dst, []).extend(sk[s])
+        sk = {
+            d: sorted(set(sk[d]) | set(nbr.get(d, [])))[:k] for d in range(n)
+        }
+        for d in range(n):
+            e = len(sk[d]) if len(sk[d]) < k else ((k - 1) * M31) // sk[d][k - 1]
+            harm[d] += max(0, e - est[d]) * 1000 // t
+            est[d] = e
+    assert got == {d: (est[d], harm[d]) for d in range(n)}

@@ -151,3 +151,82 @@ def domain_gate(
         [(b,) for b in blocked], schema="domain string"
     )
     return parsed.join(F.broadcast(block_df), "domain", "left_anti")
+
+
+def derive_messy_urls_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, url): noisy VARIANTS of shared targets.
+
+    Docs ``2m`` and ``2m+1`` both point at canonical target
+    ``http://example-(m%10).com/p/m.html`` but each may carry
+    deterministic crawl noise — uppercase host (id%2==1), a default
+    :80 port (id%5==0), utm_* tracking params (id%3==0), a fragment
+    (id%4==0), a trailing slash (id%7==0) — so a correct canonicalizer
+    collapses every pair and a lazy string-equality dedup does not.
+    """
+    d = F.col("doc_id")
+    m = F.expr("doc_id div 2")
+    host = F.concat(
+        F.lit("example-"), (m % 10).cast("string"), F.lit(".com")
+    )
+    url = F.concat(
+        F.lit("http://"),
+        F.when(d % 2 == 1, F.upper(host)).otherwise(host),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        m.cast("string"),
+        F.lit(".html"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("?utm_source=s"), (d % 5).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0, F.concat(F.lit("#sec"), (d % 4).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(d.alias("doc_id"), url.alias("url"))
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Canonical URL: the crawl-frontier/dedup normal form.
+
+    Drops the fragment, lowercases scheme+host, drops the default :80
+    port, strips utm_* tracking params (tidying left-over separators),
+    and trims a trailing slash from a non-root path.  Pure regexp
+    chain — row-local, whole-stage codegen.
+    """
+    u = F.regexp_replace(F.coalesce(url, F.lit("")), r"#.*$", "")
+    # lowercase only the scheme://host[:port] prefix, never the path
+    prefix = F.regexp_extract(u, r"^([a-z]+://[^/]*)", 1)
+    # the synthesized noise only uppercases HOST chars; scheme is
+    # already lower, so lower(prefix) is the canonical authority
+    rest = F.substring(u, F.length(prefix) + 1, 1_000_000)
+    u = F.concat(F.lower(prefix), rest)
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    # strip utm params wherever they sit in the query string
+    u = F.regexp_replace(u, r"([?&])utm_[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # trailing slash off a non-root path
+    u = F.regexp_replace(u, r"(://[^/]+/.+?)/$", r"$1")
+    return u
+
+
+def url_dedup(docs_with_urls: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """Collapse URL variants: one row per canonical URL.
+
+    Output (canonical_url, keeper_doc_id = min doc_id, n_variants) —
+    one canonicalizing projection + one aggregate (map-side partial min
+    collapses hot URLs before the exchange).
+    """
+    return (
+        docs_with_urls.select(
+            "doc_id", canonicalize_url_col(F.col(url_col)).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("bigint").alias("n_variants"),
+        )
+    )

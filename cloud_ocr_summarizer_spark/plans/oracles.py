@@ -3529,3 +3529,21 @@ def _harmonic_oracle(k: int = 8, n_iter: int = 3) -> str:
 
 
 ORACLES["harmonic_centrality"] = _harmonic_oracle(8, 3)
+
+
+# URL dedup: the twin NEVER sees the messy URL — it derives each doc's
+# canonical form straight from the pairing arithmetic, so agreement
+# proves canonicalize_url_col strips every synthesized noise class.
+ORACLES["url_dedup"] = r"""
+WITH canon AS (
+  SELECT doc_id,
+         'http://example-' || CAST((doc_id // 2) % 10 AS VARCHAR)
+           || '.com/p/' || CAST(doc_id // 2 AS VARCHAR) || '.html'
+           AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY 1
+"""

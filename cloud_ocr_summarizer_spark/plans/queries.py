@@ -3253,3 +3253,23 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["harmonic_centrality"] = q_harmonic_centrality
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/urls.py):
+    deterministic crawl noise (case, :80, utm_*, fragments, trailing
+    slash) is synthesized onto pair-shared targets; the canonicalizer
+    must collapse every variant — the DuckDB twin derives each doc's
+    canonical URL from arithmetic alone, so the check proves the regexp
+    chain inverts ALL the noise exactly."""
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_messy_urls_from_documents,
+        url_dedup,
+    )
+
+    return url_dedup(
+        derive_messy_urls_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_8["url_dedup"] = q_url_dedup

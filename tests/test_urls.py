@@ -77,3 +77,46 @@ def test_domain_quality_rollup_hand_checked(spark):
     assert (r.n_docs, r.total_tokens) == (2, 10)
     # quality identical for identical texts -> sum is 2x one doc's bp
     assert r.sum_quality_bp % 2 == 0 and r.sum_quality_bp > 0
+
+
+def test_canonicalize_url_strips_every_noise_class(spark):
+    from cloud_ocr_summarizer_spark.operators.urls import canonicalize_url_col
+
+    cases = [
+        # (messy, canonical)
+        ("http://EXAMPLE-3.COM/p/7.html", "http://example-3.com/p/7.html"),
+        ("http://example-1.com:80/p/5.html", "http://example-1.com/p/5.html"),
+        ("http://h.com/p/1.html?utm_source=a&utm_b=c", "http://h.com/p/1.html"),
+        ("http://h.com/p/1.html?keep=1&utm_x=2", "http://h.com/p/1.html?keep=1"),
+        ("http://h.com/p/1.html#frag", "http://h.com/p/1.html"),
+        ("http://h.com/p/1.html/", "http://h.com/p/1.html"),
+        # everything at once
+        (
+            "http://EXAMPLE-0.COM:80/p/0.html/?utm_source=s0#sec0",
+            "http://example-0.com/p/0.html",
+        ),
+        # non-default port and real params survive
+        ("http://h.com:8080/a?x=1&y=2", "http://h.com:8080/a?x=1&y=2"),
+        ("http://h.com/", "http://h.com/"),  # root slash kept
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url_col("url").alias("c")).collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_url_dedup_collapses_pairs(spark):
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_messy_urls_from_documents,
+        url_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    out = {r.canonical_url: r for r in url_dedup(
+        derive_messy_urls_from_documents(docs)
+    ).collect()}
+    assert len(out) == 10  # 20 docs -> 10 shared targets
+    for m in range(10):
+        r = out[f"http://example-{m % 10}.com/p/{m}.html"]
+        assert (r.keeper_doc_id, r.n_variants) == (2 * m, 2)

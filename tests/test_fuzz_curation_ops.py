@@ -352,3 +352,46 @@ def test_word_level_gates_fuzz_vs_python(spark, rng):
     got_d = {r["doc_id"]: tuple(r)[1:] for r in dedup_intra_doc(df).collect()}
     assert got_d == want_d
     assert any(v[2] for v in want_d.values())  # repeats actually fired
+
+
+def test_canonicalize_url_fuzz_vs_python(spark, rng):
+    """Seeded-random URL noise vs a pure-Python model of the SAME
+    normal form (implemented with re, sharing no code with the Spark
+    regexp chain)."""
+    import re as _re
+
+    from cloud_ocr_summarizer_spark.operators.urls import canonicalize_url_col
+
+    def py_canonical(u: str) -> str:
+        u = _re.sub(r"#.*$", "", u)
+        m = _re.match(r"^([a-z]+://[^/]*)", u)
+        if m:
+            u = m.group(1).lower() + u[m.end():]
+        u = _re.sub(r"^(http://[^/:]+):80(/|$)", r"\1\2", u)
+        u = _re.sub(r"([?&])utm_[^&#]*", r"\1", u)
+        u = _re.sub(r"\?&", "?", u)
+        u = _re.sub(r"&&+", "&", u)
+        u = _re.sub(r"[?&]$", "", u)
+        u = _re.sub(r"(://[^/]+/.+?)/$", r"\1", u)
+        return u
+
+    hosts = ["h.com", "SUB.Example-3.ORG", "a-b.co", "X9.NET"]
+    ports = ["", ":80", ":8080", ":443"]
+    paths = ["/", "/a", "/a/b.html", "/p/7.html/", "/deep/x/y/"]
+    queries = ["", "?utm_source=s", "?keep=1", "?utm_a=1&keep=2",
+               "?keep=1&utm_b=2", "?utm_a=1&utm_b=2", "?a=1&b=2"]
+    frags = ["", "#x", "#sec1"]
+    urls = []
+    for _ in range(300):
+        urls.append(
+            "http://" + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.c
+        for r in df.coalesce(1)
+        .select(canonicalize_url_col("url").alias("c"))
+        .collect()
+    ]
+    assert got == [py_canonical(u) for u in urls]

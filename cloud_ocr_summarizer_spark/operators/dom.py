@@ -124,8 +124,12 @@ def extract_html_main(
     return src.mapInPandas(run, schema=schema)
 
 
-def extract_html_main_simple(df: DataFrame, *, html_col: str = "html") -> DataFrame:
-    """JVM-regex twin: same output on non-nested boilerplate containers."""
+def extract_html_main_simple(
+    df: DataFrame, *, html_col: str = "html", keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """JVM-regex twin: same output on non-nested boilerplate containers.
+    ``keep`` carries extra input columns through (projection, no join —
+    the datagen convention)."""
     x: Column = F.regexp_replace(F.coalesce(F.col(html_col), F.lit("")), _COMMENT_RE, " ")
     for name in BOILER_CONTAINERS:
         x = F.regexp_replace(x, rf"(?is)<{name}\b[^>]*>.*?</{name}\s*>", " ")
@@ -135,6 +139,7 @@ def extract_html_main_simple(df: DataFrame, *, html_col: str = "html") -> DataFr
         F.col("doc_id").cast("long").alias("doc_id"),
         F.array_join(words, " ").alias("main_text"),
         F.size(words).cast("int").alias("n_tokens"),
+        *[F.col(c) for c in keep],
     )
 
 

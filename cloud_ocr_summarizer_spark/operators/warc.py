@@ -1,0 +1,129 @@
+"""WARC-style crawl-record parsing: the container format above HTML.
+
+A web-scale extraction pipeline's raw input is crawl archives — WARC
+records wrapping an HTTP response wrapping the HTML.  The engine
+already parses the inner layers (operators/dom.py, pdfstream.py); this
+module adds the envelope so the full chain
+``record bytes -> WARC headers -> HTTP status -> HTML -> main text``
+runs as ONE Spark job, all row-local (binary decode + regexp header
+extraction + locate/substr envelope splits; zero Python, zero
+shuffles).
+
+Synthesis (``derive_warc_records_from_documents``) builds one
+spec-shaped record per document over the SAME deterministic HTML as the
+DOM queries, so the composed driver query's DuckDB twin re-derives the
+expected main text straight from documents.text — the value check is a
+full synthesize->envelope->parse->strip round trip.  Every 17th record
+is a 404 with a stub body (the extraction must drop it), and the
+Content-Length header is the real byte length of the HTTP payload
+(checked against DuckDB strlen of the identically derived message).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cloud_ocr_summarizer_spark.datagen import derive_html_from_documents
+
+CRLF = "\r\n"
+_SEP = CRLF + CRLF
+
+
+def derive_warc_records_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (payload: binary) one WARC-response-style record each.
+
+    The record carries doc identity ONLY inside its own headers
+    (WARC-Record-ID / WARC-Target-URI) — the parser must recover it
+    from the bytes, exactly like a real crawl read.
+    """
+    with_html = derive_html_from_documents(docs)
+    d = F.col("doc_id")
+    is_404 = d % 17 == 0
+    status_line = F.when(
+        is_404, F.lit("HTTP/1.1 404 Not Found")
+    ).otherwise(F.lit("HTTP/1.1 200 OK"))
+    body = F.when(is_404, F.lit("<html><body>gone</body></html>")).otherwise(
+        F.col("html")
+    )
+    http = F.concat(
+        status_line,
+        F.lit(CRLF + "Content-Type: text/html" + _SEP),
+        body,
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: response" + CRLF),
+        F.lit("WARC-Record-ID: <urn:doc:"),
+        d.cast("string"),
+        F.lit(">" + CRLF),
+        F.lit("WARC-Target-URI: http://crawl.example/doc/"),
+        d.cast("string"),
+        F.lit(CRLF),
+        F.lit("WARC-Date: 2026-01-"),
+        F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit(_SEP),
+        http,
+    )
+    return with_html.select(F.encode(record, "UTF-8").alias("payload"))
+
+
+def _header(text: Column, name: str) -> Column:
+    return F.regexp_extract(text, rf"(?m)^{name}: (.*?)\r?$", 1)
+
+
+def _after_blank_line(text: Column) -> Column:
+    """Everything after the FIRST CRLFCRLF (1-based locate + substr)."""
+    return text.substr(F.locate(_SEP, text) + 4, F.length(text))
+
+
+def parse_warc_records(
+    records: DataFrame, *, payload_col: str = "payload"
+) -> DataFrame:
+    """(payload binary) -> parsed record fields + inner HTML.
+
+    Output: (doc_id, target_uri, warc_date, content_length, http_status,
+    html).  doc_id is recovered from WARC-Record-ID; content_length is
+    the header value AS DECLARED.  Row-local: one decode, regexp header
+    extraction, two locate/substr envelope splits.
+    """
+    staged = records.select(
+        F.decode(F.col(payload_col), "UTF-8").alias("_t")
+    ).select("_t", _after_blank_line(F.col("_t")).alias("_http"))
+    return staged.select(
+        F.regexp_extract(F.col("_t"), r"WARC-Record-ID: <urn:doc:(\d+)>", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        _header(F.col("_t"), "WARC-Target-URI").alias("target_uri"),
+        _header(F.col("_t"), "WARC-Date").alias("warc_date"),
+        _header(F.col("_t"), "Content-Length").cast("bigint").alias(
+            "content_length"
+        ),
+        F.regexp_extract(F.col("_http"), r"^HTTP/1\.1 (\d+)", 1)
+        .cast("int")
+        .alias("http_status"),
+        _after_blank_line(F.col("_http")).alias("html"),
+    )
+
+
+def warc_main_text(docs: DataFrame) -> DataFrame:
+    """The composed crawl round trip: documents -> WARC bytes -> parse
+    -> keep HTTP 200 -> DOM boilerplate strip -> (doc_id, target_uri,
+    content_length, main_text, n_tokens).
+
+    One scan, row-local end to end; the DuckDB twin re-derives
+    main_text from documents.text and every envelope field from doc_id
+    arithmetic — agreement proves the container parser and the DOM
+    strip compose losslessly.
+    """
+    from cloud_ocr_summarizer_spark.operators.dom import (
+        extract_html_main_simple,
+    )
+
+    parsed = parse_warc_records(derive_warc_records_from_documents(docs))
+    ok = parsed.where(F.col("http_status") == 200)
+    return extract_html_main_simple(
+        ok, keep=("target_uri", "content_length")
+    ).select("doc_id", "target_uri", "content_length", "main_text", "n_tokens")

@@ -3547,3 +3547,52 @@ SELECT canonical_url,
        CAST(count(*) AS BIGINT) AS n_variants
 FROM canon GROUP BY 1
 """
+
+
+# WARC round trip (operators/warc.py): envelope fields from doc_id
+# arithmetic; Content-Length from a byte-exact SQL reconstruction of
+# the derived HTML (keep in lockstep with BOTH
+# datagen.derive_html_from_documents and warc.derive_warc_records);
+# main_text is the whitespace-normalized document text (the DOM-strip
+# invariant, same claim as the html_main_content twin).
+ORACLES["warc_extract"] = (
+    r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     w -> w <> '') AS words,
+         coalesce(source, 'unknown') AS src
+  FROM documents
+  WHERE doc_id % 17 <> 0
+), parts AS (
+  SELECT doc_id, text, src, words,
+         CAST(ceil(len(words) / 2.0) AS INT) AS half
+  FROM base
+), built AS (
+  SELECT doc_id, text, words,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><script>var x=1;</script><style>p { color: red; }'
+         || '</style></head>' || chr(10) || '<body><header><h1>Site '
+         || src
+         || '</h1></header><nav><a href="http://nav/home">Home</a> '
+         || '<a href="http://nav/about">About</a></nav>'
+         || '<!-- begin content --><div class="main"><p>'
+         || array_to_string(words[1:half], ' ')
+         || '</p><aside>Sponsored http://spam.example <b>ads</b></aside><p>'
+         || CASE WHEN len(words) > half
+                 THEN array_to_string(words[half + 1:len(words)], ' ')
+                 ELSE '' END
+         || '</p><br/></div><footer>(c) 2026 ' || src
+         || '</footer></body></html>' AS html
+  FROM parts
+)
+SELECT doc_id,
+       'http://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+             || 'Content-Type: text/html' || chr(13) || chr(10)
+             || chr(13) || chr(10) || html) AS BIGINT) AS content_length,
+       array_to_string(words, ' ') AS main_text,
+       CAST(len(words) AS INT) AS n_tokens
+FROM built
+"""
+)

@@ -3273,3 +3273,19 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["url_dedup"] = q_url_dedup
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-container round trip (operators/warc.py): documents ->
+    WARC-style record bytes -> envelope parse (headers, HTTP status) ->
+    keep 200s -> DOM boilerplate strip.  The DuckDB twin re-derives the
+    envelope fields from doc_id arithmetic, rebuilds the FULL HTML
+    string to check Content-Length byte-for-byte, and derives main_text
+    from documents.text — the complete crawl->text chain value-checked
+    in one query."""
+    from cloud_ocr_summarizer_spark.operators.warc import warc_main_text
+
+    return warc_main_text(_read(spark, sf_dir, "documents"))
+
+
+BATCH_8["warc_extract"] = q_warc_extract

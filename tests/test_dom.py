@@ -283,3 +283,50 @@ def test_classified_golden_equal_and_all_classes(spark):
     # classes 0 (link-dense) and 2 (fragment) both drop; >= 2/5 of
     # blocks must go, and plenty must survive
     assert blocks * 2 // 5 <= dropped < blocks
+
+
+def test_warc_envelope_round_trip(spark):
+    """The container parser recovers every header field and the exact
+    inner HTML; 404 records parse but are dropped by the composed job."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.datagen import derive_html_from_documents
+    from cloud_ocr_summarizer_spark.operators.warc import (
+        derive_warc_records_from_documents,
+        parse_warc_records,
+        warc_main_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo w{i} charlie", "srcA", "en")
+         for i in (0, 1, 16, 17, 34, 35)],
+        "doc_id long, text string, source string, lang string",
+    )
+    parsed = parse_warc_records(derive_warc_records_from_documents(docs))
+    rows = {r.doc_id: r for r in parsed.collect()}
+    assert set(rows) == {0, 1, 16, 17, 34, 35}
+    for d, r in rows.items():
+        assert r.target_uri == f"http://crawl.example/doc/{d}"
+        assert r.warc_date == f"2026-01-{d % 28 + 1:02d}T00:00:00Z"
+        assert r.http_status == (404 if d % 17 == 0 else 200)
+        # declared Content-Length == actual HTTP message byte length
+        msg = (
+            ("HTTP/1.1 404 Not Found" if d % 17 == 0 else "HTTP/1.1 200 OK")
+            + "\r\nContent-Type: text/html\r\n\r\n"
+        )
+        body = rows[d].html
+        assert r.content_length == len(msg.encode()) + len(body.encode())
+    # inner HTML of 200s is byte-identical to the DOM deriver's output
+    expect_html = {
+        r.doc_id: r.html
+        for r in derive_html_from_documents(docs).collect()
+    }
+    for d in (1, 16, 35):
+        assert rows[d].html == expect_html[d]
+    assert rows[0].html == "<html><body>gone</body></html>"
+    # the composed job drops the 404s
+    out = warc_main_text(docs)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 16, 35}
+    got = {r.doc_id: r.main_text for r in out.collect()}
+    assert got[16] == "alpha bravo w16 charlie"

@@ -3596,3 +3596,8 @@ SELECT doc_id,
 FROM built
 """
 )
+
+
+# Gzip-member WARC round trip: compression is transparent to the
+# contract — same twin as warc_extract.
+ORACLES["warc_extract_gz"] = ORACLES["warc_extract"]

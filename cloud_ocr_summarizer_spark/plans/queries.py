@@ -3289,3 +3289,17 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["warc_extract"] = q_warc_extract
+
+
+def q_warc_extract_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-member crawl round trip (operators/warc.warc_main_text_gz):
+    each record compressed with deterministic gzip (mtime=0) and
+    decompressed in Arrow batches before the same envelope parse + DOM
+    strip — compression is transparent, so the oracle is byte-identical
+    to warc_extract's and green means the codec pair is lossless."""
+    from cloud_ocr_summarizer_spark.operators.warc import warc_main_text_gz
+
+    return warc_main_text_gz(_read(spark, sf_dir, "documents"))
+
+
+BATCH_8["warc_extract_gz"] = q_warc_extract_gz

@@ -330,3 +330,19 @@ def test_warc_envelope_round_trip(spark):
     assert kept == {1, 16, 35}
     got = {r.doc_id: r.main_text for r in out.collect()}
     assert got[16] == "alpha bravo w16 charlie"
+
+
+def test_warc_gzip_round_trip_lossless(spark):
+    from cloud_ocr_summarizer_spark.operators.warc import (
+        warc_main_text,
+        warc_main_text_gz,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} text here", "s", "en") for i in range(1, 30)],
+        "doc_id long, text string, source string, lang string",
+    )
+    plain = warc_main_text(docs)
+    gz = warc_main_text_gz(docs)
+    assert gz.exceptAll(plain).count() == 0
+    assert plain.exceptAll(gz).count() == 0

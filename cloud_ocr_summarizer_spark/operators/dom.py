@@ -484,3 +484,32 @@ __all__ = [
     "TD_WRAP_COLS",
     "TD_MIN_WPL",
 ]
+
+
+# ---- robots meta gate (crawl-compliance filter) --------------------------
+
+ROBOTS_NOINDEX_RE = r'(?i)<meta[^>]*name="robots"[^>]*content="[^"]*noindex'
+
+
+def inject_robots_noindex(
+    html_df: DataFrame, *, html_col: str = "html", every: int = 13
+) -> DataFrame:
+    """Deterministically mark every ``every``-th document noindex (a
+    <meta name="robots" content="noindex"> in <head>) — the synthesis
+    side of the compliance-gate round trip."""
+    flagged = F.pmod(F.col("doc_id"), F.lit(every)) == 0
+    injected = F.regexp_replace(
+        F.col(html_col),
+        "<head>",
+        '<head><meta name="robots" content="noindex">',
+    )
+    return html_df.withColumn(
+        html_col, F.when(flagged, injected).otherwise(F.col(html_col))
+    )
+
+
+def meta_robots_gate(html_df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """Drop documents whose HTML declares robots noindex — the standard
+    crawl-compliance gate, applied BEFORE extraction spends any work on
+    the body.  Row-local rlike filter; zero shuffles."""
+    return html_df.where(~F.col(html_col).rlike(ROBOTS_NOINDEX_RE))

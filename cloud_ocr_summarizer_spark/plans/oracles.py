@@ -3601,3 +3601,19 @@ FROM built
 # Gzip-member WARC round trip: compression is transparent to the
 # contract — same twin as warc_extract.
 ORACLES["warc_extract_gz"] = ORACLES["warc_extract"]
+
+
+# Robots-noindex compliance gate: kept set = doc_id % 13 != 0, output =
+# the DOM-strip invariant over the kept docs.
+ORACLES["robots_gate"] = (
+    r"""
+SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> ''), ' ') AS main_text,
+       CAST("""
+    + _TOKENS.format(col="text")
+    + r""" AS INT) AS n_tokens
+FROM documents
+WHERE doc_id % 13 <> 0
+"""
+)

@@ -3303,3 +3303,24 @@ def q_warc_extract_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["warc_extract_gz"] = q_warc_extract_gz
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance gate round trip (operators/dom.meta_robots_gate):
+    every 13th document's HTML is marked <meta robots noindex>; the gate
+    must drop exactly those before the DOM strip — the twin derives the
+    kept set from doc_id arithmetic."""
+    from cloud_ocr_summarizer_spark.datagen import derive_html_from_documents
+    from cloud_ocr_summarizer_spark.operators.dom import (
+        extract_html_main_simple,
+        inject_robots_noindex,
+        meta_robots_gate,
+    )
+
+    html = inject_robots_noindex(
+        derive_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+    return extract_html_main_simple(meta_robots_gate(html))
+
+
+BATCH_8["robots_gate"] = q_robots_gate

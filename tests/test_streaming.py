@@ -544,3 +544,49 @@ def test_streaming_gates_full_repetition_variant(spark, tmp_path):
     # the planted duplicate-line docs were genuinely dropped by the gate
     assert any(d % 3 == 0 for d in
                {r["doc_id"] for r in docs.select("doc_id").collect()} - want)
+
+
+def test_available_now_incremental_warc_ingest(spark, tmp_path):
+    """Crawl-shard ingestion under AvailableNow: the WARC round-trip
+    pipeline (synthesize record -> envelope parse -> 200-filter -> DOM
+    strip) runs per micro-batch through the same snapshot/anti-join
+    contract.  404 documents never commit, so they stay pending across
+    drains — idempotent and bounded (re-filtered each drain), the
+    documented cost of a gate that drops rows before the sink."""
+    from cloud_ocr_summarizer_spark.operators.warc import warc_main_text
+    from cloud_ocr_summarizer_spark.sources.checkpoint import SnapshotSink
+    from cloud_ocr_summarizer_spark.streaming.incremental import (
+        start_incremental_extract_web,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter("doc_id < 60").select("doc_id", "source", "text").write.mode(
+        "append"
+    ).parquet(inp)
+    kept_w1 = 60 - len([i for i in range(60) if i % 17 == 0])
+
+    q = start_incremental_extract_web(
+        spark, input_dir=inp, output_root=out, checkpoint_dir=ckpt,
+        pipeline=warc_main_text,
+    )
+    q.awaitTermination(120)
+    committed = SnapshotSink(out).read_committed(spark)
+    assert committed.count() == kept_w1
+    assert set(committed.columns) >= {"doc_id", "target_uri", "main_text"}
+
+    docs.filter("doc_id >= 60 and doc_id < 100").select(
+        "doc_id", "source", "text"
+    ).write.mode("append").parquet(inp)
+    kept_all = 100 - len([i for i in range(100) if i % 17 == 0])
+    q2 = start_incremental_extract_web(
+        spark, input_dir=inp, output_root=out, checkpoint_dir=ckpt,
+        pipeline=warc_main_text,
+    )
+    q2.awaitTermination(120)
+    committed = SnapshotSink(out).read_committed(spark)
+    assert committed.count() == kept_all
+    assert committed.select("doc_id").distinct().count() == kept_all

@@ -52,10 +52,17 @@ def _with_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _token_occurrences(docs: DataFrame, *, text_col: str, label_col: str) -> DataFrame:
-    """One row per token OCCURRENCE: (doc_id, label, token)."""
+    """One row per token OCCURRENCE: (doc_id, label, token).
+
+    The label is null-coalesced ("xx"): a NULL label would crash the
+    scoring map build (map_from_entries rejects null keys) and
+    tie-break differently across engines (Spark struct min is
+    nulls-first, SQL ORDER BY ASC is nulls-last).  Keep in lockstep
+    with the bow_classify oracle's coalesce.
+    """
     return docs.select(
         "doc_id",
-        F.col(label_col).alias("label"),
+        F.coalesce(F.col(label_col), F.lit("xx")).alias("label"),
         F.explode(whitespace_tokens_col(F.lower(F.col(text_col)))).alias("token"),
     )
 
@@ -82,9 +89,9 @@ def train_bow_weights(
         .join(F.broadcast(totals), "label")
         .select("token", "label", F.expr(f"(_cnt * {SCALE}) div _tot").alias("w"))
     )
-    label_counts = train.groupBy(F.col(label_col).alias("label")).agg(
-        F.count("*").alias("_n")
-    )
+    label_counts = train.groupBy(
+        F.coalesce(F.col(label_col), F.lit("xx")).alias("label")
+    ).agg(F.count("*").alias("_n"))
     priors = (
         label_counts.crossJoin(
             F.broadcast(label_counts.agg(F.sum("_n").alias("_tot_docs")))
@@ -134,7 +141,10 @@ def score_bow(
         ).alias("_pa")
     )
     scored = (
-        score_docs.select("doc_id", F.col(label_col).alias("label"))
+        score_docs.select(
+            "doc_id",
+            F.coalesce(F.col(label_col), F.lit("xx")).alias("label"),
+        )
         .join(score_map, "doc_id", "left")
         .crossJoin(F.broadcast(prior_arr))
     )

@@ -135,30 +135,30 @@ def degree_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame, *, n_iter: int = 5) -> DataFrame:
-    """Fixed-iteration integer PageRank -> (doc_id, rank_micro).
-
-    See the module docstring for the exact recurrence and why it is
-    integer.  ``nodes`` must carry ``doc_id``; ``edges`` carries
-    (src_doc_id, dst_doc_id).  Each iteration's result is cut with
-    ``localCheckpoint`` so the self-referencing plan stays flat.
-    """
-    node_ids = nodes.select("doc_id")
+def _fan_table(edges: DataFrame) -> DataFrame:
+    """(src, dst, outdeg): the iteration-invariant join input."""
     outdeg = edges.groupBy(F.col("src_doc_id").alias("doc_id")).agg(
         F.count("*").alias("outdeg")
     )
-    # (src, dst, outdeg) is iteration-invariant: compute once, reuse.
-    fan = (
-        edges.join(outdeg, edges.src_doc_id == outdeg.doc_id)
-        .select("src_doc_id", "dst_doc_id", "outdeg")
-        .localCheckpoint(eager=False)
+    return edges.join(outdeg, edges.src_doc_id == outdeg.doc_id).select(
+        "src_doc_id", "dst_doc_id", "outdeg"
     )
+
+
+def _iterate_ranks(
+    node_ids: DataFrame, fan: DataFrame, *, n_iter: int, merge_hint: bool = False
+) -> DataFrame:
+    """The ONE definition of the integer rank recurrence — shared by the
+    plain and bucketed variants so they cannot de-sync (the bucketed
+    test asserts bit-identical output).  ``merge_hint`` forces the
+    sort-merge join that reads a bucketed fan in place."""
     ranks = node_ids.select(
         "doc_id", F.lit(INIT_MICRO).cast("bigint").alias("rank_micro")
     )
     for _ in range(n_iter):
+        left = fan.hint("merge") if merge_hint else fan
         contrib = (
-            fan.join(ranks, fan.src_doc_id == ranks.doc_id)
+            left.join(ranks, left.src_doc_id == ranks.doc_id)
             .select(
                 F.col("dst_doc_id").alias("doc_id"),
                 F.expr(
@@ -182,6 +182,18 @@ def pagerank(nodes: DataFrame, edges: DataFrame, *, n_iter: int = 5) -> DataFram
     return ranks
 
 
+def pagerank(nodes: DataFrame, edges: DataFrame, *, n_iter: int = 5) -> DataFrame:
+    """Fixed-iteration integer PageRank -> (doc_id, rank_micro).
+
+    See the module docstring for the exact recurrence and why it is
+    integer.  ``nodes`` must carry ``doc_id``; ``edges`` carries
+    (src_doc_id, dst_doc_id).  Each iteration's result is cut with
+    ``localCheckpoint`` so the self-referencing plan stays flat.
+    """
+    fan = _fan_table(edges).localCheckpoint(eager=False)
+    return _iterate_ranks(nodes.select("doc_id"), fan, n_iter=n_iter)
+
+
 def pagerank_over_documents(docs: DataFrame, *, n_iter: int = 5) -> DataFrame:
     """documents -> (doc_id, rank_micro, in_degree): the composed job.
 
@@ -192,11 +204,15 @@ def pagerank_over_documents(docs: DataFrame, *, n_iter: int = 5) -> DataFrame:
     html = derive_linkgraph_html_from_documents(docs)
     edges = extract_outlinks(html)
     ranks = pagerank(docs, edges, n_iter=n_iter)
-    return (
-        ranks.join(
-            degree_stats(docs, edges).select("doc_id", "in_degree"), "doc_id"
-        )
-        .select("doc_id", "rank_micro", "in_degree")
+    # in-degree directly from the edges: degree_stats would redundantly
+    # re-aggregate the out-degree pagerank already computed and discard it
+    ind = edges.groupBy(F.col("dst_doc_id").alias("doc_id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return ranks.join(ind, "doc_id", "left").select(
+        "doc_id",
+        "rank_micro",
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
     )
 
 
@@ -261,47 +277,14 @@ def pagerank_bucketed(
     """
     spark = nodes.sparkSession
     node_ids = nodes.select("doc_id")
-    outdeg = edges.groupBy(F.col("src_doc_id").alias("doc_id")).agg(
-        F.count("*").alias("outdeg")
-    )
-    fan = edges.join(outdeg, edges.src_doc_id == outdeg.doc_id).select(
-        "src_doc_id", "dst_doc_id", "outdeg"
-    )
-    writer = fan.write.mode("overwrite")
+    writer = _fan_table(edges).write.mode("overwrite")
     if path is not None:
         writer = writer.option("path", path)
     writer.bucketBy(n_buckets, "src_doc_id").sortBy("src_doc_id").saveAsTable(
         table
     )
     fan_t = spark.table(table)
-    ranks = node_ids.select(
-        "doc_id", F.lit(INIT_MICRO).cast("bigint").alias("rank_micro")
-    )
-    for _ in range(n_iter):
-        contrib = (
-            fan_t.hint("merge")
-            .join(ranks, fan_t.src_doc_id == ranks.doc_id)
-            .select(
-                F.col("dst_doc_id").alias("doc_id"),
-                F.expr(
-                    f"((rank_micro div outdeg) * {DAMP_NUM}) div 100"
-                ).alias("c"),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        ranks = (
-            node_ids.join(contrib, "doc_id", "left")
-            .select(
-                "doc_id",
-                (
-                    F.lit(TELEPORT_MICRO).cast("bigint")
-                    + F.coalesce(F.col("inflow"), F.lit(0))
-                ).alias("rank_micro"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return ranks
+    return _iterate_ranks(node_ids, fan_t, n_iter=n_iter, merge_hint=True)
 
 
 # KMV-ball harmonic centrality (HyperBall structure, Boldi & Vigna

@@ -36,7 +36,13 @@ def quality_score_col(text: Column) -> Column:
           + 0.3*min(avg_word_len/8, 1)
     Returned as integer basis points (floor(score * 10000)).
     """
-    words = whitespace_tokens_col(text)
+    return quality_score_from_words(whitespace_tokens_col(text), text)
+
+
+def quality_score_from_words(words: Column, text: Column) -> Column:
+    """:func:`quality_score_col` with a caller-supplied token array —
+    for call sites that already hold the tokens (e.g. a rollup that
+    also counts them), so the document is tokenized once, not twice."""
     n_tokens = F.size(words)
     n_chars = F.length(F.coalesce(text, F.lit("")))
     # punct count = length of the text with all alnum/ws RUNS deleted.

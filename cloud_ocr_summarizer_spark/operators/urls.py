@@ -91,19 +91,33 @@ def domain_quality_rollup(docs: DataFrame) -> DataFrame:
     gate); sums stay integer so the cross-engine hash is exact (the
     consumer divides sum_quality_bp / n_docs itself).
     """
-    from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
-    from cloud_ocr_summarizer_spark.operators.textstats import quality_score_col
+    from cloud_ocr_summarizer_spark.functions.text import (
+        let_col,
+        whitespace_tokens_col,
+    )
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        quality_score_from_words,
+    )
 
     parsed = parse_urls(derive_urls_from_documents(docs, keep=("text",)))
     kept = domain_gate(parsed)
-    return kept.groupBy("domain").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size(whitespace_tokens_col(F.col("text"))))
-        .cast("bigint")
-        .alias("total_tokens"),
-        F.sum(quality_score_col(F.col("text"))).cast("bigint").alias(
-            "sum_quality_bp"
+    # tokenize once per doc: both aggregated measures read the let-bound
+    # token array (quality_score_col alone would re-split the text)
+    per_doc = let_col(
+        whitespace_tokens_col(F.col("text")),
+        lambda ws: F.struct(
+            F.size(ws).cast("bigint").alias("nt"),
+            quality_score_from_words(ws, F.col("text")).alias("q"),
         ),
+    )
+    return (
+        kept.select("domain", per_doc.alias("_m"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_m.nt").cast("bigint").alias("total_tokens"),
+            F.sum("_m.q").cast("bigint").alias("sum_quality_bp"),
+        )
     )
 
 

@@ -118,11 +118,20 @@ def warc_main_text(docs: DataFrame) -> DataFrame:
     arithmetic — agreement proves the container parser and the DOM
     strip compose losslessly.
     """
+    return _main_text_from_records(
+        derive_warc_records_from_documents(docs)
+    )
+
+
+def _main_text_from_records(records: DataFrame) -> DataFrame:
+    """The ONE composed chain (parse -> HTTP-200 filter -> DOM strip ->
+    projection) shared by the plain and gzip-member round trips, so the
+    'oracle byte-identical' claim between them cannot de-sync."""
     from cloud_ocr_summarizer_spark.operators.dom import (
         extract_html_main_simple,
     )
 
-    parsed = parse_warc_records(derive_warc_records_from_documents(docs))
+    parsed = parse_warc_records(records)
     ok = parsed.where(F.col("http_status") == 200)
     return extract_html_main_simple(
         ok, keep=("target_uri", "content_length")
@@ -191,13 +200,5 @@ def warc_main_text_gz(docs: DataFrame) -> DataFrame:
     IDENTICAL to warc_extract's — the value check proves the
     compress/decompress pair is lossless end to end.
     """
-    from cloud_ocr_summarizer_spark.operators.dom import (
-        extract_html_main_simple,
-    )
-
     gz = gzip_payloads(derive_warc_records_from_documents(docs))
-    parsed = parse_warc_records(gunzip_payloads(gz))
-    ok = parsed.where(F.col("http_status") == 200)
-    return extract_html_main_simple(
-        ok, keep=("target_uri", "content_length")
-    ).select("doc_id", "target_uri", "content_length", "main_text", "n_tokens")
+    return _main_text_from_records(gunzip_payloads(gz))

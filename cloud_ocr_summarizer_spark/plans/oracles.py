@@ -51,6 +51,27 @@ _NORM = (
 
 ORACLES: dict[str, str] = {}
 
+def _quality_bp_sql(words: str, text: str) -> str:
+    """The ONE SQL rendering of textstats.quality_score_col's integer-bp
+    formula, parameterized on the words-list and text expressions —
+    spliced into every oracle that scores quality so the three mirrors
+    (curation, dedup_keep_best, domain_quality_rollup) cannot drift
+    from each other.  Keep in lockstep with the Spark formula."""
+    return (
+        f"CAST(floor((0.4 * least(len({words}) / 100.0, 1.0)\n"
+        f"      + 0.3 * (1 - CASE WHEN length({text}) > 0\n"
+        f"           THEN (length({text}) - length(regexp_replace({text},"
+        " '[^A-Za-z0-9\\s]', '', 'g')))"
+        f" / length({text})\n"
+        f"           ELSE 0.0 END)\n"
+        f"      + 0.3 * least((CASE WHEN len({words}) > 0\n"
+        f"           THEN list_sum(list_transform({words}, _c -> length(_c)))"
+        f" / len({words})\n"
+        f"           ELSE 0.0 END) / 8.0, 1.0)) * 10000) AS INT)"
+    )
+
+
+
 ORACLES["extract_flagship"] = SPANS_CTE + r"""
 SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) AS INT) AS seq,
@@ -2766,13 +2787,7 @@ WITH p AS (
   FROM p
 ), scored AS (
   SELECT doc_id, t0,
-         CAST(floor((0.4 * least(len(words) / 100.0, 1.0)
-               + 0.3 * (1 - CASE WHEN length(t) > 0
-                    THEN (length(t) - length(regexp_replace(t, '[^A-Za-z0-9\s]', '', 'g'))) / length(t)
-                    ELSE 0.0 END)
-               + 0.3 * least((CASE WHEN len(words) > 0
-                    THEN list_sum(list_transform(words, w -> length(w))) / len(words)
-                    ELSE 0.0 END) / 8.0, 1.0)) * 10000) AS INT) AS qs
+         """ + _quality_bp_sql("words", "t") + r""" AS qs
   FROM base
 ), lw AS (
   SELECT doc_id,
@@ -3229,13 +3244,7 @@ ORACLES["dedup_keep_best"] = (
     + "\n  )\n), scored AS (\n"
     + r"""
   SELECT doc_id,
-         CAST(floor((0.4 * least(len(words) / 100.0, 1.0)
-               + 0.3 * (1 - CASE WHEN length(text) > 0
-                  THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) / length(text)
-                  ELSE 0.0 END)
-               + 0.3 * least((CASE WHEN len(words) > 0
-                  THEN list_sum(list_transform(words, w -> length(w))) / len(words)
-                  ELSE 0.0 END) / 8.0, 1.0)) * 10000) AS INT) AS quality_bp
+         """ + _quality_bp_sql("words", "text") + r""" AS quality_bp
   FROM (SELECT doc_id, text,
                list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')
                  AS words
@@ -3341,7 +3350,7 @@ ORACLES["pagerank"] = _pagerank_oracle(5)
 # min(struct(-s, label)) — different mechanism, same exact cell values.
 ORACLES["bow_classify"] = r"""
 WITH split AS MATERIALIZED (
-  SELECT doc_id, text, lang,
+  SELECT doc_id, text, coalesce(lang, 'xx') AS lang,
          (('0x' || substr(md5('bowtrain:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
            % 2147483647) % 100 < 80 AS is_train
   FROM documents
@@ -3459,13 +3468,7 @@ ORACLES["domain_quality_rollup"] = URL_FIELDS_CTE + r"""
 , scored AS (
   SELECT f.domain,
          len(w.words) AS nt,
-         CAST(floor((0.4 * least(len(w.words) / 100.0, 1.0)
-               + 0.3 * (1 - CASE WHEN length(d.text) > 0
-                  THEN (length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9\s]', '', 'g'))) / length(d.text)
-                  ELSE 0.0 END)
-               + 0.3 * least((CASE WHEN len(w.words) > 0
-                  THEN list_sum(list_transform(w.words, x -> length(x))) / len(w.words)
-                  ELSE 0.0 END) / 8.0, 1.0)) * 10000) AS INT) AS quality_bp
+         """ + _quality_bp_sql("w.words", "d.text") + r""" AS quality_bp
   FROM with_url f
   JOIN documents d USING (doc_id)
   CROSS JOIN LATERAL (SELECT list_filter(

@@ -50,11 +50,16 @@ def test_outlinks_match_target_arithmetic(spark):
 
 def test_outlinks_ignore_external_anchors(spark):
     # the derived HTML carries http:// nav/footer anchors; none may leak
-    html = derive_linkgraph_html_from_documents(_docs(spark, 6))
+    n = 6
+    html = derive_linkgraph_html_from_documents(_docs(spark, n))
     one = html.where(F.col("doc_id") == 1).collect()[0].html
     assert 'href="http://nav/home"' in one  # the decoys are really there
-    edges = extract_outlinks(html).collect()
-    assert all(isinstance(r.dst_doc_id, int) for r in edges)
+    got = {(r.src_doc_id, r.dst_doc_id) for r in extract_outlinks(html).collect()}
+    # every edge lands on a real corpus node AND the set is exactly the
+    # internal-anchor arithmetic — a lazy every-href parse would emit
+    # extra (or garbage-id) edges from the decoys and fail both checks
+    assert all(0 <= d < n for _, d in got)
+    assert got == _expected_edges(n)
 
 
 def _python_pagerank(n, n_iter=3):

@@ -218,6 +218,29 @@ def main() -> int:
     )
     # q17: cross-document passage dedup (C4-style first-occurrence-wins)
     timed("q17_dedup_cross_doc", lambda: _force(Q.q_dedup_cross_doc(spark, sf_dir)))
+    # q18-q20: the round-4 families over the 120k derived corpus —
+    # link-graph PageRank (iterative shuffle), the BoW classifier
+    # (vocab-broadcast + one corpus shuffle; labels synthesized, the
+    # derived corpus has no lang column), and the crawl-container
+    # round trip (WARC parse + DOM strip, pure map)
+    from cloud_ocr_summarizer_spark.operators.bow import classify_bow
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        pagerank_over_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.warc import warc_main_text
+
+    labeled120 = docs120.withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "es", "fr", "zh")]),
+            (F.pmod(F.xxhash64("doc_id", F.lit("lang")), F.lit(5)) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    timed("q18_pagerank", lambda: _force(pagerank_over_documents(docs120, n_iter=5)))
+    timed("q19_bow_classify", lambda: _force(classify_bow(labeled120)))
+    timed("q20_warc_extract", lambda: _force(warc_main_text(docs120)))
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)
@@ -236,6 +259,7 @@ def main() -> int:
         # BENCH_r03 q10-q15b)
         "bench_docs_per_query": {
             "derived_corpus_120k": [
+                "q18_pagerank", "q19_bow_classify", "q20_warc_extract",
                 "q1_extract_flagship", "q1b_extract_expression",
                 "q1c_extract_window", "q2_main_content_detailed",
                 "q10_html_main_content", "q11_layout_reading_order",

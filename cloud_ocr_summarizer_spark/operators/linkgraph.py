@@ -216,17 +216,14 @@ def pagerank_over_documents(docs: DataFrame, *, n_iter: int = 5) -> DataFrame:
     )
 
 
-def inbound_anchor_texts(html_df: DataFrame, *, html_col: str = "html") -> DataFrame:
-    """Per TARGET doc: the sorted inbound anchor texts (the classic web
-    ranking/description signal — what OTHER pages call this page).
+ANCHOR_TOP_K = 16  # texts kept per target; the hot-key state cap
+ANCHOR_SALTS = 16  # level-1 fanout of the two-level bounded aggregate
 
-    One row-local regexp pass pulls (dst, anchor_text) pairs from the
-    internal anchors, self-links drop (same contract as
-    :func:`extract_outlinks`), then one aggregate per target assembles
-    the texts sorted (deterministic across partitionings; duplicates
-    kept — repetition IS signal strength).  Output:
-    (doc_id, n_inbound, anchor_texts as ' | '-joined sorted string).
-    """
+
+def _anchor_pairs(html_df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """(src, doc_id=target, txt) — one row per internal anchor occurrence,
+    self-links dropped.  Shared by :func:`inbound_anchor_texts` and its
+    cap audit so the two cannot diverge (the dedup audit policy)."""
     pairs = F.transform(
         F.regexp_extract_all(
             F.col(html_col), F.lit('<a href="doc://\\d+">[^<]*</a>'), 0
@@ -236,16 +233,91 @@ def inbound_anchor_texts(html_df: DataFrame, *, html_col: str = "html") -> DataF
             F.regexp_extract(m, r">([^<]*)<", 1).alias("txt"),
         ),
     )
-    exploded = (
+    return (
         html_df.select(F.col("doc_id").alias("src"), F.explode(pairs).alias("p"))
         .select("src", F.col("p.dst").alias("doc_id"), F.col("p.txt").alias("txt"))
         .where(F.col("doc_id") != F.col("src"))
     )
-    return exploded.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_inbound"),
-        F.array_join(F.sort_array(F.collect_list("txt")), " | ").alias(
-            "anchor_texts"
-        ),
+
+
+def inbound_anchor_texts(
+    html_df: DataFrame,
+    *,
+    html_col: str = "html",
+    top_k: int = ANCHOR_TOP_K,
+    n_salts: int = ANCHOR_SALTS,
+) -> DataFrame:
+    """Per TARGET doc: the first ``top_k`` sorted inbound anchor texts
+    (the classic web ranking/description signal — what OTHER pages call
+    this page).
+
+    One row-local regexp pass pulls (dst, anchor_text) pairs from the
+    internal anchors, self-links drop (same contract as
+    :func:`extract_outlinks`).  Web in-degree is power-law — a popular
+    target has millions of inbound anchors, so an uncapped
+    ``collect_list`` per dst is an unbounded aggregation buffer on one
+    hot key.  The aggregate is therefore two-level and capped:
+
+      level 1: groupBy (dst, salt(src)) keeps each salt shard's exact
+               occurrence count and its ``top_k`` smallest texts
+               (buffer <= in_degree / n_salts per key);
+      level 2: groupBy dst merges — sum of exact counts, and the k
+               smallest of the <= n_salts * top_k surviving texts
+               (buffer <= n_salts * top_k per key).
+
+    min-k over a sorted multiset is associative (any element of the
+    global first k is within its shard's first k — pigeonhole), so the
+    result is bit-identical to the single-level sort+slice on any
+    partitioning; duplicates kept — repetition IS signal strength.
+    ``n_inbound`` stays the EXACT total (counts are bounded-state), so
+    truncation is observable per row; corpus-level accounting is
+    :func:`anchor_text_cap_audit`.  Output: (doc_id, n_inbound,
+    anchor_texts as ' | '-joined first-k sorted string).
+    """
+    exploded = _anchor_pairs(html_df, html_col=html_col)
+    lvl1 = (
+        exploded.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("src")), F.lit(n_salts))
+        )
+        .groupBy("doc_id", "_salt")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.slice(F.sort_array(F.collect_list("txt")), 1, top_k).alias(
+                "_txts"
+            ),
+        )
+    )
+    return lvl1.groupBy("doc_id").agg(
+        F.sum("_cnt").cast("bigint").alias("n_inbound"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_txts"))), 1, top_k
+            ),
+            " | ",
+        ).alias("anchor_texts"),
+    )
+
+
+def anchor_text_cap_audit(
+    html_df: DataFrame, *, html_col: str = "html", top_k: int = ANCHOR_TOP_K
+) -> DataFrame:
+    """ONE row: how much the ``top_k`` cap of :func:`inbound_anchor_texts`
+    truncates — (cap_name, cap_value, dropped_groups = targets truncated,
+    dropped_rows = anchor texts cut).  Reuses the exact pair stream the
+    operator aggregates, and reports explicit zeros when the cap never
+    fires (the dedup audit family's contract: silence is the failure
+    mode being fixed)."""
+    sizes = _anchor_pairs(html_df, html_col=html_col).groupBy("doc_id").agg(
+        F.count("*").alias("_n")
+    )
+    over = sizes.filter(F.col("_n") > top_k)
+    return over.agg(
+        F.lit("anchor_texts_top_k").alias("cap_name"),
+        F.lit(top_k).cast("int").alias("cap_value"),
+        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("dropped_groups"),
+        F.coalesce(F.sum(F.col("_n") - top_k), F.lit(0))
+        .cast("bigint")
+        .alias("dropped_rows"),
     )
 
 
@@ -296,8 +368,64 @@ def pagerank_bucketed(
 KMV_K = 8
 
 
+def _merge_ball_sketches(
+    cur: DataFrame, edges: DataFrame, *, k: int, n_salts: int
+) -> DataFrame:
+    """One HyperBall round's sketch merge, every buffer bounded.
+
+    Pre-reduces per (dst, salt(src)) to the k smallest distinct hashes
+    before the per-dst merge — the per-key aggregation buffer is
+    in_degree/n_salts × k at level 1 and n_salts × k at level 2, never
+    in_degree × k (power-law in-degree would otherwise concentrate a
+    hot node's whole neighborhood in one buffer).  min-k over distinct
+    values is associative, so output is bit-identical to a single-level
+    merge.  Factored out of the iteration loop so the plan shape is
+    directly assertable (the loop cuts each round with localCheckpoint,
+    which truncates the inspectable plan)."""
+    empty = F.array().cast("array<bigint>")
+
+    def _min_k_distinct(col_of_lists):
+        return F.slice(
+            F.array_sort(F.array_distinct(F.flatten(col_of_lists))), 1, k
+        )
+
+    pre = (
+        edges.join(
+            cur.select(F.col("doc_id").alias("_u"), "sketch"),
+            edges.src_doc_id == F.col("_u"),
+        )
+        .groupBy(
+            F.col("dst_doc_id").alias("doc_id"),
+            F.pmod(F.xxhash64(F.col("_u")), F.lit(n_salts)).alias("_salt"),
+        )
+        .agg(_min_k_distinct(F.collect_list("sketch")).alias("_s1"))
+    )
+    nbr = pre.groupBy("doc_id").agg(
+        _min_k_distinct(F.collect_list("_s1")).alias("_nbr")
+    )
+    return cur.join(nbr, "doc_id", "left").select(
+        "doc_id",
+        "est",
+        "harmonic_milli",
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(F.col("sketch"), F.coalesce("_nbr", empty))
+                )
+            ),
+            1,
+            k,
+        ).alias("sketch"),
+    )
+
+
 def harmonic_centrality_kmv(
-    nodes: DataFrame, edges: DataFrame, *, k: int = KMV_K, n_iter: int = 3
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    k: int = KMV_K,
+    n_iter: int = 3,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Approximate harmonic centrality via iterated KMV ball sketches.
 
@@ -307,22 +435,32 @@ def harmonic_centrality_kmv(
 
       sketch'(v) = first k of sort(distinct(sketch(v) ∪ ⋃_{(u,v)∈E} sketch(u)))
 
-    — an edges⋈sketches join + one groupBy merge, per-node state
-    bounded at k BIGINTs regardless of ball size (the 100-TB property;
-    exact BFS frontiers are corpus-sized per node).  Ball-size estimate
-    est_t = |sketch| while < k (exact), else ((k-1)*M) div kth_min —
-    all integer.  harmonic_milli = Σ_t max(0, est_t - est_{t-1}) * 1000
-    div t, the discrete harmonic sum over newly reached nodes.  Output:
-    (doc_id, n_reached_est, harmonic_milli), byte-stable across engines
-    and partitionings; DuckDB twin is a generated chain of MATERIALIZED
-    CTEs (ORACLES["harmonic_centrality"]).
+    — an edges⋈sketches join + a TWO-LEVEL groupBy merge.  The result
+    state is bounded at k BIGINTs per node regardless of ball size (the
+    100-TB property; exact BFS frontiers are corpus-sized per node) —
+    and so is the merge: a naive per-dst ``flatten(collect_list)``
+    would buffer in_degree×k values on a hot node (web in-degree is
+    power-law — the exact failure HyperBall's in-place counter merge
+    avoids), so the merge pre-reduces per (dst, salt(src)) to the k
+    smallest distinct hashes (buffer <= in_degree/n_salts × k), then
+    merges the <= n_salts×k survivors per dst.  min-k over distinct
+    values is associative, so the two-level result is bit-identical to
+    the single-level merge (pytest-pinned against a pure-Python
+    recurrence); same pattern as sketch.kmv_distinct's map-side prune.
+
+    Ball-size estimate est_t = |sketch| while < k (exact), else
+    ((k-1)*M) div kth_min — all integer.  harmonic_milli =
+    Σ_t max(0, est_t - est_{t-1}) * 1000 div t, the discrete harmonic
+    sum over newly reached nodes.  Output: (doc_id, n_reached_est,
+    harmonic_milli), byte-stable across engines and partitionings;
+    DuckDB twin is a generated chain of MATERIALIZED CTEs
+    (ORACLES["harmonic_centrality"]).
     """
     from cloud_ocr_summarizer_spark.functions.hashing import (
         M31,
         md5_hash31_col,
     )
 
-    empty = F.array().cast("array<bigint>")
     cur = nodes.select(
         "doc_id",
         F.array(md5_hash31_col(F.col("doc_id"))).alias("sketch"),
@@ -330,28 +468,7 @@ def harmonic_centrality_kmv(
         F.lit(0).cast("bigint").alias("harmonic_milli"),
     )
     for t in range(1, n_iter + 1):
-        nbr = (
-            edges.join(
-                cur.select(F.col("doc_id").alias("_u"), "sketch"),
-                edges.src_doc_id == F.col("_u"),
-            )
-            .groupBy(F.col("dst_doc_id").alias("doc_id"))
-            .agg(F.flatten(F.collect_list("sketch")).alias("_nbr"))
-        )
-        merged = cur.join(nbr, "doc_id", "left").select(
-            "doc_id",
-            "est",
-            "harmonic_milli",
-            F.slice(
-                F.array_sort(
-                    F.array_distinct(
-                        F.concat(F.col("sketch"), F.coalesce("_nbr", empty))
-                    )
-                ),
-                1,
-                k,
-            ).alias("sketch"),
-        )
+        merged = _merge_ball_sketches(cur, edges, k=k, n_salts=n_salts)
         # single precomputed BIGINT literal: (k-1) * M31 written as an
         # int-literal product would multiply as INT and THROW under ANSI
         num = (k - 1) * M31

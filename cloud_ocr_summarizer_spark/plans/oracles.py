@@ -3444,8 +3444,10 @@ WHERE domain NOT IN ('example-2.com', 'example-5.de', 'example-8.cn')
 # Inbound anchor texts: the twin re-derives every (target, 'ref-d-j')
 # pair straight from the anchor arithmetic (never parsing the HTML) —
 # note this oracle does NOT dedupe pairs like LINK_EDGES_CTE does:
-# every anchor occurrence contributes its text.
-ORACLES["anchor_texts"] = r"""
+# every anchor occurrence contributes its text.  n_inbound is the
+# EXACT count; anchor_texts keeps only the first top_k sorted texts
+# (linkgraph.ANCHOR_TOP_K — the hot-key state cap).
+_ANCHOR_PAIRS_CTE = r"""
 WITH nn AS MATERIALIZED (SELECT max(doc_id) + 1 AS n FROM documents),
 pairs AS (
   SELECT (d.doc_id * 7919 + t.j * 104729) % nn.n AS doc_id,
@@ -3455,9 +3457,31 @@ pairs AS (
        unnest(generate_series(1, 1 + (d.doc_id % 3))) AS t(j)
   WHERE (d.doc_id * 7919 + t.j * 104729) % nn.n <> d.doc_id
 )
+"""
+
+
+def _anchor_texts_oracle(top_k: int) -> str:
+    return _ANCHOR_PAIRS_CTE + f"""
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_inbound,
-       array_to_string(list_sort(list(txt)), ' | ') AS anchor_texts
+       array_to_string((list_sort(list(txt)))[1:{top_k}], ' | ')
+         AS anchor_texts
 FROM pairs GROUP BY doc_id
+"""
+
+
+ORACLES["anchor_texts"] = _anchor_texts_oracle(16)
+# top_k=2 fires the cap on nearly every multi-inbound target, so the
+# value check covers the truncation path itself, not just the pass-through
+ORACLES["anchor_texts_capped"] = _anchor_texts_oracle(2)
+
+ORACLES["anchor_texts_audit"] = _ANCHOR_PAIRS_CTE + """
+, per AS (SELECT doc_id, count(*) AS n FROM pairs GROUP BY 1)
+SELECT 'anchor_texts_top_k' AS cap_name, CAST(2 AS INT) AS cap_value,
+       CAST(coalesce(sum(CASE WHEN n > 2 THEN 1 END), 0) AS BIGINT)
+         AS dropped_groups,
+       CAST(coalesce(sum(CASE WHEN n > 2 THEN n - 2 END), 0) AS BIGINT)
+         AS dropped_rows
+FROM per
 """
 
 

@@ -3221,6 +3221,45 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_8["anchor_texts"] = q_anchor_texts
 
 
+def q_anchor_texts_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor-text aggregation with top_k=2, so the hot-key cap
+    actually truncates at this tier and the value check covers the
+    two-level bounded merge's slice path itself (n_inbound stays the
+    exact count; anchor_texts keeps the 2 lexicographically smallest)."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        inbound_anchor_texts,
+    )
+
+    return inbound_anchor_texts(
+        derive_linkgraph_html_from_documents(_read(spark, sf_dir, "documents")),
+        top_k=2,
+    )
+
+
+BATCH_8["anchor_texts_capped"] = q_anchor_texts_capped
+
+
+def q_anchor_texts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row drop audit for the anchor-text top-K cap at top_k=2
+    (operators/linkgraph.anchor_text_cap_audit): targets truncated +
+    texts cut, value-checked against the same pair arithmetic the
+    anchor_texts twin uses — dropped data is observable, never silent
+    (the dedup cap-audit policy)."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        anchor_text_cap_audit,
+        derive_linkgraph_html_from_documents,
+    )
+
+    return anchor_text_cap_audit(
+        derive_linkgraph_html_from_documents(_read(spark, sf_dir, "documents")),
+        top_k=2,
+    )
+
+
+BATCH_8["anchor_texts_audit"] = q_anchor_texts_audit
+
+
 def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain curation rollup (operators/urls.domain_quality_rollup):
     URL parse -> blocklist gate -> integer-bp quality scoring ->

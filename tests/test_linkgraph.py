@@ -143,6 +143,93 @@ def test_inbound_anchor_texts_hand_computed(spark):
         assert got[t] == (len(texts), " | ".join(sorted(texts)))
 
 
+def _hot_target_html(spark, n_src=100, extra=""):
+    """n_src source docs all anchoring the SAME target 0 (plus doc 0
+    itself) — the power-law hot key the top-K cap exists for."""
+    rows = [(0, "<html></html>" + extra)]
+    for s in range(1, n_src + 1):
+        rows.append(
+            (s, f'<a href="doc://0">t-{s:04d}</a> <a href="doc://{s}">self</a>')
+        )
+    return spark.createDataFrame(rows, "doc_id long, html string")
+
+
+def test_inbound_anchor_texts_cap_truncates_hot_target(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        inbound_anchor_texts,
+    )
+
+    n_src = 100
+    html = _hot_target_html(spark, n_src)
+    got = {
+        r.doc_id: (r.n_inbound, r.anchor_texts)
+        for r in inbound_anchor_texts(html, top_k=5, n_salts=4).collect()
+    }
+    # the hot target reports its EXACT in-degree but only the 5
+    # lexicographically smallest texts survive the two-level merge
+    assert got[0] == (n_src, " | ".join(f"t-{s:04d}" for s in range(1, 6)))
+    # self-links dropped: no other target exists
+    assert set(got) == {0}
+
+
+def test_inbound_anchor_texts_two_level_matches_single_salt(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        inbound_anchor_texts,
+    )
+
+    docs = _docs(spark, 12)
+    html = derive_linkgraph_html_from_documents(docs)
+    a = {
+        r.doc_id: (r.n_inbound, r.anchor_texts)
+        for r in inbound_anchor_texts(html, top_k=3, n_salts=1).collect()
+    }
+    b = {
+        r.doc_id: (r.n_inbound, r.anchor_texts)
+        for r in inbound_anchor_texts(html, top_k=3, n_salts=7).collect()
+    }
+    assert a == b  # min-k associativity: salting never changes the result
+
+
+def test_anchor_text_cap_audit_counts_truncation(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        anchor_text_cap_audit,
+    )
+
+    html = _hot_target_html(spark, 20)
+    row = anchor_text_cap_audit(html, top_k=5).collect()[0]
+    assert (row.cap_name, row.cap_value) == ("anchor_texts_top_k", 5)
+    assert (row.dropped_groups, row.dropped_rows) == (1, 15)
+    # cap that never fires -> explicit zero row, not silence
+    zero = anchor_text_cap_audit(html, top_k=1000).collect()[0]
+    assert (zero.dropped_groups, zero.dropped_rows) == (0, 0)
+
+
+def test_harmonic_centrality_merge_is_two_level(spark):
+    from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        _merge_ball_sketches,
+    )
+
+    docs = _docs(spark, 6)
+    edges = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    cur = docs.select(
+        "doc_id",
+        F.array(md5_hash31_col(F.col("doc_id"))).alias("sketch"),
+        F.lit(1).cast("bigint").alias("est"),
+        F.lit(0).cast("bigint").alias("harmonic_milli"),
+    )
+    merged = _merge_ball_sketches(cur, edges, k=4, n_salts=8)
+    plan = merged._jdf.queryExecution().optimizedPlan().toString()
+    # the salted pre-merge stage exists: an aggregate keyed by
+    # (dst, pmod(xxhash64(src))) runs before the per-dst merge, bounding
+    # the aggregation buffer at in_degree/n_salts x k instead of
+    # in_degree x k (the optimizer renames the _salt alias to a
+    # _groupingexpression, so assert on the salt expression itself)
+    assert "pmod(xxhash64" in plan
+    assert "Aggregate [dst_doc_id" in plan  # level 1: (dst, salt)
+    assert "Aggregate [doc_id" in plan  # level 2: per-dst merge
+
+
 def test_pagerank_bucketed_matches_plain_and_skips_fan_shuffle(
     spark, tmp_path
 ):

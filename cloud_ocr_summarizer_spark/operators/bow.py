@@ -34,7 +34,7 @@ and engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from cloud_ocr_summarizer_spark.functions.hashing import md5_hash31_col
 from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
@@ -42,6 +42,14 @@ from cloud_ocr_summarizer_spark.functions.text import whitespace_tokens_col
 SCALE = 1_000_000
 SPLIT_SALT = "bowtrain"
 TRAIN_PCT = 80
+# A heavy-tailed web corpus's whitespace vocabulary (URLs, typos, numbers)
+# is effectively unbounded, and the weight table is BROADCAST into the
+# scoring join — so the vocabulary is capped at the top_v most frequent
+# training tokens (ties broken by token ascending, so the set is exact in
+# both engines).  OOV tokens simply miss the scoring join and fall back
+# to prior-only contribution — the behavior vocab-missing docs always had.
+BOW_TOP_V = 16384
+VOCAB_SHARDS = 16  # level-1 fanout of the two-level top-V selection
 
 
 def _with_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -67,13 +75,60 @@ def _token_occurrences(docs: DataFrame, *, text_col: str, label_col: str) -> Dat
     )
 
 
+def _token_totals(occ: DataFrame) -> DataFrame:
+    """(token, _c) training-occurrence totals — shared by the top-V
+    selection and its drop audit so the two cannot diverge."""
+    return occ.groupBy("token").agg(F.count("*").alias("_c"))
+
+
+def _top_v_vocab(
+    occ: DataFrame, *, top_v: int, n_shards: int = VOCAB_SHARDS
+) -> DataFrame:
+    """The top_v most frequent training tokens (count desc, token asc).
+
+    Two-level selection so no stage ranks the full heavy-tailed
+    vocabulary in one task: level 1 keeps each hash shard's top_v
+    (window over a shard-sized partition), level 2 ranks the
+    <= n_shards * top_v survivors globally — a bounded single-partition
+    window by construction (any global top-v token is in its shard's
+    top-v: pigeonhole, same argument as sketch.kmv_distinct).
+    """
+    tot = _token_totals(occ)
+    shard_w = Window.partitionBy("_shard").orderBy(
+        F.col("_c").desc(), F.col("token").asc()
+    )
+    pruned = (
+        tot.withColumn("_shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)))
+        .withColumn("_rn", F.row_number().over(shard_w))
+        .where(F.col("_rn") <= top_v)
+    )
+    final_w = Window.orderBy(F.col("_c").desc(), F.col("token").asc())
+    return (
+        pruned.select("token", "_c")
+        .withColumn("_rn", F.row_number().over(final_w))
+        .where(F.col("_rn") <= top_v)
+        .select("token")
+    )
+
+
 def train_bow_weights(
-    train: DataFrame, *, text_col: str = "text", label_col: str = "lang"
+    train: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    top_v: int = BOW_TOP_V,
 ) -> tuple[DataFrame, DataFrame]:
-    """-> (weights(token,label,w), priors(label,prior)); both vocab-sized.
+    """-> (weights(token,label,w), priors(label,prior)); both bounded.
 
     ``w = (count(token,label) * 10^6) div total_tokens(label)``;
-    ``prior = (docs(label) * 10^6) div docs`` — all BIGINT.
+    ``prior = (docs(label) * 10^6) div docs`` — all BIGINT.  The weight
+    table is restricted to the ``top_v`` most frequent training tokens
+    (deterministic ties) so the scoring broadcast is bounded at
+    top_v × labels rows no matter how heavy-tailed the corpus
+    vocabulary is; kept tokens' weights are EXACTLY what the uncapped
+    table would hold (the per-label denominator counts all training
+    occurrences), and dropped tokens are observable via
+    :func:`bow_vocab_drop_audit`.
 
     Overflow bound: ``count * 10^6`` holds in BIGINT while a label's
     token count stays under ~9.2·10^12; past that, train on a
@@ -83,8 +138,10 @@ def train_bow_weights(
     """
     occ = _token_occurrences(train, text_col=text_col, label_col=label_col)
     totals = occ.groupBy("label").agg(F.count("*").alias("_tot"))
+    vocab = _top_v_vocab(occ, top_v=top_v)
     weights = (
-        occ.groupBy("token", "label")
+        occ.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy("token", "label")
         .agg(F.count("*").alias("_cnt"))
         .join(F.broadcast(totals), "label")
         .select("token", "label", F.expr(f"(_cnt * {SCALE}) div _tot").alias("w"))
@@ -173,19 +230,59 @@ def score_bow(
     )
 
 
+def bow_vocab_drop_audit(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    top_v: int = BOW_TOP_V,
+) -> DataFrame:
+    """ONE row: how much the top-V vocabulary cap of
+    :func:`train_bow_weights` drops from the TRAINING slice —
+    (cap_name, cap_value, dropped_groups = distinct tokens cut,
+    dropped_rows = training occurrences they carried).  Reuses the
+    exact occurrence stream and totals stage the trainer ranks, and
+    reports explicit zeros when the vocabulary fits (the dedup
+    cap-audit policy)."""
+    split = _with_split(docs)
+    occ = _token_occurrences(
+        split.where("_is_train"), text_col=text_col, label_col=label_col
+    )
+    tot = _token_totals(occ)
+    dropped = tot.join(
+        F.broadcast(_top_v_vocab(occ, top_v=top_v)), "token", "left_anti"
+    )
+    return dropped.agg(
+        F.lit("bow_vocab_top_v").alias("cap_name"),
+        F.lit(top_v).cast("int").alias("cap_value"),
+        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("dropped_groups"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("dropped_rows"),
+    )
+
+
 def classify_bow(
-    docs: DataFrame, *, text_col: str = "text", label_col: str = "lang"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    top_v: int = BOW_TOP_V,
 ) -> DataFrame:
     """The composed job: hash-split, train on the 80% slice, score the
     held-out 20% -> (doc_id, label, predicted, score, correct).
 
-    Training tables are vocab-sized aggregates computed once and
-    broadcast into the scoring join; the held-out docs never feed the
-    weights, so the accuracy column is honest generalization.
+    Training tables are bounded aggregates (top-V vocabulary × labels)
+    computed once and broadcast into the scoring join; the held-out
+    docs never feed the weights, so the accuracy column is honest
+    generalization.  Held-out tokens outside the vocabulary miss the
+    scoring join and contribute nothing — every label still scores its
+    prior.
     """
     split = _with_split(docs)
     weights, priors = train_bow_weights(
-        split.where("_is_train"), text_col=text_col, label_col=label_col
+        split.where("_is_train"),
+        text_col=text_col,
+        label_col=label_col,
+        top_v=top_v,
     )
     heldout = split.where(~F.col("_is_train")).drop("_is_train")
     return score_bow(

@@ -185,7 +185,13 @@ def blocks_rowlocal_col(
             return F.element_at(arr, i.cast("int"))
 
         def is_start(i: Column) -> Column:
-            prev, cur = at(i - 1), at(i)
+            # try_element_at: at i==1 the prev lookup hits index 0, which
+            # element_at would make an ANSI error — today's Or only
+            # short-circuits it by evaluation order, which a predicate
+            # refactor could silently break.  try_ returns NULL there and
+            # (i == 1) | NULL is true.
+            prev = F.try_element_at(arr, (i - 1).cast("int"))
+            cur = at(i)
             return (i == 1) | (
                 (cur["page"] != prev["page"])
                 | (cur["col"] != prev["col"])

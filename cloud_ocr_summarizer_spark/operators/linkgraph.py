@@ -194,16 +194,34 @@ def pagerank(nodes: DataFrame, edges: DataFrame, *, n_iter: int = 5) -> DataFram
     return _iterate_ranks(nodes.select("doc_id"), fan, n_iter=n_iter)
 
 
-def pagerank_over_documents(docs: DataFrame, *, n_iter: int = 5) -> DataFrame:
+def pagerank_over_documents(
+    docs: DataFrame, *, n_iter: int = 5, bucketed: bool = True
+) -> DataFrame:
     """documents -> (doc_id, rank_micro, in_degree): the composed job.
 
     synthesize HTML -> parse outlinks -> iterate rank, joined with the
     in-degree so the output is directly consumable as a curation signal
     ("rank high, few inlinks" = teleport-propped page).
+
+    Defaults to the bucketed fan table (:func:`pagerank_bucketed` with
+    a per-call unique table name) — the scale-correct plan: the
+    edge-sized iteration-invariant side is written once and never
+    re-shuffles, so per-iteration shuffle is O(nodes).  Falls back to
+    the plain loop (bit-identical recurrence) when the session has no
+    writable warehouse (e.g. read-only deployments); pass
+    ``bucketed=False`` to skip the attempt.
     """
     html = derive_linkgraph_html_from_documents(docs)
     edges = extract_outlinks(html)
-    ranks = pagerank(docs, edges, n_iter=n_iter)
+    if bucketed:
+        try:
+            ranks = pagerank_bucketed(docs, edges, n_iter=n_iter)
+        except Exception:
+            # no writable warehouse / catalog in this session: the plain
+            # loop computes the identical integer recurrence
+            ranks = pagerank(docs, edges, n_iter=n_iter)
+    else:
+        ranks = pagerank(docs, edges, n_iter=n_iter)
     # in-degree directly from the edges: degree_stats would redundantly
     # re-aggregate the out-degree pagerank already computed and discard it
     ind = edges.groupBy(F.col("dst_doc_id").alias("doc_id")).agg(
@@ -327,8 +345,9 @@ def pagerank_bucketed(
     *,
     n_iter: int = 5,
     n_buckets: int = 32,
-    table: str = "pagerank_fan_bucketed",
+    table: str | None = None,
     path: str | None = None,
+    overwrite_path: bool = False,
 ) -> DataFrame:
     """:func:`pagerank` with the edge-side iteration shuffle removed.
 
@@ -344,10 +363,28 @@ def pagerank_bucketed(
 
     The caller owns the table lifecycle (it must outlive consumption of
     the returned ranks); pass ``path`` to place it outside the default
-    warehouse.  This is the repeated-fact-join bucketing strategy of
-    SURVEY.md §4.3, applied to an iterative graph job.
+    warehouse.  ``table`` defaults to a per-call unique name so two
+    concurrent runs (or a bench plus a query in one session) can never
+    clobber each other's fan table; an explicit ``path`` that already
+    exists is refused unless ``overwrite_path=True`` (mode('overwrite')
+    would otherwise silently delete whatever lives there).  This is the
+    repeated-fact-join bucketing strategy of SURVEY.md §4.3, applied to
+    an iterative graph job.
     """
     spark = nodes.sparkSession
+    if table is None:
+        import uuid
+
+        table = f"pagerank_fan_{uuid.uuid4().hex[:12]}"
+    if path is not None and not overwrite_path:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            raise FileExistsError(
+                f"pagerank_bucketed: path {path!r} exists; pass "
+                "overwrite_path=True to let mode('overwrite') replace it"
+            )
     node_ids = nodes.select("doc_id")
     writer = _fan_table(edges).write.mode("overwrite")
     if path is not None:

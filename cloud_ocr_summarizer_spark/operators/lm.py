@@ -31,6 +31,14 @@ from pyspark.sql import DataFrame, functions as F
 from cloud_ocr_summarizer_spark.functions.text import let_col, whitespace_tokens_col
 
 RARE_COUNT_MAX = 1  # a bigram seen once corpus-wide is "rare"
+# The bigram table's heavy tail IS the count-1 pairs (Zipf: typically
+# the majority of distinct pairs).  Pairs below this floor are pruned
+# from the stored table — when scoring the SAME corpus the table was
+# trained on, a pair missing from the pruned table has exact corpus
+# count min_pair_count - 1 = 1 (it exists at least once, via the doc
+# being scored), so every downstream value is reconstructed exactly
+# and output is bit-identical to the unpruned table (pytest-pinned).
+LM_MIN_PAIR_COUNT = 2
 
 
 def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
@@ -58,26 +66,68 @@ def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
 
 
 def bigram_count_tables(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = LM_MIN_PAIR_COUNT,
 ) -> tuple[DataFrame, DataFrame]:
     """(unigrams, bigrams) corpus count tables: (w1, c1) counts each
     word's occurrences as a bigram LEFT context (the add-one
-    conditional's denominator base), (w1, w2, c2) counts pairs.  Both
-    are vocabulary-sized and returned PERSISTED — the scoring operators
+    conditional's denominator base), (w1, w2, c2) counts pairs with
+    corpus count >= ``min_pair_count``.  The unigram table is
+    vocabulary-sized (one power); the UNPRUNED pair table is up to
+    vocabulary² and its heavy tail is the count-1 pairs, so the floor
+    bounds the stored/joined table without changing any downstream
+    value: scoring the training corpus itself, a missing pair's count
+    is exactly ``min_pair_count - 1`` (see the consumers' coalesce).
+    Both tables are returned PERSISTED — the scoring operators
     reference each multiple times (per-branch recomputation would
     re-explode the corpus pair stream); they stay cached for the
     session like curate_documents_full's core (tiny, documented
-    tradeoff)."""
+    tradeoff).  Pruned mass is observable via
+    :func:`lm_pair_drop_audit`."""
     bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
-    bigrams = bi.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c2")
-    ).persist()
+    bigrams = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= min_pair_count)
+        .persist()
+    )
     unigrams = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).persist()
     return unigrams, bigrams
 
 
+def lm_pair_drop_audit(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = LM_MIN_PAIR_COUNT,
+) -> DataFrame:
+    """ONE row: how much the ``min_pair_count`` floor of
+    :func:`bigram_count_tables` prunes — (cap_name, cap_value,
+    dropped_groups = distinct pairs cut, dropped_rows = corpus
+    occurrences they carried).  Rebuilds the exact pre-floor count
+    stage, explicit zeros when nothing is pruned (the dedup cap-audit
+    policy)."""
+    bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    under = counts.where(F.col("c2") < min_pair_count)
+    return under.agg(
+        F.lit("lm_min_pair_count").alias("cap_name"),
+        F.lit(min_pair_count).cast("int").alias("cap_value"),
+        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("dropped_groups"),
+        F.coalesce(F.sum("c2"), F.lit(0)).cast("bigint").alias("dropped_rows"),
+    )
+
+
 def lm_rarity_profile(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = LM_MIN_PAIR_COUNT,
 ) -> DataFrame:
     """Per-document integer LM features against the corpus-trained
     bigram table:
@@ -90,16 +140,29 @@ def lm_rarity_profile(
       sum_pair_count   total corpus support of the doc's pairs (BIGINT)
 
     Every document surfaces (left join), including empty ones with
-    zeros.  Integer end to end — DuckDB-value-checkable."""
-    _, bigrams = bigram_count_tables(docs, id_col=id_col, text_col=text_col)
+    zeros.  Integer end to end — DuckDB-value-checkable.
+
+    The pair table is pruned at LM_MIN_PAIR_COUNT=2, so a doc pair
+    missing from it has exact corpus count 1 (the doc itself carries
+    one occurrence) — the left join + coalesce(c2, 1) reconstructs
+    every value bit-identically to the unpruned table (pytest-pinned;
+    the DuckDB twin computes from the unpruned counts)."""
+    assert min_pair_count <= RARE_COUNT_MAX + 1, (
+        "exact reconstruction needs min_pair_count - 1 <= RARE_COUNT_MAX"
+    )
+    _, bigrams = bigram_count_tables(
+        docs, id_col=id_col, text_col=text_col, min_pair_count=min_pair_count
+    )
     doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
-    scored = doc_bi.join(bigrams, ["w1", "w2"])  # every pair exists
+    scored = doc_bi.join(bigrams, ["w1", "w2"], "left").withColumn(
+        "_c2", F.coalesce(F.col("c2"), F.lit(min_pair_count - 1))
+    )
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum(F.when(F.col("c2") <= RARE_COUNT_MAX, 1).otherwise(0)).alias(
+        F.sum(F.when(F.col("_c2") <= RARE_COUNT_MAX, 1).otherwise(0)).alias(
             "_n_rare"
         ),
-        F.sum("c2").alias("sum_pair_count"),
+        F.sum("_c2").alias("sum_pair_count"),
     )
     base = docs.select(F.col(id_col))
     return base.join(per_doc, id_col, "left").select(
@@ -121,7 +184,11 @@ def lm_rarity_profile(
 
 
 def bigram_perplexity(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = LM_MIN_PAIR_COUNT,
 ) -> DataFrame:
     """Add-one-smoothed bigram perplexity per document against the
     corpus-trained tables:
@@ -135,16 +202,24 @@ def bigram_perplexity(
     (log/exp ulp behavior is engine-specific).  Every document
     surfaces; docs with no bigrams report NULL perplexity (same
     every-doc contract as ``lm_rarity_profile``)."""
-    unigrams, bigrams = bigram_count_tables(docs, id_col=id_col, text_col=text_col)
+    unigrams, bigrams = bigram_count_tables(
+        docs, id_col=id_col, text_col=text_col, min_pair_count=min_pair_count
+    )
     vocab = unigrams.agg(F.count(F.lit(1)).alias("_v"))
     doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    # left join + coalesce(c2, 1): pairs pruned by the min-count floor
+    # have exact corpus count 1 on the training corpus (see
+    # bigram_count_tables) — values identical to the unpruned table
     scored = (
-        doc_bi.join(bigrams, ["w1", "w2"])
+        doc_bi.join(bigrams, ["w1", "w2"], "left")
         .join(unigrams, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
-            F.log((F.col("c2") + 1) / (F.col("c1") + F.col("_v"))).alias("_lp"),
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(min_pair_count - 1)) + 1)
+                / (F.col("c1") + F.col("_v"))
+            ).alias("_lp"),
         )
     )
     per_doc = scored.groupBy(id_col).agg(

@@ -204,19 +204,22 @@ def derive_messy_urls_from_documents(docs: DataFrame) -> DataFrame:
 def canonicalize_url_col(url: Column) -> Column:
     """Canonical URL: the crawl-frontier/dedup normal form.
 
-    Drops the fragment, lowercases scheme+host, drops the default :80
-    port, strips utm_* tracking params (tidying left-over separators),
-    and trims a trailing slash from a non-root path.  Pure regexp
-    chain — row-local, whole-stage codegen.
+    Drops the fragment, lowercases scheme+host, drops the scheme's
+    default port (:80 for http, :443 for https — whether followed by a
+    path, a query, or nothing), strips utm_* tracking params (tidying
+    left-over separators), and trims a trailing slash from a non-root
+    path.  Pure regexp chain — row-local, whole-stage codegen.
     """
     u = F.regexp_replace(F.coalesce(url, F.lit("")), r"#.*$", "")
-    # lowercase only the scheme://host[:port] prefix, never the path
-    prefix = F.regexp_extract(u, r"^([a-z]+://[^/]*)", 1)
-    # the synthesized noise only uppercases HOST chars; scheme is
-    # already lower, so lower(prefix) is the canonical authority
+    # lowercase only the scheme://host[:port] authority, never the
+    # path or query (the prefix stops at the first /, ? or #)
+    prefix = F.regexp_extract(u, r"^([a-z]+://[^/?#]*)", 1)
     rest = F.substring(u, F.length(prefix) + 1, 1_000_000)
     u = F.concat(F.lower(prefix), rest)
-    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    # default ports strip before a path, a query, or end-of-string
+    # (fragments are already gone)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?]|$)", r"$1$2")
     # strip utm params wherever they sit in the query string
     u = F.regexp_replace(u, r"([?&])utm_[^&#]*", r"$1")
     u = F.regexp_replace(u, r"\?&", "?")

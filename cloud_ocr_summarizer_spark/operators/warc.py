@@ -75,8 +75,14 @@ def _header(text: Column, name: str) -> Column:
 
 
 def _after_blank_line(text: Column) -> Column:
-    """Everything after the FIRST CRLFCRLF (1-based locate + substr)."""
-    return text.substr(F.locate(_SEP, text) + 4, F.length(text))
+    """Everything after the FIRST CRLFCRLF (1-based locate + substr).
+
+    NULL when no CRLFCRLF exists: a malformed record must surface as
+    NULL envelope/body fields (countable via
+    :func:`warc_malformed_audit`), not parse as garbage that the
+    http_status filter then silently drops."""
+    pos = F.locate(_SEP, text)
+    return F.when(pos > 0, text.substr(pos + 4, F.length(text)))
 
 
 def parse_warc_records(
@@ -92,19 +98,49 @@ def parse_warc_records(
     staged = records.select(
         F.decode(F.col(payload_col), "UTF-8").alias("_t")
     ).select("_t", _after_blank_line(F.col("_t")).alias("_http"))
+    # nullif('') before every numeric cast: a missing header/status is a
+    # NULL field, not an ANSI cast error or a garbage value
     return staged.select(
-        F.regexp_extract(F.col("_t"), r"WARC-Record-ID: <urn:doc:(\d+)>", 1)
+        F.nullif(
+            F.regexp_extract(
+                F.col("_t"), r"WARC-Record-ID: <urn:doc:(\d+)>", 1
+            ),
+            F.lit(""),
+        )
         .cast("bigint")
         .alias("doc_id"),
         _header(F.col("_t"), "WARC-Target-URI").alias("target_uri"),
         _header(F.col("_t"), "WARC-Date").alias("warc_date"),
-        _header(F.col("_t"), "Content-Length").cast("bigint").alias(
-            "content_length"
-        ),
-        F.regexp_extract(F.col("_http"), r"^HTTP/1\.1 (\d+)", 1)
+        F.nullif(_header(F.col("_t"), "Content-Length"), F.lit(""))
+        .cast("bigint")
+        .alias("content_length"),
+        F.nullif(
+            F.regexp_extract(F.col("_http"), r"^HTTP/1\.1 (\d+)", 1),
+            F.lit(""),
+        )
         .cast("int")
         .alias("http_status"),
         _after_blank_line(F.col("_http")).alias("html"),
+    )
+
+
+def warc_malformed_audit(
+    records: DataFrame, *, payload_col: str = "payload"
+) -> DataFrame:
+    """ONE row: how many records fail the envelope grammar — missing
+    the header/body CRLFCRLF split (http_body_null) or the inner HTTP
+    header/entity split (html_null).  Malformed crawl records are
+    normal at web scale; they must be countable, never silently
+    absorbed by the status filter."""
+    parsed = parse_warc_records(records, payload_col=payload_col)
+    return parsed.agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum(F.when(F.col("http_status").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_status_null"),
+        F.sum(F.when(F.col("html").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_html_null"),
     )
 
 

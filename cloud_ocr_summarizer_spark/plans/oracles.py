@@ -3168,6 +3168,33 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# Drop audit for the LM bigram-table min-count floor: the twin rebuilds
+# the UNPRUNED pair counts (same derivation as the lm_rarity CTEs) and
+# totals the sub-floor tail the engine prunes from its stored table.
+ORACLES["lm_pair_audit"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'),
+                     w -> w <> '') AS lw
+  FROM documents
+), bi AS (
+  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(greatest(len(lw) - 1, 0)),
+                   i -> struct_pack(w1 := lw[i+1], w2 := lw[i+2]))) AS pr
+        FROM toks)
+), counts AS (
+  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+)
+SELECT 'lm_min_pair_count' AS cap_name, CAST(2 AS INT) AS cap_value,
+       CAST(coalesce(sum(CASE WHEN c2 < 2 THEN 1 END), 0) AS BIGINT)
+         AS dropped_groups,
+       CAST(coalesce(sum(CASE WHEN c2 < 2 THEN c2 END), 0) AS BIGINT)
+         AS dropped_rows
+FROM counts
+"""
+
+
 # Detailed-mode per-level geometry (deep_tree_geometry): one row per node
 # at block/paragraph/word level with its text and the deterministic
 # integer-milli rectangle.  Mirrors operators/deeptree.py's layout grid
@@ -3345,10 +3372,11 @@ ORACLES["pagerank"] = _pagerank_oracle(5)
 
 
 # Bag-of-words classifier twin (operators/bow.py): identical hash
-# split, identical integer weight/prior arithmetic; the argmax is a
-# rank window (ORDER BY s DESC, label ASC) where Spark uses
-# min(struct(-s, label)) — different mechanism, same exact cell values.
-ORACLES["bow_classify"] = r"""
+# split, identical integer weight/prior arithmetic, identical top-V
+# vocabulary cap (count desc, token asc — the deterministic-ties rank);
+# the argmax is a rank window (ORDER BY s DESC, label ASC) where Spark
+# uses min(struct(-s, label)) — different mechanism, same exact cells.
+_BOW_TRAIN_CTE = r"""
 WITH split AS MATERIALIZED (
   SELECT doc_id, text, coalesce(lang, 'xx') AS lang,
          (('0x' || substr(md5('bowtrain:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
@@ -3359,13 +3387,27 @@ WITH split AS MATERIALIZED (
          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
                             w -> w <> '')) AS token
   FROM split
-), totals AS (
+), tok_tot AS MATERIALIZED (
+  SELECT token, count(*) AS c FROM occ WHERE is_train GROUP BY 1
+), vocab AS MATERIALIZED (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY c DESC, token ASC) AS vrn
+    FROM tok_tot)
+  WHERE vrn <= {top_v}
+)
+"""
+
+
+def _bow_classify_oracle(top_v: int) -> str:
+    return _BOW_TRAIN_CTE.format(top_v=top_v) + r"""
+, totals AS (
   SELECT label, count(*) AS tot FROM occ WHERE is_train GROUP BY 1
 ), weights AS MATERIALIZED (
   SELECT o.token, o.label,
          CAST((count(*) * 1000000) // t.tot AS BIGINT) AS w
   FROM occ o JOIN totals t USING (label)
-  WHERE o.is_train GROUP BY o.token, o.label, t.tot
+  WHERE o.is_train AND o.token IN (SELECT token FROM vocab)
+  GROUP BY o.token, o.label, t.tot
 ), label_counts AS (
   SELECT lang AS label, count(*) AS n FROM split WHERE is_train GROUP BY 1
 ), priors AS (
@@ -3390,6 +3432,22 @@ FROM (SELECT *, row_number() OVER (
         PARTITION BY doc_id ORDER BY s DESC, wl ASC) AS rn
       FROM per_label)
 WHERE rn = 1
+"""
+
+
+ORACLES["bow_classify"] = _bow_classify_oracle(16384)
+# top_v=8 forces most tokens OUT of the vocabulary (the synthetic
+# corpus vocabulary is ~31 tokens), so the value check covers the OOV
+# prior-only scoring path and the rank tie-break cross-engine
+ORACLES["bow_classify_capped"] = _bow_classify_oracle(8)
+
+ORACLES["bow_vocab_audit"] = _BOW_TRAIN_CTE.format(top_v=8) + """
+SELECT 'bow_vocab_top_v' AS cap_name, CAST(8 AS INT) AS cap_value,
+       CAST(coalesce(sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+                          THEN 1 END), 0) AS BIGINT) AS dropped_groups,
+       CAST(coalesce(sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+                          THEN c END), 0) AS BIGINT) AS dropped_rows
+FROM tok_tot
 """
 
 

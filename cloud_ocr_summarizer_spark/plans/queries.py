@@ -3045,6 +3045,19 @@ def q_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_7["lm_rarity"] = q_lm_rarity
 
 
+def q_lm_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row drop audit for the LM bigram-table min-count floor
+    (operators/lm.lm_pair_drop_audit): distinct count-1 pairs pruned
+    from the stored table + occurrences they carried — the Zipf tail
+    the floor bounds is observable, never silent."""
+    from cloud_ocr_summarizer_spark.operators.lm import lm_pair_drop_audit
+
+    return lm_pair_drop_audit(_read(spark, sf_dir, "documents"))
+
+
+BATCH_7["lm_pair_audit"] = q_lm_pair_audit
+
+
 # --------------------------------------------------------------------------
 # BATCH_8: round-4 additions
 # --------------------------------------------------------------------------
@@ -3163,6 +3176,32 @@ def q_bow_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["bow_classify"] = q_bow_classify
+
+
+def q_bow_classify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BoW classifier with top_v=8: most held-out tokens fall
+    outside the vocabulary, so the value check exercises the OOV
+    prior-only scoring path and the deterministic top-V tie-break
+    (count desc, token asc) cross-engine."""
+    from cloud_ocr_summarizer_spark.operators.bow import classify_bow
+
+    return classify_bow(_read(spark, sf_dir, "documents"), top_v=8)
+
+
+BATCH_8["bow_classify_capped"] = q_bow_classify_capped
+
+
+def q_bow_vocab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row drop audit for the BoW top-V vocabulary cap at top_v=8
+    (operators/bow.bow_vocab_drop_audit): distinct training tokens cut
+    + occurrences they carried, value-checked — the broadcast bound is
+    observable, never silent (the dedup cap-audit policy)."""
+    from cloud_ocr_summarizer_spark.operators.bow import bow_vocab_drop_audit
+
+    return bow_vocab_drop_audit(_read(spark, sf_dir, "documents"), top_v=8)
+
+
+BATCH_8["bow_vocab_audit"] = q_bow_vocab_audit
 
 
 def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -382,3 +382,35 @@ def test_meta_robots_gate(spark):
     )
     assert {r.doc_id for r in meta_robots_gate(ordered).collect()} == {2}
     assert meta_robots_gate(tricky).count() == 1  # documented miss
+
+
+def test_warc_malformed_record_surfaces_null_not_garbage(spark):
+    """A record without the CRLFCRLF envelope split parses to NULL
+    body/status fields (countable) instead of garbage that the status
+    filter silently drops (the audit-over-silence policy)."""
+    from cloud_ocr_summarizer_spark.operators.warc import (
+        parse_warc_records,
+        warc_malformed_audit,
+    )
+
+    good = (
+        "WARC/1.0\r\nWARC-Record-ID: <urn:doc:7>\r\n"
+        "WARC-Target-URI: http://x/7\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "Content-Length: 20\r\n\r\n"
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>"
+    )
+    no_envelope = "WARC/1.0\nWARC-Record-ID: <urn:doc:8>\nno crlfcrlf at all"
+    no_http_split = (
+        "WARC/1.0\r\nWARC-Record-ID: <urn:doc:9>\r\n\r\n"
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html"  # no header/body split
+    )
+    df = spark.createDataFrame(
+        [(g.encode(),) for g in (good, no_envelope, no_http_split)],
+        "payload binary",
+    )
+    rows = {r.doc_id: r for r in parse_warc_records(df).collect()}
+    assert rows[7].http_status == 200 and rows[7].html == "<html>hi</html>"
+    assert rows[8].http_status is None and rows[8].html is None
+    assert rows[9].http_status == 200 and rows[9].html is None
+    audit = warc_malformed_audit(df).collect()[0]
+    assert (audit.n_records, audit.n_status_null, audit.n_html_null) == (3, 1, 2)

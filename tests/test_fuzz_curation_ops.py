@@ -364,10 +364,11 @@ def test_canonicalize_url_fuzz_vs_python(spark, rng):
 
     def py_canonical(u: str) -> str:
         u = _re.sub(r"#.*$", "", u)
-        m = _re.match(r"^([a-z]+://[^/]*)", u)
+        m = _re.match(r"^([a-z]+://[^/?#]*)", u)
         if m:
             u = m.group(1).lower() + u[m.end():]
-        u = _re.sub(r"^(http://[^/:]+):80(/|$)", r"\1\2", u)
+        u = _re.sub(r"^(http://[^/:?#]+):80([/?]|$)", r"\1\2", u)
+        u = _re.sub(r"^(https://[^/:?#]+):443([/?]|$)", r"\1\2", u)
         u = _re.sub(r"([?&])utm_[^&#]*", r"\1", u)
         u = _re.sub(r"\?&", "?", u)
         u = _re.sub(r"&&+", "&", u)
@@ -375,16 +376,19 @@ def test_canonicalize_url_fuzz_vs_python(spark, rng):
         u = _re.sub(r"(://[^/]+/.+?)/$", r"\1", u)
         return u
 
+    schemes = ["http://", "https://"]
     hosts = ["h.com", "SUB.Example-3.ORG", "a-b.co", "X9.NET"]
     ports = ["", ":80", ":8080", ":443"]
-    paths = ["/", "/a", "/a/b.html", "/p/7.html/", "/deep/x/y/"]
+    # "" covers the no-path authority form: default-port strip must fire
+    # before a query or end-of-string, not only before "/"
+    paths = ["", "/", "/a", "/a/b.html", "/p/7.html/", "/deep/x/y/"]
     queries = ["", "?utm_source=s", "?keep=1", "?utm_a=1&keep=2",
                "?keep=1&utm_b=2", "?utm_a=1&utm_b=2", "?a=1&b=2"]
     frags = ["", "#x", "#sec1"]
     urls = []
     for _ in range(300):
         urls.append(
-            "http://" + rng.choice(hosts) + rng.choice(ports)
+            rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
             + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
         )
     df = spark.createDataFrame([(u,) for u in urls], "url string")

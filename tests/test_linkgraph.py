@@ -305,3 +305,53 @@ def test_harmonic_centrality_matches_pure_python(spark):
             harm[d] += max(0, e - est[d]) * 1000 // t
             est[d] = e
     assert got == {d: (est[d], harm[d]) for d in range(n)}
+
+
+def test_pagerank_over_documents_bucketed_default_matches_plain(spark):
+    docs = _docs(spark, 10)
+    buck = {
+        (r.doc_id, r.rank_micro, r.in_degree)
+        for r in pagerank_over_documents(docs, n_iter=2).collect()
+    }
+    plain = {
+        (r.doc_id, r.rank_micro, r.in_degree)
+        for r in pagerank_over_documents(docs, n_iter=2, bucketed=False).collect()
+    }
+    assert buck == plain
+    # the default path really used the bucketed fan (a unique table
+    # materialized in the catalog)
+    fans = [t.name for t in spark.catalog.listTables()
+            if t.name.startswith("pagerank_fan_")]
+    assert fans
+    for t in fans:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pagerank_bucketed_refuses_existing_path(spark, tmp_path):
+    import pytest
+
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        pagerank_bucketed,
+    )
+
+    docs = _docs(spark, 6)
+    edges = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    target = tmp_path / "occupied"
+    target.mkdir()
+    (target / "keep.txt").write_text("precious")
+    with pytest.raises(FileExistsError):
+        pagerank_bucketed(
+            docs, edges, n_iter=1, n_buckets=2,
+            table="pagerank_fan_guard_test", path=str(target),
+        )
+    assert (target / "keep.txt").read_text() == "precious"  # untouched
+    # explicit opt-in proceeds
+    df = pagerank_bucketed(
+        docs, edges, n_iter=1, n_buckets=2,
+        table="pagerank_fan_guard_test", path=str(target),
+        overwrite_path=True,
+    )
+    try:
+        assert df.count() == 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pagerank_fan_guard_test")

@@ -88,3 +88,50 @@ def test_bigram_perplexity_matches_python_model(spark):
     got2 = {r["doc_id"]: r["perplexity"] for r in bigram_perplexity(smooth).collect()}
     ordered = sorted(v for v in got2.values() if v is not None)
     assert got2[200] <= ordered[len(ordered) // 2]
+
+
+def test_min_pair_floor_is_bit_identical(spark):
+    """The pruned bigram table + coalesce reconstruction gives EXACTLY
+    the unpruned outputs on the training corpus (the floor's contract)."""
+    from cloud_ocr_summarizer_spark.operators.lm import lm_rarity_profile
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "zq xv qp"),
+        (4, ""),
+        (5, None),
+        (6, "the cat the cat zq xv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pruned = {r.doc_id: r.asDict() for r in
+              lm_rarity_profile(df, min_pair_count=2).collect()}
+    full = {r.doc_id: r.asDict() for r in
+            lm_rarity_profile(df, min_pair_count=1).collect()}
+    assert pruned == full
+
+
+def test_perplexity_unchanged_by_min_pair_floor(spark):
+    from cloud_ocr_summarizer_spark.operators.lm import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.perplexity for r in
+         bigram_perplexity(df, min_pair_count=2).collect()}
+    b = {r.doc_id: r.perplexity for r in
+         bigram_perplexity(df, min_pair_count=1).collect()}
+    for d in a:
+        assert abs(a[d] - b[d]) < 1e-12
+
+
+def test_lm_pair_drop_audit_counts(spark):
+    from cloud_ocr_summarizer_spark.operators.lm import lm_pair_drop_audit
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "q r")], "doc_id long, text string"
+    )
+    # pairs: (a,b)x2, (b,a)x1, (b,c)x1, (q,r)x1 -> 3 count-1 pairs cut
+    row = lm_pair_drop_audit(df, min_pair_count=2).collect()[0]
+    assert (row.cap_name, row.cap_value) == ("lm_min_pair_count", 2)
+    assert (row.dropped_groups, row.dropped_rows) == (3, 3)

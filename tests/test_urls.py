@@ -98,6 +98,14 @@ def test_canonicalize_url_strips_every_noise_class(spark):
         # non-default port and real params survive
         ("http://h.com:8080/a?x=1&y=2", "http://h.com:8080/a?x=1&y=2"),
         ("http://h.com/", "http://h.com/"),  # root slash kept
+        # default ports strip before a query or end-of-string too,
+        # and https strips its own default :443 (but not :80)
+        ("http://h.com:80?q=1", "http://h.com?q=1"),
+        ("http://h.com:80", "http://h.com"),
+        ("https://h.com:443/x", "https://h.com/x"),
+        ("https://h.com:443?q=1", "https://h.com?q=1"),
+        ("https://h.com:80/x", "https://h.com:80/x"),
+        ("http://h.com:443/x", "http://h.com:443/x"),
     ]
     df = spark.createDataFrame([(m,) for m, _ in cases], "url string")
     got = [r.c for r in df.select(canonicalize_url_col("url").alias("c")).collect()]

@@ -28,6 +28,65 @@ BLOCKED_DOMAINS = ("example-2.com", "example-5.de", "example-8.cn")
 
 _TLD_BY_LANG = {"en": "com", "de": "de", "es": "es", "fr": "fr", "zh": "cn"}
 
+# Trimmed public-suffix-list slice: the high-traffic MULTI-LABEL public
+# suffixes (publicsuffix.org is public data; the full list is a config
+# swap — bigger tuple, same plan).  When a host's last two labels form
+# a public suffix, the registered domain is THREE labels (foo.co.uk),
+# not two (co.uk) — the last-two-labels heuristic is wrong for every
+# host under these.
+PSL_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "co.za", "net.za", "org.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "org.tw", "net.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk",
+    "com.sg", "org.sg", "net.sg", "edu.sg",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr",
+    "com.tr", "org.tr", "net.tr", "gen.tr",
+    "co.il", "org.il", "net.il", "ac.il",
+    "com.my", "org.my", "net.my",
+    "co.id", "or.id", "web.id", "ac.id",
+    "com.ph", "org.ph", "net.ph",
+    "com.vn", "org.vn", "net.vn",
+    "co.th", "or.th", "in.th", "ac.th",
+    "com.eg", "org.eg", "net.eg",
+    "com.ng", "org.ng", "net.ng",
+    "com.pk", "org.pk", "net.pk",
+    "com.sa", "org.sa", "net.sa",
+    "com.ua", "org.ua", "net.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl",
+    "com.co", "net.co", "org.co",
+    "com.pe", "org.pe", "net.pe",
+    "com.ec", "org.ec", "net.ec",
+    "com.uy", "org.uy", "net.uy",
+)
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Registered domain of ``host``: one label plus its public suffix.
+
+    Last two labels, UNLESS those two labels are themselves a public
+    suffix (the :data:`PSL_MULTI_SUFFIXES` slice — ``co.uk``/``com.au``
+    class), in which case the registered domain is the last three.  A
+    host that IS a bare public suffix (``co.uk`` exactly) degenerates
+    to itself.  Row-local: two anchored regexps + an In-literal over
+    the suffix tuple (whole-stage codegen; a full-PSL deployment swaps
+    the tuple for a broadcast lookup — same semantics, bigger table).
+    """
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(
+        last2.isin(*PSL_MULTI_SUFFIXES) & (last3 != F.lit("")), last3
+    ).otherwise(last2)
+
 
 def derive_urls_from_documents(
     docs: DataFrame, keep: tuple[str, ...] = ()
@@ -35,15 +94,17 @@ def derive_urls_from_documents(
     """documents -> (doc_id, url) exercising every parser branch.
 
     scheme https iff doc_id%4==0; host = source-lang.example-(id%10).tld
-    with the tld a function of lang; port 8080 iff doc_id%5==0; path
-    /lang/doc-id.html; query ref=(id%7) iff doc_id%3==0.  ``keep``
-    carries extra document columns through (projection, no join — the
-    datagen convention), so URL-keyed rollups over document content
-    never pay a doc_id re-join shuffle.
+    with the tld a function of lang EXCEPT doc_id%11==3 -> co.uk and
+    doc_id%11==7 -> com.au (multi-label public suffixes, so a last-two-
+    labels registered-domain heuristic fails the round trip); port 8080
+    iff doc_id%5==0; path /lang/doc-id.html; query ref=(id%7) iff
+    doc_id%3==0.  ``keep`` carries extra document columns through
+    (projection, no join — the datagen convention), so URL-keyed
+    rollups over document content never pay a doc_id re-join shuffle.
     """
     d = F.col("doc_id")
     lang = F.coalesce(F.col("lang"), F.lit("xx"))
-    tld = F.coalesce(
+    lang_tld = F.coalesce(
         F.element_at(
             F.create_map(
                 *[F.lit(x) for kv in _TLD_BY_LANG.items() for x in kv]
@@ -51,6 +112,11 @@ def derive_urls_from_documents(
             lang,
         ),
         F.lit("org"),
+    )
+    tld = (
+        F.when(d % 11 == 3, F.lit("co.uk"))
+        .when(d % 11 == 7, F.lit("com.au"))
+        .otherwise(lang_tld)
     )
     host = F.concat(
         F.coalesce(F.col("source"), F.lit("unknown")),
@@ -128,9 +194,10 @@ def _extract(url: Column, pattern: str) -> Column:
 def parse_urls(df: DataFrame, *, url_col: str = "url") -> DataFrame:
     """Append scheme/host/port/path/query_string/domain to ``df``.
 
-    ``domain`` is the registered domain approximated as the last two
-    host labels — the public-suffix-list refinement is a broadcast
-    lookup swap, not a plan change.  All regexp, row-local.
+    ``domain`` is the registered domain per
+    :func:`registered_domain_col` — public-suffix-aware, so hosts under
+    ``co.uk``-class suffixes resolve to three labels.  All regexp,
+    row-local.
     """
     u = F.col(url_col)
     host = _extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)")
@@ -143,7 +210,7 @@ def parse_urls(df: DataFrame, *, url_col: str = "url") -> DataFrame:
         .alias("port"),
         _extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)").alias("path"),
         _extract(u, r"\?([^#]*)").alias("query_string"),
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        registered_domain_col(host).alias("domain"),
     )
 
 

@@ -3457,26 +3457,29 @@ FROM tok_tot
 # the synthesis exactly.  Keep in lockstep with
 # operators/urls.derive_urls_from_documents.
 URL_FIELDS_CTE = r"""
-WITH fields AS (
+WITH tldsel AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN doc_id % 11 = 3 THEN 'co.uk'
+              WHEN doc_id % 11 = 7 THEN 'com.au'
+              ELSE CASE coalesce(lang, 'xx')
+                     WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
+                     WHEN 'es' THEN 'es' WHEN 'fr' THEN 'fr'
+                     WHEN 'zh' THEN 'cn' ELSE 'org' END
+         END AS tld
+  FROM documents
+), fields AS (
   SELECT doc_id,
          CASE WHEN doc_id % 4 = 0 THEN 'https' ELSE 'http' END AS scheme,
          coalesce(source, 'unknown') || '-' || coalesce(lang, 'xx')
-           || '.example-' || CAST(doc_id % 10 AS VARCHAR) || '.'
-           || CASE coalesce(lang, 'xx')
-                WHEN 'en' THEN 'com' WHEN 'de' THEN 'de' WHEN 'es' THEN 'es'
-                WHEN 'fr' THEN 'fr' WHEN 'zh' THEN 'cn' ELSE 'org' END
+           || '.example-' || CAST(doc_id % 10 AS VARCHAR) || '.' || tld
            AS host,
          CASE WHEN doc_id % 5 = 0 THEN CAST(8080 AS INT) END AS port,
          '/' || coalesce(lang, 'xx') || '/doc-' || CAST(doc_id AS VARCHAR)
            || '.html' AS path,
          CASE WHEN doc_id % 3 = 0
               THEN 'ref=' || CAST(doc_id % 7 AS VARCHAR) END AS query_string,
-         'example-' || CAST(doc_id % 10 AS VARCHAR) || '.'
-           || CASE coalesce(lang, 'xx')
-                WHEN 'en' THEN 'com' WHEN 'de' THEN 'de' WHEN 'es' THEN 'es'
-                WHEN 'fr' THEN 'fr' WHEN 'zh' THEN 'cn' ELSE 'org' END
-           AS domain
-  FROM documents
+         'example-' || CAST(doc_id % 10 AS VARCHAR) || '.' || tld AS domain
+  FROM tldsel
 ), with_url AS (
   SELECT *,
          scheme || '://' || host

@@ -14,9 +14,10 @@ def _docs(spark):
     rows = [
         (0, "src0", "en"),   # https (0%4), port (0%5), query (0%3)
         (1, "src1", "de"),   # http, no port, no query
-        (3, "src3", "zh"),   # query only
+        (3, "src3", "zh"),   # query only; 3%11==3 -> co.uk PSL branch
         (5, "src5", "fr"),   # port only
-        (7, "src7", "xx"),   # unknown lang -> .org tld
+        (7, "src7", "en"),   # 7%11==7 -> com.au PSL branch
+        (8, "src8", "xx"),   # unknown lang -> .org tld
         (12, "src12", "es"),  # https + query
     ]
     return spark.createDataFrame(rows, "doc_id long, source string, lang string")
@@ -40,8 +41,37 @@ def test_parse_inverts_synthesis(spark):
 
     assert rows[3].query_string == "ref=3" and rows[3].port is None
     assert rows[5].port == 8080 and rows[5].query_string is None
-    assert rows[7].host.endswith(".org")
+    # multi-label public suffixes: registered domain is THREE labels
+    assert rows[3].host == "src3-zh.example-3.co.uk"
+    assert rows[3].domain == "example-3.co.uk"
+    assert rows[7].host == "src7-en.example-7.com.au"
+    assert rows[7].domain == "example-7.com.au"
+    assert rows[8].host.endswith(".org")
+    assert rows[8].domain == "example-8.org"
     assert rows[12].scheme == "https" and rows[12].query_string == "ref=5"
+
+
+def test_registered_domain_psl_forms(spark):
+    from cloud_ocr_summarizer_spark.operators.urls import registered_domain_col
+
+    cases = [
+        ("a.b.foo.co.uk", "foo.co.uk"),      # deep subdomain under PSL
+        ("www.shop.com.au", "shop.com.au"),  # classic com.au
+        ("x.y.example.com", "example.com"),  # plain gTLD -> two labels
+        ("example.de", "example.de"),        # already registered domain
+        ("co.uk", "co.uk"),                  # bare suffix degenerates
+        ("news.co.jp", "news.co.jp"),        # exactly 3 labels under PSL
+        ("deep.sub.gob.mx", "sub.gob.mx"),
+        ("plain.org", "plain.org"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [
+        r.d
+        for r in df.select(
+            registered_domain_col(F.col("host")).alias("d")
+        ).collect()
+    ]
+    assert got == [d for _, d in cases]
 
 
 def test_domain_gate_drops_blocklisted(spark):

@@ -48,7 +48,9 @@ TELEPORT_MICRO = 150_000  # (1 - 0.85) * 10^6
 INIT_MICRO = 1_000_000
 
 
-def derive_linkgraph_html_from_documents(docs: DataFrame) -> DataFrame:
+def derive_linkgraph_html_from_documents(
+    docs: DataFrame, *, hot_dst_every: int | None = None
+) -> DataFrame:
     """documents -> (doc_id, html) with deterministic internal anchors.
 
     Doc ``d`` links to ``(d*7919 + j*104729) % N`` for ``j`` in
@@ -56,18 +58,29 @@ def derive_linkgraph_html_from_documents(docs: DataFrame) -> DataFrame:
     Self-targets stay in the HTML — the extractor is responsible for
     dropping them.  Nav/external anchors (http:// scheme) surround the
     references block so a lazy 'every href' parse fails the value check.
+
+    ``hot_dst_every=m`` redirects every anchor slot whose uniform target
+    satisfies ``target % m == 0`` to doc 0 — ~1/m of ALL corpus edges
+    land on one node, the power-law hot-in-degree shape the graph
+    operators' two-level bounded merges exist for (bench corpus only;
+    the oracles pin the default ``None`` synthesis).
     """
     n_docs = docs.agg((F.max("doc_id") + 1).alias("_n"))
     d = F.col("doc_id")
     deg = (d % 3 + 1).cast("int")
+
+    def _target(j):
+        t = F.pmod(d * 7919 + j.cast("bigint") * 104729, F.col("_n"))
+        if hot_dst_every is not None:
+            t = F.when(t % hot_dst_every == 0, F.lit(0).cast("bigint")).otherwise(t)
+        return t
+
     anchors = F.array_join(
         F.transform(
             F.sequence(F.lit(1), deg),
             lambda j: F.concat(
                 F.lit('<a href="doc://'),
-                F.pmod(d * 7919 + j.cast("bigint") * 104729, F.col("_n")).cast(
-                    "string"
-                ),
+                _target(j).cast("string"),
                 # anchor text varies per (source, slot) so the inbound
                 # anchor-text aggregation has a real signal to collect
                 F.lit('">ref-'),
@@ -146,14 +159,27 @@ def _fan_table(edges: DataFrame) -> DataFrame:
 
 
 def _iterate_ranks(
-    node_ids: DataFrame, fan: DataFrame, *, n_iter: int, merge_hint: bool = False
+    node_ids: DataFrame,
+    fan: DataFrame,
+    *,
+    n_iter: int,
+    merge_hint: bool = False,
+    init_micro=None,
+    teleport_micro=None,
 ) -> DataFrame:
     """The ONE definition of the integer rank recurrence — shared by the
-    plain and bucketed variants so they cannot de-sync (the bucketed
-    test asserts bit-identical output).  ``merge_hint`` forces the
-    sort-merge join that reads a bucketed fan in place."""
+    plain, bucketed, and personalized variants so they cannot de-sync
+    (the bucketed test asserts bit-identical output).  ``merge_hint``
+    forces the sort-merge join that reads a bucketed fan in place.
+    ``init_micro`` / ``teleport_micro`` are per-node Column expressions
+    over ``doc_id`` (default: the uniform constants) — personalized
+    PageRank concentrates both on a seed set."""
+    if init_micro is None:
+        init_micro = F.lit(INIT_MICRO)
+    if teleport_micro is None:
+        teleport_micro = F.lit(TELEPORT_MICRO)
     ranks = node_ids.select(
-        "doc_id", F.lit(INIT_MICRO).cast("bigint").alias("rank_micro")
+        "doc_id", init_micro.cast("bigint").alias("rank_micro")
     )
     for _ in range(n_iter):
         left = fan.hint("merge") if merge_hint else fan
@@ -173,7 +199,7 @@ def _iterate_ranks(
             .select(
                 "doc_id",
                 (
-                    F.lit(TELEPORT_MICRO).cast("bigint")
+                    teleport_micro.cast("bigint")
                     + F.coalesce(F.col("inflow"), F.lit(0))
                 ).alias("rank_micro"),
             )
@@ -192,6 +218,50 @@ def pagerank(nodes: DataFrame, edges: DataFrame, *, n_iter: int = 5) -> DataFram
     """
     fan = _fan_table(edges).localCheckpoint(eager=False)
     return _iterate_ranks(nodes.select("doc_id"), fan, n_iter=n_iter)
+
+
+PPR_SEED_MOD = 20  # doc_id % 20 == 0 -> trusted seed (5% of the corpus)
+
+
+def pagerank_personalized(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    seed_mod: int = PPR_SEED_MOD,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Personalized (seed-rooted) integer PageRank
+    -> (doc_id, rank_micro, is_seed).
+
+    Same recurrence as :func:`pagerank` (shared ``_iterate_ranks`` body,
+    so the two cannot de-sync) but initial mass AND the teleport term
+    are concentrated on the seed set ``doc_id % seed_mod == 0`` — the
+    TrustRank/seeded-quality-prior shape: rank flows outward from
+    trusted pages, a non-seed page scores only by (transitive) inbound
+    proximity to seeds.  Per-seed teleport stays the uniform
+    ``TELEPORT_MICRO`` integer rather than mass-normalizing by
+    ``N/|seeds|`` — same documented deviation policy as the dangling-
+    mass decay (rankings, which curation consumes, are preserved;
+    BIGINT headroom is unchanged since per-node teleport never grows).
+    Seeds are a deterministic id-arithmetic set here; a deployment
+    passes its own seed predicate.
+    """
+    d = F.col("doc_id")
+    seed = d % seed_mod == 0
+    zero = F.lit(0)
+    fan = _fan_table(edges).localCheckpoint(eager=False)
+    ranks = _iterate_ranks(
+        nodes.select("doc_id"),
+        fan,
+        n_iter=n_iter,
+        init_micro=F.when(seed, F.lit(INIT_MICRO)).otherwise(zero),
+        teleport_micro=F.when(seed, F.lit(TELEPORT_MICRO)).otherwise(zero),
+    )
+    return ranks.select(
+        "doc_id",
+        "rank_micro",
+        (d % seed_mod == 0).cast("int").alias("is_seed"),
+    )
 
 
 def pagerank_over_documents(

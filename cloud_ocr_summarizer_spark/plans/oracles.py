@@ -3326,7 +3326,12 @@ LEFT JOIN (SELECT dst_doc_id, count(*) AS ind FROM edges GROUP BY 1) i
 """
 
 
-def _pagerank_oracle(n_iter: int = 5) -> str:
+def _pagerank_oracle(
+    n_iter: int = 5,
+    init_sql: str = "1000000",
+    teleport_sql: str = "150000",
+    tail: str | None = None,
+) -> str:
     """Generated chain of MATERIALIZED CTEs mirroring linkgraph.pagerank.
 
     One CTE per iteration (r1..rK), each summing the integer per-edge
@@ -3335,20 +3340,24 @@ def _pagerank_oracle(n_iter: int = 5) -> str:
     next round's join AND DuckDB would otherwise inline the chain
     exponentially (same trap as the generated BPE oracle).  The sum is
     HUGEINT-typed, so every rank is cast back to BIGINT at each level.
+    ``init_sql`` / ``teleport_sql`` are per-node expressions over
+    documents ``d`` (personalized PageRank concentrates both on a seed
+    set); ``tail`` overrides the final SELECT.
     """
     parts = [
         LINK_EDGES_CTE.strip()[4:],  # drop the leading 'WITH' to splice
         """outdeg AS MATERIALIZED (
   SELECT src_doc_id, count(*) AS od FROM edges GROUP BY 1
 )""",
-        """r0 AS MATERIALIZED (
-  SELECT doc_id, CAST(1000000 AS BIGINT) AS rank_micro FROM documents
+        f"""r0 AS MATERIALIZED (
+  SELECT doc_id, CAST({init_sql} AS BIGINT) AS rank_micro FROM documents
 )""",
     ]
     for k in range(1, n_iter + 1):
         parts.append(f"""r{k} AS MATERIALIZED (
   SELECT d.doc_id,
-         CAST(150000 + coalesce(s.inflow, 0) AS BIGINT) AS rank_micro
+         CAST(({teleport_sql}) + coalesce(s.inflow, 0) AS BIGINT)
+           AS rank_micro
   FROM documents d
   LEFT JOIN (
     SELECT e.dst_doc_id AS doc_id,
@@ -3359,16 +3368,35 @@ def _pagerank_oracle(n_iter: int = 5) -> str:
     GROUP BY e.dst_doc_id) s ON d.doc_id = s.doc_id
 )""")
     chain = "WITH " + ",\n".join(parts)
-    return chain + f"""
+    if tail is None:
+        tail = f"""
 SELECT r.doc_id, r.rank_micro,
        CAST(coalesce(i.ind, 0) AS BIGINT) AS in_degree
 FROM r{n_iter} r
 LEFT JOIN (SELECT dst_doc_id, count(*) AS ind FROM edges GROUP BY 1) i
   ON r.doc_id = i.dst_doc_id
 """
+    return chain + tail
 
 
 ORACLES["pagerank"] = _pagerank_oracle(5)
+
+
+# Personalized (seed-rooted) PageRank: initial mass AND teleport live
+# only on the seed set doc_id % 20 == 0 — the TrustRank shape.  The
+# per-node expressions reference documents d inside the generated CTE
+# chain; the iteration body is IDENTICAL to the plain twin.
+_PPR_SEED_SQL = "CASE WHEN d.doc_id % 20 = 0 THEN {v} ELSE 0 END"
+ORACLES["pagerank_personalized"] = _pagerank_oracle(
+    5,
+    init_sql="CASE WHEN doc_id % 20 = 0 THEN 1000000 ELSE 0 END",
+    teleport_sql=_PPR_SEED_SQL.format(v=150000),
+    tail="""
+SELECT r.doc_id, r.rank_micro,
+       CAST(CASE WHEN r.doc_id % 20 = 0 THEN 1 ELSE 0 END AS INT) AS is_seed
+FROM r5 r
+""",
+)
 
 
 # Bag-of-words classifier twin (operators/bow.py): identical hash
@@ -3689,6 +3717,21 @@ FROM built
 # Gzip-member WARC round trip: compression is transparent to the
 # contract — same twin as warc_extract.
 ORACLES["warc_extract_gz"] = ORACLES["warc_extract"]
+
+
+# Malformed-record audit: the query corrupts every CRLFCRLF separator of
+# records with doc_id % 9 == 4 before parsing, so the envelope split and
+# the HTTP body split both fail for exactly that share — the audit's
+# NULL counts must invert the injection arithmetic.  n_records counts
+# EVERY document (the audit runs before the 200-status filter).
+ORACLES["warc_malformed_audit"] = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN doc_id % 9 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_status_null,
+       CAST(sum(CASE WHEN doc_id % 9 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_html_null
+FROM documents
+"""
 
 
 # Robots-noindex compliance gate: kept set = doc_id % 13 != 0, output =

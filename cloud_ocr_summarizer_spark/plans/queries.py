@@ -3164,6 +3164,28 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_8["pagerank"] = q_pagerank
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-rooted personalized PageRank
+    (operators/linkgraph.pagerank_personalized): initial mass and the
+    teleport term live only on the seed set doc_id % 20 == 0, so rank
+    flows outward from trusted pages — the TrustRank-style quality
+    prior.  Same integer recurrence body as `pagerank` (shared
+    _iterate_ranks); DuckDB twin is the same generated MATERIALIZED-CTE
+    chain with the seed-cased init/teleport expressions."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        extract_outlinks,
+        pagerank_personalized,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    return pagerank_personalized(docs, edges, n_iter=5)
+
+
+BATCH_8["pagerank_personalized"] = q_pagerank_personalized
+
+
 def q_bow_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised bag-of-words curation classifier (operators/bow.py):
     train integer token-frequency weights on the 80% hash-split slice,
@@ -3381,6 +3403,34 @@ def q_warc_extract_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["warc_extract_gz"] = q_warc_extract_gz
+
+
+def q_warc_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record accounting (operators/warc.warc_malformed_audit):
+    every record whose embedded id satisfies doc_id % 9 == 4 has ALL of
+    its CRLFCRLF separators corrupted to bare LFLF before parsing — the
+    envelope grammar fails, so both the HTTP split and the body split
+    must surface as NULL and the audit must count exactly the corrupted
+    share (the twin re-derives the counts from the id arithmetic).  A
+    parser that treats a missing separator as substr-from-position-4
+    garbage reports zero here and fails the value check."""
+    from cloud_ocr_summarizer_spark.operators.warc import (
+        derive_warc_records_from_documents,
+        warc_malformed_audit,
+    )
+
+    rec = derive_warc_records_from_documents(_read(spark, sf_dir, "documents"))
+    txt = F.decode(F.col("payload"), "UTF-8")
+    rid = F.regexp_extract(txt, r"urn:doc:(\d+)", 1).cast("bigint")
+    corrupted = F.when(
+        rid % 9 == 4, F.replace(txt, F.lit("\r\n\r\n"), F.lit("\n\n"))
+    ).otherwise(txt)
+    return warc_malformed_audit(
+        rec.select(F.encode(corrupted, "UTF-8").alias("payload"))
+    )
+
+
+BATCH_8["warc_malformed_audit"] = q_warc_malformed_audit
 
 
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

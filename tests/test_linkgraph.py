@@ -355,3 +355,75 @@ def test_pagerank_bucketed_refuses_existing_path(spark, tmp_path):
         assert df.count() == 6
     finally:
         spark.sql("DROP TABLE IF EXISTS pagerank_fan_guard_test")
+
+
+def test_hot_dst_synthesis_concentrates_edges_on_doc0(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        inbound_anchor_texts,
+    )
+
+    n = 60
+    docs = _docs(spark, n)
+    html = derive_linkgraph_html_from_documents(docs, hot_dst_every=5)
+    edges = extract_outlinks(html)
+    # every uniform target divisible by 5 redirects to doc 0: the hot
+    # key holds the redirected mass (~1/5 of slots, minus doc 0's own
+    # self-links which drop), everything else matches the arithmetic
+    expected = set()
+    hot = 0
+    for d in range(n):
+        for j in range(1, 2 + d % 3):
+            t = (d * 7919 + j * 104729) % n
+            if t % 5 == 0:
+                t = 0
+                hot += d != 0
+            if t != d:
+                expected.add((d, t))
+    got = {(r.src_doc_id, r.dst_doc_id) for r in edges.collect()}
+    assert got == expected
+    assert hot >= n // 5  # the skew is real, not incidental
+    # and the bounded two-level aggregate is partitioning-proof on the
+    # hot corpus: n_salts=1 (single per-dst buffer) vs the default 16
+    a1 = {
+        (r.doc_id, r.n_inbound, r.anchor_texts)
+        for r in inbound_anchor_texts(html, n_salts=1).collect()
+    }
+    a16 = {
+        (r.doc_id, r.n_inbound, r.anchor_texts)
+        for r in inbound_anchor_texts(html).collect()
+    }
+    assert a1 == a16
+
+
+def test_pagerank_personalized_matches_pure_python(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        pagerank_personalized,
+    )
+
+    n, n_iter, seed_mod = 24, 3, 4
+    docs = _docs(spark, n)
+    edges_df = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    got = {
+        r.doc_id: (r.rank_micro, r.is_seed)
+        for r in pagerank_personalized(
+            docs, edges_df, seed_mod=seed_mod, n_iter=n_iter
+        ).collect()
+    }
+    edges = _expected_edges(n)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {d: INIT_MICRO if d % seed_mod == 0 else 0 for d in range(n)}
+    for _ in range(n_iter):
+        inflow = {d: 0 for d in range(n)}
+        for s, t in edges:
+            inflow[t] += (ranks[s] // outdeg[s]) * DAMP_NUM // 100
+        ranks = {
+            d: (TELEPORT_MICRO if d % seed_mod == 0 else 0) + inflow[d]
+            for d in range(n)
+        }
+    assert got == {d: (ranks[d], int(d % seed_mod == 0)) for d in range(n)}
+    # a non-seed with no path from any seed carries exactly zero rank
+    assert all(
+        rm == 0 for d, (rm, s) in got.items() if s == 0 and ranks[d] == 0
+    )

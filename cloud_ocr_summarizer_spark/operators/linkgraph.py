@@ -41,7 +41,7 @@ through N = 10^12 docs (max ~8.5·10^17 < 2^63).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DAMP_NUM = 85  # damping 0.85 as integer percent
 TELEPORT_MICRO = 150_000  # (1 - 0.85) * 10^6
@@ -276,20 +276,42 @@ def pagerank_over_documents(
     Defaults to the bucketed fan table (:func:`pagerank_bucketed` with
     a per-call unique table name) — the scale-correct plan: the
     edge-sized iteration-invariant side is written once and never
-    re-shuffles, so per-iteration shuffle is O(nodes).  Falls back to
-    the plain loop (bit-identical recurrence) when the session has no
-    writable warehouse (e.g. read-only deployments); pass
-    ``bucketed=False`` to skip the attempt.
+    re-shuffles, so per-iteration shuffle is O(nodes).  The node-sized
+    result is eagerly checkpointed and the fan table dropped before
+    return (no per-call warehouse leak).  Falls back to the plain loop
+    (bit-identical recurrence, with a ``RuntimeWarning`` naming the
+    cause) when the session has no writable warehouse (e.g. read-only
+    deployments); pass ``bucketed=False`` to skip the attempt.
     """
     html = derive_linkgraph_html_from_documents(docs)
     edges = extract_outlinks(html)
     if bucketed:
+        import uuid
+        import warnings
+
+        table = f"pagerank_fan_{uuid.uuid4().hex[:12]}"
+        spark = docs.sparkSession
         try:
-            ranks = pagerank_bucketed(docs, edges, n_iter=n_iter)
-        except Exception:
+            ranks = pagerank_bucketed(docs, edges, n_iter=n_iter, table=table)
+            # eager checkpoint of the NODE-sized result severs the plan's
+            # reference to the fan table, so the edge-sized table can be
+            # dropped immediately instead of leaking one per call
+            ranks = ranks.localCheckpoint()
+        except Exception as exc:  # noqa: BLE001 — fallback must be audible
             # no writable warehouse / catalog in this session: the plain
-            # loop computes the identical integer recurrence
+            # loop computes the identical integer recurrence.  Warn so a
+            # bench never silently times the re-shuffling plan while its
+            # label claims the bucketed one.
+            warnings.warn(
+                "pagerank_over_documents: bucketed fan table unavailable "
+                f"({type(exc).__name__}: {exc}); falling back to the "
+                "plain per-iteration edge-shuffle loop",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             ranks = pagerank(docs, edges, n_iter=n_iter)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     else:
         ranks = pagerank(docs, edges, n_iter=n_iter)
     # in-degree directly from the edges: degree_stats would redundantly
@@ -334,6 +356,7 @@ def inbound_anchor_texts(
     html_col: str = "html",
     top_k: int = ANCHOR_TOP_K,
     n_salts: int = ANCHOR_SALTS,
+    merge: str = "salted",
 ) -> DataFrame:
     """Per TARGET doc: the first ``top_k`` sorted inbound anchor texts
     (the classic web ranking/description signal — what OTHER pages call
@@ -361,8 +384,36 @@ def inbound_anchor_texts(
     truncation is observable per row; corpus-level accounting is
     :func:`anchor_text_cap_audit`.  Output: (doc_id, n_inbound,
     anchor_texts as ' | '-joined first-k sorted string).
+
+    The salted pre-merge is a CONSTANT-FACTOR relief: the level-1
+    buffer is still in_degree/n_salts, so an extreme (10^9-inbound)
+    target merely OOMs ``n_salts`` times later.  ``merge="window"``
+    is the fully bounded formulation for that regime: row_number over
+    a (doc_id ORDER BY txt) window — sort state is an ExternalSorter
+    that SPILLS for a hot key instead of growing an in-memory
+    aggregation buffer, the exact count rides the same partitioning
+    (no extra shuffle), and the post-filter reassembly holds <= top_k
+    rows per key.  Bit-identical output (pytest-pinned on a hot-key
+    corpus); same shuffle volume, plus a per-partition sort.
     """
     exploded = _anchor_pairs(html_df, html_col=html_col)
+    if merge == "window":
+        w_all = Window.partitionBy("doc_id")
+        w_rank = Window.partitionBy("doc_id").orderBy("txt")
+        return (
+            exploded.withColumn("_n", F.count("*").over(w_all))
+            .withColumn("_rn", F.row_number().over(w_rank))
+            .where(F.col("_rn") <= top_k)
+            .groupBy("doc_id")
+            .agg(
+                F.max("_n").cast("bigint").alias("n_inbound"),
+                F.array_join(
+                    F.sort_array(F.collect_list("txt")), " | "
+                ).alias("anchor_texts"),
+            )
+        )
+    if merge != "salted":
+        raise ValueError(f"merge must be 'salted' or 'window', got {merge!r}")
     lvl1 = (
         exploded.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col("src")), F.lit(n_salts))
@@ -476,19 +527,37 @@ KMV_K = 8
 
 
 def _merge_ball_sketches(
-    cur: DataFrame, edges: DataFrame, *, k: int, n_salts: int
+    cur: DataFrame,
+    edges: DataFrame,
+    *,
+    k: int,
+    n_salts: int,
+    merge: str = "salted",
 ) -> DataFrame:
-    """One HyperBall round's sketch merge, every buffer bounded.
+    """One HyperBall round's sketch merge, hot-key state controlled.
 
-    Pre-reduces per (dst, salt(src)) to the k smallest distinct hashes
-    before the per-dst merge — the per-key aggregation buffer is
-    in_degree/n_salts × k at level 1 and n_salts × k at level 2, never
-    in_degree × k (power-law in-degree would otherwise concentrate a
-    hot node's whole neighborhood in one buffer).  min-k over distinct
-    values is associative, so output is bit-identical to a single-level
-    merge.  Factored out of the iteration loop so the plan shape is
-    directly assertable (the loop cuts each round with localCheckpoint,
-    which truncates the inspectable plan)."""
+    ``merge="salted"`` (default) pre-reduces per (dst, salt(src)) to
+    the k smallest distinct hashes before the per-dst merge — the
+    per-key aggregation buffer is in_degree/n_salts × k at level 1 and
+    n_salts × k at level 2, never in_degree × k.  This is a
+    CONSTANT-FACTOR relief (n_salts×), not a hard bound: an extreme
+    power-law node still concentrates in_degree/n_salts×k values in
+    one level-1 buffer.
+
+    ``merge="window"`` is the fully bounded formulation for that
+    regime: explode the joined sketches to (dst, hash) rows, distinct
+    (a hash aggregate whose per-group state is O(1) and map-side
+    combinable), then row_number <= k over a (dst ORDER BY hash)
+    window — sort state SPILLS via the ExternalSorter for a hot key
+    instead of growing an in-memory buffer, and the reassembly after
+    the filter holds <= k rows per key.  Same shuffle volume (k
+    hashes per inbound edge either way), plus a per-partition sort.
+
+    min-k over distinct values is associative, so both are
+    bit-identical to a single-level merge (pytest-pinned).  Factored
+    out of the iteration loop so the plan shape is directly assertable
+    (the loop cuts each round with localCheckpoint, which truncates
+    the inspectable plan)."""
     empty = F.array().cast("array<bigint>")
 
     def _min_k_distinct(col_of_lists):
@@ -496,20 +565,33 @@ def _merge_ball_sketches(
             F.array_sort(F.array_distinct(F.flatten(col_of_lists))), 1, k
         )
 
-    pre = (
-        edges.join(
-            cur.select(F.col("doc_id").alias("_u"), "sketch"),
-            edges.src_doc_id == F.col("_u"),
+    joined = edges.join(
+        cur.select(F.col("doc_id").alias("_u"), "sketch"),
+        edges.src_doc_id == F.col("_u"),
+    )
+    if merge == "window":
+        w_rank = Window.partitionBy("doc_id").orderBy("_h")
+        nbr = (
+            joined.select(
+                F.col("dst_doc_id").alias("doc_id"),
+                F.explode("sketch").alias("_h"),
+            )
+            .dropDuplicates(["doc_id", "_h"])
+            .withColumn("_rn", F.row_number().over(w_rank))
+            .where(F.col("_rn") <= k)
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list("_h")).alias("_nbr"))
         )
-        .groupBy(
+    elif merge == "salted":
+        pre = joined.groupBy(
             F.col("dst_doc_id").alias("doc_id"),
             F.pmod(F.xxhash64(F.col("_u")), F.lit(n_salts)).alias("_salt"),
+        ).agg(_min_k_distinct(F.collect_list("sketch")).alias("_s1"))
+        nbr = pre.groupBy("doc_id").agg(
+            _min_k_distinct(F.collect_list("_s1")).alias("_nbr")
         )
-        .agg(_min_k_distinct(F.collect_list("sketch")).alias("_s1"))
-    )
-    nbr = pre.groupBy("doc_id").agg(
-        _min_k_distinct(F.collect_list("_s1")).alias("_nbr")
-    )
+    else:
+        raise ValueError(f"merge must be 'salted' or 'window', got {merge!r}")
     return cur.join(nbr, "doc_id", "left").select(
         "doc_id",
         "est",
@@ -533,6 +615,7 @@ def harmonic_centrality_kmv(
     k: int = KMV_K,
     n_iter: int = 3,
     n_salts: int = 16,
+    merge: str = "salted",
 ) -> DataFrame:
     """Approximate harmonic centrality via iterated KMV ball sketches.
 
@@ -554,6 +637,9 @@ def harmonic_centrality_kmv(
     values is associative, so the two-level result is bit-identical to
     the single-level merge (pytest-pinned against a pure-Python
     recurrence); same pattern as sketch.kmv_distinct's map-side prune.
+    The salting is a constant-factor (n_salts×) relief; for extreme
+    power-law in-degree pass ``merge="window"`` — the spill-bounded
+    sort formulation (see :func:`_merge_ball_sketches`), bit-identical.
 
     Ball-size estimate est_t = |sketch| while < k (exact), else
     ((k-1)*M) div kth_min — all integer.  harmonic_milli =
@@ -575,7 +661,9 @@ def harmonic_centrality_kmv(
         F.lit(0).cast("bigint").alias("harmonic_milli"),
     )
     for t in range(1, n_iter + 1):
-        merged = _merge_ball_sketches(cur, edges, k=k, n_salts=n_salts)
+        merged = _merge_ball_sketches(
+            cur, edges, k=k, n_salts=n_salts, merge=merge
+        )
         # single precomputed BIGINT literal: (k-1) * M31 written as an
         # int-literal product would multiply as INT and THROW under ANSI
         num = (k - 1) * M31

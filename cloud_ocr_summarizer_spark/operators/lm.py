@@ -41,6 +41,23 @@ RARE_COUNT_MAX = 1  # a bigram seen once corpus-wide is "rare"
 LM_MIN_PAIR_COUNT = 2
 
 
+def _check_exact_reconstruction(min_pair_count: int) -> None:
+    """Raise (not assert — ``python -O`` must not skip this) when the
+    prune floor breaks the consumers' exact-reconstruction contract: a
+    pair missing from the pruned table has true corpus count in
+    [1, min_pair_count - 1], so coalescing to ``min_pair_count - 1`` is
+    exact only when that interval is the single value {1}."""
+    if min_pair_count > 2:
+        raise ValueError(
+            f"min_pair_count={min_pair_count} prunes pairs with corpus "
+            "counts 1..{} which cannot all be reconstructed as {}; "
+            "scoring would be silently wrong — only min_pair_count <= 2 "
+            "preserves bit-identical output".format(
+                min_pair_count - 1, min_pair_count - 1
+            )
+        )
+
+
 def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — one row per adjacent lowercase token pair within a
     document (document boundaries are sequence boundaries; no sentinel
@@ -147,9 +164,7 @@ def lm_rarity_profile(
     one occurrence) — the left join + coalesce(c2, 1) reconstructs
     every value bit-identically to the unpruned table (pytest-pinned;
     the DuckDB twin computes from the unpruned counts)."""
-    assert min_pair_count <= RARE_COUNT_MAX + 1, (
-        "exact reconstruction needs min_pair_count - 1 <= RARE_COUNT_MAX"
-    )
+    _check_exact_reconstruction(min_pair_count)
     _, bigrams = bigram_count_tables(
         docs, id_col=id_col, text_col=text_col, min_pair_count=min_pair_count
     )
@@ -202,6 +217,7 @@ def bigram_perplexity(
     (log/exp ulp behavior is engine-specific).  Every document
     surfaces; docs with no bigrams report NULL perplexity (same
     every-doc contract as ``lm_rarity_profile``)."""
+    _check_exact_reconstruction(min_pair_count)
     unigrams, bigrams = bigram_count_tables(
         docs, id_col=id_col, text_col=text_col, min_pair_count=min_pair_count
     )

@@ -98,27 +98,20 @@ def parse_warc_records(
     staged = records.select(
         F.decode(F.col(payload_col), "UTF-8").alias("_t")
     ).select("_t", _after_blank_line(F.col("_t")).alias("_http"))
-    # nullif('') before every numeric cast: a missing header/status is a
-    # NULL field, not an ANSI cast error or a garbage value
+    # try_cast on every numeric field: a missing, garbage, or overlong
+    # header value is a NULL field (countable by the audit), never an
+    # ANSI cast error that aborts the job on one bad crawl record
     return staged.select(
-        F.nullif(
-            F.regexp_extract(
-                F.col("_t"), r"WARC-Record-ID: <urn:doc:(\d+)>", 1
-            ),
-            F.lit(""),
-        )
-        .cast("bigint")
+        F.regexp_extract(F.col("_t"), r"WARC-Record-ID: <urn:doc:(\d+)>", 1)
+        .try_cast("bigint")
         .alias("doc_id"),
         _header(F.col("_t"), "WARC-Target-URI").alias("target_uri"),
         _header(F.col("_t"), "WARC-Date").alias("warc_date"),
-        F.nullif(_header(F.col("_t"), "Content-Length"), F.lit(""))
-        .cast("bigint")
+        _header(F.col("_t"), "Content-Length")
+        .try_cast("bigint")
         .alias("content_length"),
-        F.nullif(
-            F.regexp_extract(F.col("_http"), r"^HTTP/1\.1 (\d+)", 1),
-            F.lit(""),
-        )
-        .cast("int")
+        F.regexp_extract(F.col("_http"), r"^HTTP/1\.1 (\d+)(?=\s|$)", 1)
+        .try_cast("int")
         .alias("http_status"),
         _after_blank_line(F.col("_http")).alias("html"),
     )

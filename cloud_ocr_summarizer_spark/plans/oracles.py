@@ -3559,6 +3559,7 @@ FROM pairs GROUP BY doc_id
 
 
 ORACLES["anchor_texts"] = _anchor_texts_oracle(16)
+ORACLES["anchor_texts_window"] = _anchor_texts_oracle(16)
 # top_k=2 fires the cap on nearly every multi-inbound target, so the
 # value check covers the truncation path itself, not just the pass-through
 ORACLES["anchor_texts_capped"] = _anchor_texts_oracle(2)
@@ -3645,6 +3646,7 @@ def _harmonic_oracle(k: int = 8, n_iter: int = 3) -> str:
 
 
 ORACLES["harmonic_centrality"] = _harmonic_oracle(8, 3)
+ORACLES["harmonic_centrality_window"] = _harmonic_oracle(8, 3)
 
 
 # URL dedup: the twin NEVER sees the messy URL — it derives each doc's

@@ -3301,6 +3301,27 @@ def q_anchor_texts_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_8["anchor_texts_capped"] = q_anchor_texts_capped
 
 
+def q_anchor_texts_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor-text aggregation via merge='window' — the
+    spill-bounded sort formulation for extreme power-law in-degree
+    (row_number over a per-target window; ExternalSorter state spills
+    instead of growing an aggregation buffer).  Bit-identical contract:
+    shares ORACLES['anchor_texts'] with the salted default, so the
+    driver value-checks the equivalence cross-engine."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        inbound_anchor_texts,
+    )
+
+    return inbound_anchor_texts(
+        derive_linkgraph_html_from_documents(_read(spark, sf_dir, "documents")),
+        merge="window",
+    )
+
+
+BATCH_8["anchor_texts_window"] = q_anchor_texts_window
+
+
 def q_anchor_texts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-row drop audit for the anchor-text top-K cap at top_k=2
     (operators/linkgraph.anchor_text_cap_audit): targets truncated +
@@ -3353,6 +3374,26 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["harmonic_centrality"] = q_harmonic_centrality
+
+
+def q_harmonic_centrality_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality with the merge='window' ball-sketch merge —
+    explode + distinct + row_number <= k per target: every buffer O(1)
+    or spill-bounded, for the in-degree regime where the salted
+    pre-merge's constant-factor relief is not enough.  Shares
+    ORACLES['harmonic_centrality'] (bit-identical recurrence)."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        extract_outlinks,
+        harmonic_centrality_kmv,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    return harmonic_centrality_kmv(docs, edges, k=8, n_iter=3, merge="window")
+
+
+BATCH_8["harmonic_centrality_window"] = q_harmonic_centrality_window
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

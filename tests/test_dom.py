@@ -414,3 +414,23 @@ def test_warc_malformed_record_surfaces_null_not_garbage(spark):
     assert rows[9].http_status == 200 and rows[9].html is None
     audit = warc_malformed_audit(df).collect()[0]
     assert (audit.n_records, audit.n_status_null, audit.n_html_null) == (3, 1, 2)
+
+
+def test_warc_garbage_numeric_headers_null_not_crash(spark):
+    """Non-numeric Content-Length, an over-bigint record id, and a
+    non-numeric status line must parse as NULL fields under ANSI mode —
+    one corrupt crawl record may never abort the whole job."""
+    from cloud_ocr_summarizer_spark.operators.warc import parse_warc_records
+
+    garbage = (
+        "WARC/1.0\r\nWARC-Record-ID: <urn:doc:99999999999999999999999>\r\n"
+        "WARC-Target-URI: http://x/g\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "Content-Length: abc\r\n\r\n"
+        "HTTP/1.1 2x0 Weird\r\nContent-Type: text/html\r\n\r\n<html>g</html>"
+    )
+    df = spark.createDataFrame([(garbage.encode(),)], "payload binary")
+    row = parse_warc_records(df).collect()[0]
+    assert row.doc_id is None
+    assert row.content_length is None
+    assert row.http_status is None
+    assert row.html == "<html>g</html>"

@@ -308,23 +308,26 @@ def test_harmonic_centrality_matches_pure_python(spark):
 
 
 def test_pagerank_over_documents_bucketed_default_matches_plain(spark):
+    import warnings
+
     docs = _docs(spark, 10)
-    buck = {
-        (r.doc_id, r.rank_micro, r.in_degree)
-        for r in pagerank_over_documents(docs, n_iter=2).collect()
-    }
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        buck = {
+            (r.doc_id, r.rank_micro, r.in_degree)
+            for r in pagerank_over_documents(docs, n_iter=2).collect()
+        }
+    # the bucketed path ran (no fallback warning) ...
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    # ... and its per-call fan table was dropped, not leaked
+    fans = [t.name for t in spark.catalog.listTables()
+            if t.name.startswith("pagerank_fan_")]
+    assert fans == []
     plain = {
         (r.doc_id, r.rank_micro, r.in_degree)
         for r in pagerank_over_documents(docs, n_iter=2, bucketed=False).collect()
     }
     assert buck == plain
-    # the default path really used the bucketed fan (a unique table
-    # materialized in the catalog)
-    fans = [t.name for t in spark.catalog.listTables()
-            if t.name.startswith("pagerank_fan_")]
-    assert fans
-    for t in fans:
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_pagerank_bucketed_refuses_existing_path(spark, tmp_path):
@@ -427,3 +430,49 @@ def test_pagerank_personalized_matches_pure_python(spark):
     assert all(
         rm == 0 for d, (rm, s) in got.items() if s == 0 and ranks[d] == 0
     )
+
+
+def test_window_merge_variants_bit_identical(spark):
+    """merge='window' (spill-bounded sort formulation for extreme
+    power-law in-degree) must match merge='salted' bit-for-bit on a
+    hot-key corpus, for both anchor texts and harmonic centrality."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        harmonic_centrality_kmv,
+        inbound_anchor_texts,
+    )
+
+    # hot target (doc 0 receives every source's anchor) + the uniform
+    # derived corpus, unioned so both shapes are exercised at once
+    docs = _docs(spark, 12)
+    html = derive_linkgraph_html_from_documents(docs).unionByName(
+        _hot_target_html(spark, 40).select(
+            (F.col("doc_id") + 100).alias("doc_id"), "html"
+        )
+    )
+    a = {
+        r.doc_id: (r.n_inbound, r.anchor_texts)
+        for r in inbound_anchor_texts(html, top_k=5).collect()
+    }
+    b = {
+        r.doc_id: (r.n_inbound, r.anchor_texts)
+        for r in inbound_anchor_texts(html, top_k=5, merge="window").collect()
+    }
+    assert a == b
+
+    edges = extract_outlinks(html)
+    h_a = {
+        r.doc_id: (r.n_reached_est, r.harmonic_milli)
+        for r in harmonic_centrality_kmv(docs, edges, k=4, n_iter=2).collect()
+    }
+    h_b = {
+        r.doc_id: (r.n_reached_est, r.harmonic_milli)
+        for r in harmonic_centrality_kmv(
+            docs, edges, k=4, n_iter=2, merge="window"
+        ).collect()
+    }
+    assert h_a == h_b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="merge"):
+        inbound_anchor_texts(html, merge="nope")

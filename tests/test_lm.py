@@ -135,3 +135,23 @@ def test_lm_pair_drop_audit_counts(spark):
     row = lm_pair_drop_audit(df, min_pair_count=2).collect()[0]
     assert (row.cap_name, row.cap_value) == ("lm_min_pair_count", 2)
     assert (row.dropped_groups, row.dropped_rows) == (3, 3)
+
+
+def test_min_pair_count_above_two_refused_in_both_consumers(spark):
+    """A prune floor above 2 breaks exact reconstruction (pruned pairs
+    with true count 1 vs 2 become indistinguishable) — both consumers
+    must refuse loudly, not silently score wrong."""
+    import pytest
+
+    from cloud_ocr_summarizer_spark.operators.lm import (
+        bigram_perplexity,
+        lm_rarity_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="min_pair_count"):
+        lm_rarity_profile(docs, min_pair_count=3)
+    with pytest.raises(ValueError, match="min_pair_count"):
+        bigram_perplexity(docs, min_pair_count=3)

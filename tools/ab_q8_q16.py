@@ -76,7 +76,8 @@ def main() -> int:
         worker(sys.argv[2])
         return 0
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    sides = {"r3": R3_CODE, "cur": "/root/repo"}
+    cur_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sides = {"r3": R3_CODE, "cur": cur_repo}
     results: dict[str, list[dict]] = {k: [] for k in sides}
     for i in range(reps):
         for name, repo in sides.items():

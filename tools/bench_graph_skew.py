@@ -86,7 +86,13 @@ def worker(corpus: str, job: str) -> None:
     spark = get_spark(app_name=f"bench-graph-skew-{corpus}-{job}", cores=32)
     docs = spark.read.parquet(corpus_path(N_DOCS))
     html = spark.read.parquet(_html_path(corpus))
-    edges = extract_outlinks(html).localCheckpoint()  # parse once, eager
+    # edges only for the jobs that consume them: the anchor cells must
+    # not pay a 1M-doc parse + distinct shuffle, nor hold ~2M-edge
+    # checkpoint blocks resident, during THEIR timed runs (the same
+    # in-session pollution trap documented below for the first cut)
+    edges = None
+    if job in ("pagerank", "harmonic", "harmonic_salts1"):
+        edges = extract_outlinks(html).localCheckpoint()  # parse once, eager
 
     make = {
         "pagerank": lambda: pagerank(docs, edges, n_iter=5),

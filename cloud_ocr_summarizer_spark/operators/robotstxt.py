@@ -1,0 +1,181 @@
+"""robots.txt rules: synthesis, parsing, and the longest-match crawl gate.
+
+The crawl-compliance surface so far gated on the per-PAGE signal
+(``dom.meta_robots_gate``, the <meta name="robots" content="noindex">
+tag).  This module adds the per-HOST side a real crawler enforces
+BEFORE fetching: the robots.txt file — ``User-agent`` groups of
+``Allow:`` / ``Disallow:`` path-prefix rules, resolved per URL by the
+longest-matching rule with Allow winning length ties (the Google/REP
+resolution order, RFC 9309 §2.2.2).
+
+Reference tie-in: the reference pipeline (vision_processor.py:146-326)
+assumes its inputs were already compliantly crawled; this module is
+part of the crawl/curation surface the north rule adds around it.
+
+Scale design:
+  - robots.txt files are per-host and small BY CONSTRUCTION (one file
+    per host; real crawlers cap reads at 500 KiB, RFC 9309 §2.5) — the
+    parsed rule set per host is a bounded array, so attaching it to the
+    corpus is one equi-join on host followed by a ROW-LOCAL
+    higher-order-function longest-match: zero extra shuffles, no
+    per-key aggregation state on the corpus side.
+  - The rules table is host-count-sized.  Small corpora broadcast it;
+    at web scale (10^8 hosts) the equi-join shuffles the rules side
+    only — the corpus side is already being scanned — and AQE picks
+    the strategy.  Nothing here is corpus × rules.
+
+Synthesis (datagen convention: every field derivable by arithmetic so
+the DuckDB twin re-derives rules + resolution independently):
+  host digit g = doc_id % 10 (embedded in the host string), lang from
+  the host label:
+    g % 5 == 1  ->  a decoy ``User-agent: badbot / Disallow: /`` group
+                    FIRST (a correct parser must scope to ``*``)
+    g == 9      ->  ``Disallow: /``          (host fully blocked)
+    g % 3 == 0  ->  ``Disallow: /{lang}/``   (language dir blocked)
+    g % 2 == 0  ->  ``Allow: /{lang}/doc-``  (longer Allow overrides
+                    the dir Disallow for doc pages — the longest-match
+                    override case)
+    always      ->  ``Disallow: /tmp/``      (never matches a doc path)
+  plus a ``#`` comment line a parser must ignore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.column import Column
+
+
+def _host_g(host: Column) -> Column:
+    return F.regexp_extract(host, r"\.example-(\d)\.", 1).try_cast("int")
+
+
+def _host_lang(host: Column) -> Column:
+    return F.regexp_extract(host, r"-([a-z]{2})\.example-", 1)
+
+
+def derive_robots_txt_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> one (host, robots_txt) row per distinct URL host.
+
+    Rules are a function of the HOST STRING alone (digit + lang are
+    regexp-extracted back out of it), so the twin can re-derive them
+    without re-running the URL synthesis join."""
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    hosts = (
+        parse_urls(derive_urls_from_documents(docs))
+        .select("host")
+        .distinct()
+    )
+    g = _host_g(F.col("host"))
+    lang = _host_lang(F.col("host"))
+    nl = F.lit("\n")
+    decoy = F.when(
+        g % 5 == 1, F.lit("User-agent: badbot\nDisallow: /\n\n")
+    ).otherwise(F.lit(""))
+    star_rules = F.concat(
+        F.when(g == 9, F.lit("Disallow: /\n")).otherwise(F.lit("")),
+        F.when(
+            g % 3 == 0, F.concat(F.lit("Disallow: /"), lang, F.lit("/\n"))
+        ).otherwise(F.lit("")),
+        F.when(
+            g % 2 == 0, F.concat(F.lit("Allow: /"), lang, F.lit("/doc-\n"))
+        ).otherwise(F.lit("")),
+        F.lit("Disallow: /tmp/"),
+    )
+    txt = F.concat(
+        F.lit("# synthetic robots for "), F.col("host"), nl,
+        decoy,
+        F.lit("User-agent: *"), nl,
+        star_rules,
+    )
+    return hosts.select("host", txt.alias("robots_txt"))
+
+
+def parse_robots_rules(
+    robots: DataFrame, *, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> exploded (host, prefix, allow) rules of the
+    ``User-agent: *`` group.
+
+    Row-local: one regexp pulls the ``*`` group (terminated by a blank
+    line or end-of-file — other agents' groups and ``#`` comments never
+    leak in), a second pulls its ``Allow:`` / ``Disallow:`` lines.
+    ``allow`` is int (1 = Allow) — integer end-to-end for the
+    cross-engine check.  Hosts whose ``*`` group has no rules simply
+    emit no rows (explode, not explode_outer: an absent group means no
+    restrictions, same as an absent file — RFC 9309 §2.3.1.2)."""
+    sect = F.regexp_extract(
+        F.col(txt_col), r"(?s)User-agent: \*\n(.*?)(?:\n\n|$)", 1
+    )
+    lines = F.regexp_extract_all(
+        sect, F.lit(r"(?m)^(Allow|Disallow): (\S+)$"), 0
+    )
+    rules = F.transform(
+        lines,
+        lambda ln: F.struct(
+            F.regexp_extract(ln, r"^[A-Za-z]+: (\S+)$", 1).alias("prefix"),
+            F.when(ln.startswith("Allow:"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("allow"),
+        ),
+    )
+    return (
+        robots.select(F.col(host_col).alias("host"), F.explode(rules).alias("r"))
+        .select("host", F.col("r.prefix").alias("prefix"), F.col("r.allow").alias("allow"))
+    )
+
+
+def robots_txt_gate(
+    parsed_urls: DataFrame,
+    robots: DataFrame,
+    *,
+    path_col: str = "path",
+) -> DataFrame:
+    """Longest-match robots resolution per URL row.
+
+    ``parsed_urls`` carries (doc_id, url, host, path) —
+    :func:`urls.parse_urls` output.  ``robots`` is (host, robots_txt).
+    The rules are parsed, re-packed to one bounded array per host (a
+    rules-table-sized aggregate — robots files are small by
+    construction, see module docstring), equi-joined on host, and the
+    winner picked ROW-LOCALLY: max(struct(prefix_len, allow)) over the
+    matching rules, so length wins and Allow wins length ties (RFC 9309
+    §2.2.2).  No rule matching (or no robots row for the host) means
+    fetchable — the REP default.
+
+    Output: doc_id, url, fetchable (int), match_len / match_allow (the
+    winning rule, NULL when nothing matched).  One corpus shuffle (the
+    host join, broadcast when small); the longest-match itself adds
+    none.
+    """
+    per_host = (
+        parse_robots_rules(robots)
+        .groupBy("host")
+        .agg(F.collect_list(F.struct("prefix", "allow")).alias("_rs"))
+    )
+    j = parsed_urls.join(per_host, "host", "left")
+    cand = F.transform(
+        F.filter(
+            F.coalesce(
+                F.col("_rs"),
+                F.array().cast("array<struct<prefix:string,allow:int>>"),
+            ),
+            lambda r: F.col(path_col).startswith(r.prefix),
+        ),
+        lambda r: F.struct(
+            F.length(r.prefix).alias("len"), r.allow.alias("allow")
+        ),
+    )
+    w = F.array_max(cand)
+    return j.select(
+        "doc_id",
+        "url",
+        F.when(w.isNull() | (w.allow == 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("fetchable"),
+        w.getField("len").alias("match_len"),
+        w.getField("allow").alias("match_allow"),
+    )

@@ -3750,3 +3750,58 @@ FROM documents
 WHERE doc_id % 13 <> 0
 """
 )
+
+
+# robots.txt parse round trip: the twin re-derives the User-agent:*
+# rules from the HOST STRING arithmetic alone (digit g and lang are
+# regexp-extracted back out of the distinct hosts, exactly like
+# operators/robotstxt._host_g/_host_lang) — agreement proves the
+# engine's group-scoped parser skipped the badbot decoy group and the
+# comment line and recovered every (prefix, allow) pair.
+_ROBOTS_HOSTS_CTE = URL_FIELDS_CTE + r"""
+, hosts AS (
+  SELECT DISTINCT host,
+         CAST(regexp_extract(host, '\.example-(\d)\.', 1) AS INT) AS g,
+         regexp_extract(host, '-([a-z]{2})\.example-', 1) AS hlang
+  FROM with_url
+), rules AS (
+  SELECT host, '/' AS prefix, 0 AS allow FROM hosts WHERE g = 9
+  UNION ALL
+  SELECT host, '/' || hlang || '/' AS prefix, 0 AS allow
+  FROM hosts WHERE g % 3 = 0
+  UNION ALL
+  SELECT host, '/' || hlang || '/doc-' AS prefix, 1 AS allow
+  FROM hosts WHERE g % 2 = 0
+  UNION ALL
+  SELECT host, '/tmp/' AS prefix, 0 AS allow FROM hosts
+)
+"""
+
+ORACLES["robots_rules"] = _ROBOTS_HOSTS_CTE + r"""
+SELECT host, prefix, CAST(allow AS INT) AS allow FROM rules
+"""
+
+# Longest-match resolution implemented INDEPENDENTLY (ranked window
+# over prefix matches vs the engine's row-local array_max fold), so
+# the cross-engine check covers the RFC 9309 resolution order itself:
+# longest prefix wins, Allow wins length ties, no match = fetchable.
+ORACLES["robots_txt_gate"] = _ROBOTS_HOSTS_CTE + r"""
+, matches AS (
+  SELECT u.doc_id, length(r.prefix) AS len, r.allow,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC
+         ) AS rk
+  FROM with_url u
+  JOIN rules r
+    ON u.host = r.host AND starts_with(u.path, r.prefix)
+)
+SELECT u.doc_id, u.url,
+       CAST(CASE WHEN m.len IS NULL OR m.allow = 1 THEN 1 ELSE 0 END AS INT)
+         AS fetchable,
+       CAST(m.len AS INT) AS match_len,
+       CAST(m.allow AS INT) AS match_allow
+FROM with_url u
+LEFT JOIN (SELECT doc_id, len, allow FROM matches WHERE rk = 1) m
+  USING (doc_id)
+"""

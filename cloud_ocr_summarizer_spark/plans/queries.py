@@ -3493,3 +3493,48 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["robots_gate"] = q_robots_gate
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse round trip (operators/robotstxt.py): synthesize
+    one robots file per URL host (decoy badbot group, comments,
+    conditional Allow/Disallow rules), parse the User-agent:* group
+    back out.  The DuckDB twin re-derives every rule from the host
+    string arithmetic alone — the parser must scope to the * group,
+    skip the decoy and comments, and recover (prefix, allow) exactly."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        derive_robots_txt_from_documents,
+        parse_robots_rules,
+    )
+
+    return parse_robots_rules(
+        derive_robots_txt_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_8["robots_rules"] = q_robots_rules
+
+
+def q_robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-match robots.txt resolution per URL (RFC 9309 order:
+    longest matching prefix wins, Allow wins length ties, no match =
+    fetchable).  Row-local higher-order-function match over a bounded
+    per-host rules array — one corpus shuffle total.  The DuckDB twin
+    implements the SAME resolution independently (left join + ranked
+    window over matches), so the check is cross-engine on the
+    algorithm, not just the synthesis."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        derive_robots_txt_from_documents,
+        robots_txt_gate,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    return robots_txt_gate(parsed, derive_robots_txt_from_documents(docs))
+
+
+BATCH_8["robots_txt_gate"] = q_robots_txt_gate

@@ -1,0 +1,141 @@
+"""robots.txt parse + longest-match gate (RFC 9309 resolution order).
+
+Hand-built robots files pin the semantics the synthesized corpus can't
+isolate one at a time: agent-group scoping, comment tolerance, the
+Allow-wins-length-ties rule, and the no-rules / no-file defaults.
+"""
+
+from pyspark.sql import functions as F
+
+from cloud_ocr_summarizer_spark.operators.robotstxt import (
+    derive_robots_txt_from_documents,
+    parse_robots_rules,
+    robots_txt_gate,
+)
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, host string, path string"
+    )
+
+
+def test_parser_scopes_to_star_group_and_ignores_comments(spark):
+    txt = (
+        "# top comment\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Allow: /public/\n"
+        "Disallow: /private/"
+    )
+    rules = {
+        (r.prefix, r.allow)
+        for r in parse_robots_rules(_robots(spark, [("h", txt)])).collect()
+    }
+    # the badbot group's Disallow: / must NOT leak into the * rules
+    assert rules == {("/public/", 1), ("/private/", 0)}
+
+
+def test_star_group_terminates_at_blank_line(spark):
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /a/\n"
+        "\n"
+        "User-agent: otherbot\n"
+        "Disallow: /b/"
+    )
+    rules = {
+        (r.prefix, r.allow)
+        for r in parse_robots_rules(_robots(spark, [("h", txt)])).collect()
+    }
+    assert rules == {("/a/", 0)}
+
+
+def test_longest_match_and_allow_tie_break(spark):
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /dir/\n"
+        "Allow: /dir/page-\n"
+        "Disallow: /tie/\n"
+        "Allow: /tie/"  # same length as the Disallow: Allow wins the tie
+    )
+    robots = _robots(spark, [("h", txt)])
+    urls = _urls(
+        spark,
+        [
+            (1, "u1", "h", "/dir/page-1.html"),  # longer Allow wins
+            (2, "u2", "h", "/dir/other.html"),  # only the Disallow matches
+            (3, "u3", "h", "/tie/x"),  # equal lengths -> Allow wins
+            (4, "u4", "h", "/elsewhere"),  # nothing matches -> fetchable
+            (5, "u5", "nohost", "/dir/page-1.html"),  # no robots row
+        ],
+    )
+    got = {
+        r.doc_id: (r.fetchable, r.match_len, r.match_allow)
+        for r in robots_txt_gate(urls, robots).collect()
+    }
+    assert got[1] == (1, 10, 1)
+    assert got[2] == (0, 5, 0)
+    assert got[3] == (1, 5, 1)
+    assert got[4] == (1, None, None)
+    assert got[5] == (1, None, None)
+
+
+def test_empty_star_group_means_unrestricted(spark):
+    txt = "User-agent: *\n"  # group exists but carries no rules
+    robots = _robots(spark, [("h", txt)])
+    urls = _urls(spark, [(1, "u", "h", "/anything")])
+    row = robots_txt_gate(urls, robots).collect()[0]
+    assert (row.fetchable, row.match_len) == (1, None)
+
+
+def test_derived_corpus_gate_matches_host_arithmetic(spark):
+    """On the synthesized corpus the gate must reproduce the synthesis
+    arithmetic: g==9 and g%3==0 hosts block their doc paths UNLESS the
+    g%2==0 Allow override outranks (so blocked iff g in {3, 9})."""
+    docs = spark.createDataFrame(
+        [(i, "en", f"src{i % 3}") for i in range(40)],
+        "doc_id long, lang string, source string",
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    robots = derive_robots_txt_from_documents(docs)
+    got = {
+        r.doc_id: r.fetchable
+        for r in robots_txt_gate(parsed, robots).collect()
+    }
+    assert got == {i: 0 if i % 10 in (3, 9) else 1 for i in range(40)}
+
+
+def test_gate_plan_is_single_corpus_shuffle(spark):
+    """The longest-match is row-local: the ONLY corpus-side exchange in
+    the optimized plan is the host join (plus the rules-side prep) — no
+    per-URL aggregation or window over the corpus."""
+    docs = spark.createDataFrame(
+        [(i, "en", "s") for i in range(20)],
+        "doc_id long, lang string, source string",
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    gate = robots_txt_gate(parsed, derive_robots_txt_from_documents(docs))
+    plan = gate._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    # the longest-match stayed a row-local expression (array_max over
+    # the filtered rules array — CollapseProject inlines one copy per
+    # output column; codegen subexpression elimination dedups at run
+    # time), never an Aggregate or Window over the url side
+    assert "array_max" in plan

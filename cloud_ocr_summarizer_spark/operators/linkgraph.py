@@ -229,6 +229,7 @@ def pagerank_personalized(
     *,
     seed_mod: int = PPR_SEED_MOD,
     n_iter: int = 5,
+    bucketed: bool = True,
 ) -> DataFrame:
     """Personalized (seed-rooted) integer PageRank
     -> (doc_id, rank_micro, is_seed).
@@ -245,18 +246,40 @@ def pagerank_personalized(
     BIGINT headroom is unchanged since per-node teleport never grows).
     Seeds are a deterministic id-arithmetic set here; a deployment
     passes its own seed predicate.
+
+    ``bucketed=True`` (default) runs the iteration over the
+    once-written bucketed fan table — the same scale fix as
+    :func:`pagerank_over_documents` (per-iteration shuffle O(nodes),
+    not O(edges)); identical integer recurrence either way
+    (pytest-asserted), with the same audible plain-loop fallback when
+    the session has no writable warehouse.
     """
     d = F.col("doc_id")
     seed = d % seed_mod == 0
     zero = F.lit(0)
-    fan = _fan_table(edges).localCheckpoint(eager=False)
-    ranks = _iterate_ranks(
-        nodes.select("doc_id"),
-        fan,
-        n_iter=n_iter,
-        init_micro=F.when(seed, F.lit(INIT_MICRO)).otherwise(zero),
-        teleport_micro=F.when(seed, F.lit(TELEPORT_MICRO)).otherwise(zero),
+    node_ids = nodes.select("doc_id")
+
+    def _it(fan: DataFrame, *, merge_hint: bool) -> DataFrame:
+        return _iterate_ranks(
+            node_ids,
+            fan,
+            n_iter=n_iter,
+            init_micro=F.when(seed, F.lit(INIT_MICRO)).otherwise(zero),
+            teleport_micro=F.when(seed, F.lit(TELEPORT_MICRO)).otherwise(
+                zero
+            ),
+            merge_hint=merge_hint,
+        )
+
+    ranks = (
+        _ranks_on_bucketed_fan(edges, lambda fan: _it(fan, merge_hint=True))
+        if bucketed
+        else None
     )
+    if ranks is None:
+        ranks = _it(
+            _fan_table(edges).localCheckpoint(eager=False), merge_hint=False
+        )
     return ranks.select(
         "doc_id",
         "rank_micro",
@@ -285,34 +308,17 @@ def pagerank_over_documents(
     """
     html = derive_linkgraph_html_from_documents(docs)
     edges = extract_outlinks(html)
-    if bucketed:
-        import uuid
-        import warnings
-
-        table = f"pagerank_fan_{uuid.uuid4().hex[:12]}"
-        spark = docs.sparkSession
-        try:
-            ranks = pagerank_bucketed(docs, edges, n_iter=n_iter, table=table)
-            # eager checkpoint of the NODE-sized result severs the plan's
-            # reference to the fan table, so the edge-sized table can be
-            # dropped immediately instead of leaking one per call
-            ranks = ranks.localCheckpoint()
-        except Exception as exc:  # noqa: BLE001 — fallback must be audible
-            # no writable warehouse / catalog in this session: the plain
-            # loop computes the identical integer recurrence.  Warn so a
-            # bench never silently times the re-shuffling plan while its
-            # label claims the bucketed one.
-            warnings.warn(
-                "pagerank_over_documents: bucketed fan table unavailable "
-                f"({type(exc).__name__}: {exc}); falling back to the "
-                "plain per-iteration edge-shuffle loop",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-            ranks = pagerank(docs, edges, n_iter=n_iter)
-        finally:
-            spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    else:
+    ranks = (
+        _ranks_on_bucketed_fan(
+            edges,
+            lambda fan: _iterate_ranks(
+                docs.select("doc_id"), fan, n_iter=n_iter, merge_hint=True
+            ),
+        )
+        if bucketed
+        else None
+    )
+    if ranks is None:
         ranks = pagerank(docs, edges, n_iter=n_iter)
     # in-degree directly from the edges: degree_stats would redundantly
     # re-aggregate the out-degree pagerank already computed and discard it
@@ -494,9 +500,43 @@ def pagerank_bucketed(
     """
     spark = nodes.sparkSession
     if table is None:
-        import uuid
+        table = _unique_fan_name()
+    _write_fan_table(
+        edges,
+        table=table,
+        n_buckets=n_buckets,
+        path=path,
+        overwrite_path=overwrite_path,
+    )
+    fan_t = spark.table(table)
+    return _iterate_ranks(
+        nodes.select("doc_id"), fan_t, n_iter=n_iter, merge_hint=True
+    )
 
-        table = f"pagerank_fan_{uuid.uuid4().hex[:12]}"
+
+def _unique_fan_name() -> str:
+    import uuid
+
+    return f"pagerank_fan_{uuid.uuid4().hex[:12]}"
+
+
+def _write_fan_table(
+    edges: DataFrame,
+    *,
+    table: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    overwrite_path: bool = False,
+) -> None:
+    """Write the iteration-invariant (src, dst, outdeg) fan table ONCE,
+    bucketed+sorted on the join key.
+
+    This is the only step that needs a writable warehouse/catalog —
+    callers that want a plain-loop fallback scope their try/except to
+    THIS call alone, so a failure inside the rank iteration itself is
+    never mislabeled "warehouse unavailable" (and never silently
+    recomputed on the slower plan)."""
+    spark = edges.sparkSession
     if path is not None and not overwrite_path:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -506,15 +546,54 @@ def pagerank_bucketed(
                 f"pagerank_bucketed: path {path!r} exists; pass "
                 "overwrite_path=True to let mode('overwrite') replace it"
             )
-    node_ids = nodes.select("doc_id")
     writer = _fan_table(edges).write.mode("overwrite")
     if path is not None:
         writer = writer.option("path", path)
     writer.bucketBy(n_buckets, "src_doc_id").sortBy("src_doc_id").saveAsTable(
         table
     )
-    fan_t = spark.table(table)
-    return _iterate_ranks(node_ids, fan_t, n_iter=n_iter, merge_hint=True)
+
+
+def _ranks_on_bucketed_fan(edges: DataFrame, iterate) -> DataFrame | None:
+    """write -> iterate(fan) -> drop lifecycle of a per-call fan table.
+
+    Returns ``None`` iff the fan-table WRITE failed (no writable
+    warehouse — the only condition a plain-loop fallback is for),
+    after a ``RuntimeWarning`` naming the cause so a bench never
+    silently times the re-shuffling plan under the bucketed label.
+    Failures inside the rank iteration itself propagate untouched.
+    The node-sized result is eagerly checkpointed, severing the plan's
+    reference to the fan table so it can drop before return (no
+    per-call warehouse leak); a DROP failure downgrades to a warning —
+    an audible leak — rather than masking the computed ranks."""
+    import warnings
+
+    spark = edges.sparkSession
+    table = _unique_fan_name()
+    try:
+        _write_fan_table(edges, table=table)
+    except Exception as exc:  # noqa: BLE001 — fallback must be audible
+        warnings.warn(
+            "bucketed fan table unavailable "
+            f"({type(exc).__name__}: {exc}); falling back to the plain "
+            "per-iteration edge-shuffle loop",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return None
+    try:
+        return iterate(spark.table(table)).localCheckpoint()
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        except Exception as exc:  # noqa: BLE001 — never mask the ranks
+            warnings.warn(
+                f"fan table {table} could not be dropped "
+                f"({type(exc).__name__}: {exc}); it leaks in the "
+                "warehouse",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
 
 # KMV-ball harmonic centrality (HyperBall structure, Boldi & Vigna

@@ -103,21 +103,28 @@ def parse_robots_rules(
     Row-local: one regexp pulls the ``*`` group (terminated by a blank
     line or end-of-file — other agents' groups and ``#`` comments never
     leak in), a second pulls its ``Allow:`` / ``Disallow:`` lines.
+    Field names are case-insensitive and lines may end in ``\\r\\n``
+    (RFC 9309 §2.1-2.2 requires tolerating both; a parser that fails to
+    match would FAIL OPEN — zero rules means everything fetchable).
     ``allow`` is int (1 = Allow) — integer end-to-end for the
     cross-engine check.  Hosts whose ``*`` group has no rules simply
     emit no rows (explode, not explode_outer: an absent group means no
     restrictions, same as an absent file — RFC 9309 §2.3.1.2)."""
     sect = F.regexp_extract(
-        F.col(txt_col), r"(?s)User-agent: \*\n(.*?)(?:\n\n|$)", 1
+        F.col(txt_col),
+        r"(?si)user-agent:[ \t]*\*[ \t]*\r?\n(.*?)(?:\r?\n[ \t]*\r?\n|$)",
+        1,
     )
     lines = F.regexp_extract_all(
-        sect, F.lit(r"(?m)^(Allow|Disallow): (\S+)$"), 0
+        sect, F.lit(r"(?mi)^(?:dis)?allow:[ \t]*(\S+)"), 0
     )
     rules = F.transform(
         lines,
         lambda ln: F.struct(
-            F.regexp_extract(ln, r"^[A-Za-z]+: (\S+)$", 1).alias("prefix"),
-            F.when(ln.startswith("Allow:"), F.lit(1))
+            F.regexp_extract(ln, r"(?i)^(?:dis)?allow:[ \t]*(\S+)", 1).alias(
+                "prefix"
+            ),
+            F.when(F.lower(ln).startswith("allow"), F.lit(1))
             .otherwise(F.lit(0))
             .alias("allow"),
         ),

@@ -80,11 +80,14 @@ def registered_domain_col(host: Column) -> Column:
     to itself.  Row-local: two anchored regexps + an In-literal over
     the suffix tuple (whole-stage codegen; a full-PSL deployment swaps
     the tuple for a broadcast lookup — same semantics, bigger table).
+    The suffix comparison is case-insensitive (DNS names are; crawl
+    noise like ``FOO.CO.UK`` must not degrade to the bare suffix) while
+    the returned labels keep the host's original casing.
     """
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     return F.when(
-        last2.isin(*PSL_MULTI_SUFFIXES) & (last3 != F.lit("")), last3
+        F.lower(last2).isin(*PSL_MULTI_SUFFIXES) & (last3 != F.lit("")), last3
     ).otherwise(last2)
 
 

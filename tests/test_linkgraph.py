@@ -432,6 +432,37 @@ def test_pagerank_personalized_matches_pure_python(spark):
     )
 
 
+def test_pagerank_personalized_bucketed_default_matches_plain(spark):
+    import warnings
+
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        pagerank_personalized,
+    )
+
+    docs = _docs(spark, 10)
+    edges_df = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        buck = {
+            (r.doc_id, r.rank_micro, r.is_seed)
+            for r in pagerank_personalized(
+                docs, edges_df, seed_mod=4, n_iter=2
+            ).collect()
+        }
+    # the bucketed path ran (no fallback warning) and dropped its fan
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    fans = [t.name for t in spark.catalog.listTables()
+            if t.name.startswith("pagerank_fan_")]
+    assert fans == []
+    plain = {
+        (r.doc_id, r.rank_micro, r.is_seed)
+        for r in pagerank_personalized(
+            docs, edges_df, seed_mod=4, n_iter=2, bucketed=False
+        ).collect()
+    }
+    assert buck == plain
+
+
 def test_window_merge_variants_bit_identical(spark):
     """merge='window' (spill-bounded sort formulation for extreme
     power-law in-degree) must match merge='salted' bit-for-bit on a

@@ -87,6 +87,25 @@ def test_longest_match_and_allow_tie_break(spark):
     assert got[5] == (1, None, None)
 
 
+def test_parser_tolerates_crlf_and_field_case(spark):
+    """RFC 9309 §2.1-2.2: field names are case-insensitive and lines
+    may end in CRLF.  A parser that missed either would FAIL OPEN —
+    zero rules parsed means every disallowed URL reads as fetchable."""
+    txt = (
+        "User-Agent: *\r\n"
+        "disallow: /private/\r\n"
+        "ALLOW: /private/pub-\r\n"
+        "\r\n"
+        "user-agent: otherbot\r\n"
+        "Disallow: /\r\n"
+    )
+    rules = {
+        (r.prefix, r.allow)
+        for r in parse_robots_rules(_robots(spark, [("h", txt)])).collect()
+    }
+    assert rules == {("/private/", 0), ("/private/pub-", 1)}
+
+
 def test_empty_star_group_means_unrestricted(spark):
     txt = "User-agent: *\n"  # group exists but carries no rules
     robots = _robots(spark, [("h", txt)])

@@ -63,6 +63,11 @@ def test_registered_domain_psl_forms(spark):
         ("news.co.jp", "news.co.jp"),        # exactly 3 labels under PSL
         ("deep.sub.gob.mx", "sub.gob.mx"),
         ("plain.org", "plain.org"),
+        # uppercase crawl noise: the suffix match is case-insensitive
+        # (a case-sensitive isin would degrade FOO.CO.UK to 'CO.UK'),
+        # while the returned labels keep the host's own casing
+        ("FOO.CO.UK", "FOO.CO.UK"),
+        ("A.B.Shop.Com.Au", "Shop.Com.Au"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
     got = [

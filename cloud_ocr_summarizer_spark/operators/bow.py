@@ -249,14 +249,16 @@ def bow_vocab_drop_audit(
         split.where("_is_train"), text_col=text_col, label_col=label_col
     )
     tot = _token_totals(occ)
+    from cloud_ocr_summarizer_spark.operators.audit import cap_drop_audit_row
+
     dropped = tot.join(
         F.broadcast(_top_v_vocab(occ, top_v=top_v)), "token", "left_anti"
     )
-    return dropped.agg(
-        F.lit("bow_vocab_top_v").alias("cap_name"),
-        F.lit(top_v).cast("int").alias("cap_value"),
-        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("dropped_groups"),
-        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("dropped_rows"),
+    return cap_drop_audit_row(
+        dropped,
+        cap_name="bow_vocab_top_v",
+        cap_value=top_v,
+        dropped_rows=F.col("_c"),
     )
 
 

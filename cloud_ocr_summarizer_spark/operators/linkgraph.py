@@ -449,20 +449,19 @@ def anchor_text_cap_audit(
     """ONE row: how much the ``top_k`` cap of :func:`inbound_anchor_texts`
     truncates — (cap_name, cap_value, dropped_groups = targets truncated,
     dropped_rows = anchor texts cut).  Reuses the exact pair stream the
-    operator aggregates, and reports explicit zeros when the cap never
-    fires (the dedup audit family's contract: silence is the failure
-    mode being fixed)."""
+    operator aggregates; schema/zero-row semantics pinned by the shared
+    :func:`audit.cap_drop_audit_row` (the dedup audit family's
+    contract)."""
+    from cloud_ocr_summarizer_spark.operators.audit import cap_drop_audit_row
+
     sizes = _anchor_pairs(html_df, html_col=html_col).groupBy("doc_id").agg(
         F.count("*").alias("_n")
     )
-    over = sizes.filter(F.col("_n") > top_k)
-    return over.agg(
-        F.lit("anchor_texts_top_k").alias("cap_name"),
-        F.lit(top_k).cast("int").alias("cap_value"),
-        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("dropped_groups"),
-        F.coalesce(F.sum(F.col("_n") - top_k), F.lit(0))
-        .cast("bigint")
-        .alias("dropped_rows"),
+    return cap_drop_audit_row(
+        sizes.filter(F.col("_n") > top_k),
+        cap_name="anchor_texts_top_k",
+        cap_value=top_k,
+        dropped_rows=F.col("_n") - top_k,
     )
 
 
@@ -470,9 +469,9 @@ def pagerank_bucketed(
     nodes: DataFrame,
     edges: DataFrame,
     *,
+    table: str,
     n_iter: int = 5,
     n_buckets: int = 32,
-    table: str | None = None,
     path: str | None = None,
     overwrite_path: bool = False,
 ) -> DataFrame:
@@ -489,18 +488,19 @@ def pagerank_bucketed(
     integer recurrence, bit-identical output (pytest-asserted).
 
     The caller owns the table lifecycle (it must outlive consumption of
-    the returned ranks); pass ``path`` to place it outside the default
-    warehouse.  ``table`` defaults to a per-call unique name so two
-    concurrent runs (or a bench plus a query in one session) can never
-    clobber each other's fan table; an explicit ``path`` that already
-    exists is refused unless ``overwrite_path=True`` (mode('overwrite')
-    would otherwise silently delete whatever lives there).  This is the
-    repeated-fact-join bucketing strategy of SURVEY.md §4.3, applied to
-    an iterative graph job.
+    the returned ranks, and the caller DROPs it when done — which is
+    why ``table`` is required: a generated name the caller never sees
+    would leak one edge-sized table per call).  Use a per-call unique
+    name (e.g. :func:`_unique_fan_name`'s uuid pattern, which
+    :func:`pagerank_over_documents` composes with automatic cleanup) so
+    two concurrent runs can never clobber each other's fan table; pass
+    ``path`` to place it outside the default warehouse — an existing
+    ``path`` is refused unless ``overwrite_path=True``
+    (mode('overwrite') would otherwise silently delete whatever lives
+    there).  This is the repeated-fact-join bucketing strategy of
+    SURVEY.md §4.3, applied to an iterative graph job.
     """
     spark = nodes.sparkSession
-    if table is None:
-        table = _unique_fan_name()
     _write_fan_table(
         edges,
         table=table,

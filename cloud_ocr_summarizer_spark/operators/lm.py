@@ -128,14 +128,15 @@ def lm_pair_drop_audit(
     occurrences they carried).  Rebuilds the exact pre-floor count
     stage, explicit zeros when nothing is pruned (the dedup cap-audit
     policy)."""
+    from cloud_ocr_summarizer_spark.operators.audit import cap_drop_audit_row
+
     bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
     counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    under = counts.where(F.col("c2") < min_pair_count)
-    return under.agg(
-        F.lit("lm_min_pair_count").alias("cap_name"),
-        F.lit(min_pair_count).cast("int").alias("cap_value"),
-        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("dropped_groups"),
-        F.coalesce(F.sum("c2"), F.lit(0)).cast("bigint").alias("dropped_rows"),
+    return cap_drop_audit_row(
+        counts.where(F.col("c2") < min_pair_count),
+        cap_name="lm_min_pair_count",
+        cap_value=min_pair_count,
+        dropped_rows=F.col("c2"),
     )
 
 

@@ -53,22 +53,26 @@ def _host_lang(host: Column) -> Column:
     return F.regexp_extract(host, r"-([a-z]{2})\.example-", 1)
 
 
-def derive_robots_txt_from_documents(docs: DataFrame) -> DataFrame:
+def derive_robots_txt_from_documents(
+    docs: DataFrame, parsed_urls: DataFrame | None = None
+) -> DataFrame:
     """documents -> one (host, robots_txt) row per distinct URL host.
 
     Rules are a function of the HOST STRING alone (digit + lang are
     regexp-extracted back out of it), so the twin can re-derive them
-    without re-running the URL synthesis join."""
-    from cloud_ocr_summarizer_spark.operators.urls import (
-        derive_urls_from_documents,
-        parse_urls,
-    )
+    without re-running the URL synthesis join.  Pass ``parsed_urls``
+    (any frame carrying ``host``) when the caller already parsed the
+    corpus URLs — otherwise this re-derives and re-parses them, and a
+    composed gate job would pay the corpus-wide projection + regexp
+    pass twice."""
+    if parsed_urls is None:
+        from cloud_ocr_summarizer_spark.operators.urls import (
+            derive_urls_from_documents,
+            parse_urls,
+        )
 
-    hosts = (
-        parse_urls(derive_urls_from_documents(docs))
-        .select("host")
-        .distinct()
-    )
+        parsed_urls = parse_urls(derive_urls_from_documents(docs))
+    hosts = parsed_urls.select("host").distinct()
     g = _host_g(F.col("host"))
     lang = _host_lang(F.col("host"))
     nl = F.lit("\n")
@@ -100,19 +104,30 @@ def parse_robots_rules(
     """(host, robots_txt) -> exploded (host, prefix, allow) rules of the
     ``User-agent: *`` group.
 
-    Row-local: one regexp pulls the ``*`` group (terminated by a blank
-    line or end-of-file — other agents' groups and ``#`` comments never
-    leak in), a second pulls its ``Allow:`` / ``Disallow:`` lines.
-    Field names are case-insensitive and lines may end in ``\\r\\n``
-    (RFC 9309 §2.1-2.2 requires tolerating both; a parser that fails to
-    match would FAIL OPEN — zero rules means everything fetchable).
-    ``allow`` is int (1 = Allow) — integer end-to-end for the
-    cross-engine check.  Hosts whose ``*`` group has no rules simply
-    emit no rows (explode, not explode_outer: an absent group means no
-    restrictions, same as an absent file — RFC 9309 §2.3.1.2)."""
+    Row-local: one regexp pulls the ``*`` group, a second pulls its
+    ``Allow:`` / ``Disallow:`` lines.  Group delimiting follows RFC
+    9309's ABNF: a group runs until the NEXT ``User-agent`` start-group
+    line (or end-of-file) — NOT until a blank line.  Real files
+    routinely omit blank lines between groups (a blank-line-delimited
+    parse would leak the next agent's rules into ``*``) and may carry
+    blank lines inside a group (which would silently truncate it);
+    either miss FAILS OPEN or CLOSED on rules the crawler never wrote
+    for ``*``.  Additional consecutive ``User-agent`` lines directly
+    under the ``*`` line head the same group (RFC 9309 §2.1) and are
+    skipped, not terminators.  Field names are case-insensitive and
+    lines may end in ``\\r\\n`` (both required by §2.1-2.2; a parser
+    that fails to match would fail open — zero rules means everything
+    fetchable).  ``#`` comments and unknown fields never match the
+    rule-line regexp.  ``allow`` is int (1 = Allow) — integer
+    end-to-end for the cross-engine check.  Hosts whose ``*`` group has
+    no rules simply emit no rows (explode, not explode_outer: an absent
+    group means no restrictions, same as an absent file — RFC 9309
+    §2.3.1.2)."""
     sect = F.regexp_extract(
         F.col(txt_col),
-        r"(?si)user-agent:[ \t]*\*[ \t]*\r?\n(.*?)(?:\r?\n[ \t]*\r?\n|$)",
+        r"(?si)user-agent:[ \t]*\*[ \t]*\r?\n"
+        r"((?:[ \t]*user-agent:[^\n]*\n)*.*?)"
+        r"(?:\r?\n[ \t]*user-agent:|$)",
         1,
     )
     lines = F.regexp_extract_all(

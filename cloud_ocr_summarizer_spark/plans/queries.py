@@ -3534,7 +3534,11 @@ def q_robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     parsed = parse_urls(derive_urls_from_documents(docs))
-    return robots_txt_gate(parsed, derive_robots_txt_from_documents(docs))
+    # hand the parsed frame through so the robots synthesis derives its
+    # distinct hosts from it instead of re-parsing the corpus URLs
+    return robots_txt_gate(
+        parsed, derive_robots_txt_from_documents(docs, parsed_urls=parsed)
+    )
 
 
 BATCH_8["robots_txt_gate"] = q_robots_txt_gate

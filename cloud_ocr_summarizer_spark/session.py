@@ -54,7 +54,51 @@ def get_spark(
 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable in Python WORKERS regardless of the
+    launcher's cwd.
+
+    cloudpickle serializes pandas/Arrow UDF closures by module name, so
+    workers must import ``cloud_ocr_summarizer_spark`` themselves.  When
+    the driver process is launched from the repo root, workers inherit
+    it on sys.path implicitly — which silently masks the bug until
+    someone runs bench.py (or any entry point using this factory) from
+    another directory and every mapInPandas/mapInArrow stage dies with
+    ModuleNotFoundError.  Ship a zip via addPyFile once per session —
+    the same mechanism as ``__spark_entry__`` and the spark-submit
+    jobs' ``--py-files``."""
+    if getattr(spark, "_cos_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    try:
+        global _PKG_ZIP
+        if _PKG_ZIP is None:
+            pkg_dir = os.path.dirname(os.path.abspath(__file__))
+            base = os.path.join(
+                tempfile.mkdtemp(prefix="cos_spark_pkg_"), "pkg"
+            )
+            _PKG_ZIP = shutil.make_archive(
+                base,
+                "zip",
+                root_dir=os.path.dirname(pkg_dir),
+                base_dir=os.path.basename(pkg_dir),
+            )
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        # Spark Connect sessions have no sparkContext; there the classic
+        # cwd/PYTHONPATH route is the only option — row-local plans
+        # still work without the worker import.
+        pass
+    spark._cos_pkg_shipped = True  # type: ignore[attr-defined]
 
 
 def runtime_bloom_filter_conf(

@@ -42,7 +42,7 @@ def test_parser_scopes_to_star_group_and_ignores_comments(spark):
     assert rules == {("/public/", 1), ("/private/", 0)}
 
 
-def test_star_group_terminates_at_blank_line(spark):
+def test_star_group_terminates_at_next_group(spark):
     txt = (
         "User-agent: *\n"
         "Disallow: /a/\n"
@@ -55,6 +55,51 @@ def test_star_group_terminates_at_blank_line(spark):
         for r in parse_robots_rules(_robots(spark, [("h", txt)])).collect()
     }
     assert rules == {("/a/", 0)}
+
+
+def test_adjacent_group_without_blank_line_does_not_leak(spark):
+    """RFC 9309 delimits groups by User-agent lines, NOT blank lines —
+    real files routinely omit the blank separator.  A blank-line-
+    delimited parse would attribute archiver's 'Disallow: /' to *."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /tmp/\n"
+        "User-agent: archiver\n"
+        "Disallow: /\n"
+    )
+    rules = {
+        (r.prefix, r.allow)
+        for r in parse_robots_rules(_robots(spark, [("h", txt)])).collect()
+    }
+    assert rules == {("/tmp/", 0)}
+
+
+def test_blank_line_inside_group_does_not_truncate(spark):
+    """Blank lines are not group terminators: rules after an interior
+    blank line still belong to the * group (dropping them fails open)."""
+    txt = "User-agent: *\nDisallow: /a/\n\nDisallow: /b/\n"
+    rules = {
+        (r.prefix, r.allow)
+        for r in parse_robots_rules(_robots(spark, [("h", txt)])).collect()
+    }
+    assert rules == {("/a/", 0), ("/b/", 0)}
+
+
+def test_stacked_user_agent_lines_head_one_group(spark):
+    """Consecutive User-agent lines share the group (RFC 9309 §2.1):
+    a UA line directly under the * line is not a terminator."""
+    txt = (
+        "User-agent: *\n"
+        "User-agent: goodbot\n"
+        "Disallow: /x/\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+    )
+    rules = {
+        (r.prefix, r.allow)
+        for r in parse_robots_rules(_robots(spark, [("h", txt)])).collect()
+    }
+    assert rules == {("/x/", 0)}
 
 
 def test_longest_match_and_allow_tie_break(spark):

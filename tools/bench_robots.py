@@ -67,7 +67,9 @@ def main() -> int:
 
         def gate_job(d=docs):
             parsed = parse_urls(derive_urls_from_documents(d))
-            return robots_txt_gate(parsed, derive_robots_txt_from_documents(d))
+            return robots_txt_gate(
+                parsed, derive_robots_txt_from_documents(d, parsed_urls=parsed)
+            )
 
         def rules_job(d=docs):
             return parse_robots_rules(derive_robots_txt_from_documents(d))

@@ -87,15 +87,44 @@ def derive_robots_txt_from_documents(
         F.when(
             g % 2 == 0, F.concat(F.lit("Allow: /"), lang, F.lit("/doc-\n"))
         ).otherwise(F.lit("")),
+        # group-scoped non-rule field: odd-g hosts throttle crawlers
+        F.when(
+            g % 2 == 1,
+            F.concat(
+                F.lit("Crawl-delay: "), (1 + g % 4).cast("string"), nl
+            ),
+        ).otherwise(F.lit("")),
         F.lit("Disallow: /tmp/"),
+    )
+    # Sitemap is a FILE-scoped field (the sitemaps.org convention; RFC
+    # 9309 §2.2.4 carries unknown lines as other records) — synthesized
+    # at the TOP of the file for even g and after the * group for odd
+    # g, so a parser that only looked inside one group would miss half
+    # of them either way
+    sitemap_line = F.concat(
+        F.lit("Sitemap: https://"), F.col("host"),
+        F.lit("/sitemap-"), g.cast("string"), F.lit(".xml"),
     )
     txt = F.concat(
         F.lit("# synthetic robots for "), F.col("host"), nl,
+        F.when(g % 2 == 0, F.concat(sitemap_line, nl)).otherwise(F.lit("")),
         decoy,
         F.lit("User-agent: *"), nl,
         star_rules,
+        F.when(g % 2 == 1, F.concat(nl, sitemap_line)).otherwise(F.lit("")),
     )
     return hosts.select("host", txt.alias("robots_txt"))
+
+
+# the User-agent:* group body: starts after the * start-group line
+# (additional consecutive User-agent lines head the same group and are
+# skipped), ends at the NEXT User-agent line or end-of-file — RFC
+# 9309's ABNF group model, shared by every group-scoped parser here
+STAR_GROUP_RE = (
+    r"(?si)user-agent:[ \t]*\*[ \t]*\r?\n"
+    r"((?:[ \t]*user-agent:[^\n]*\n)*.*?)"
+    r"(?:\r?\n[ \t]*user-agent:|$)"
+)
 
 
 def parse_robots_rules(
@@ -123,13 +152,7 @@ def parse_robots_rules(
     no rules simply emit no rows (explode, not explode_outer: an absent
     group means no restrictions, same as an absent file — RFC 9309
     §2.3.1.2)."""
-    sect = F.regexp_extract(
-        F.col(txt_col),
-        r"(?si)user-agent:[ \t]*\*[ \t]*\r?\n"
-        r"((?:[ \t]*user-agent:[^\n]*\n)*.*?)"
-        r"(?:\r?\n[ \t]*user-agent:|$)",
-        1,
-    )
+    sect = F.regexp_extract(F.col(txt_col), STAR_GROUP_RE, 1)
     lines = F.regexp_extract_all(
         sect, F.lit(r"(?mi)^(?:dis)?allow:[ \t]*(\S+)"), 0
     )
@@ -200,4 +223,68 @@ def robots_txt_gate(
         .alias("fetchable"),
         w.getField("len").alias("match_len"),
         w.getField("allow").alias("match_allow"),
+    )
+
+
+def parse_crawl_delay(
+    robots: DataFrame, *, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, crawl_delay) from the ``*`` group.
+
+    ``Crawl-delay`` is a de-facto extension crawlers honor per GROUP
+    (it throttles the agent the group addresses), so the lookup is
+    scoped by the same :data:`STAR_GROUP_RE` as the Allow/Disallow
+    parse — a delay in another agent's group must NOT throttle us.
+    NULL when the group carries no delay (no throttle).  Row-local."""
+    sect = F.regexp_extract(F.col(txt_col), STAR_GROUP_RE, 1)
+    delay = F.nullif(
+        F.regexp_extract(sect, r"(?mi)^crawl-delay:[ \t]*(\d+)", 1),
+        F.lit(""),
+    ).try_cast("int")
+    return robots.select(
+        F.col(host_col).alias("host"), delay.alias("crawl_delay")
+    )
+
+
+def parse_sitemaps(
+    robots: DataFrame, *, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> exploded (host, sitemap_url).
+
+    ``Sitemap`` is FILE-scoped (the sitemaps.org convention) — matched
+    anywhere in the file, never restricted to a group, any number of
+    occurrences.  Hosts without one emit no rows.  Row-local."""
+    urls = F.regexp_extract_all(
+        F.col(txt_col), F.lit(r"(?mi)^sitemap:[ \t]*(\S+)"), 1
+    )
+    return robots.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+    )
+
+
+def crawl_budget(
+    parsed_urls: DataFrame, robots: DataFrame
+) -> DataFrame:
+    """Per-host crawl scheduling budget: how long a polite single
+    connection needs to fetch every known URL of the host.
+
+    ``parsed_urls`` carries (host, ...) — one row per frontier URL;
+    ``robots`` is (host, robots_txt).  Output (host, n_urls,
+    crawl_delay, est_fetch_seconds = n_urls * coalesce(delay, 1)) —
+    the frontier-sharding signal a crawl scheduler partitions by (a
+    host with 10^6 URLs and Crawl-delay: 4 is a 46-day crawl: it must
+    be sharded by time, not by machine).  One corpus aggregate on host
+    + a host-count-sized join; all-integer arithmetic."""
+    per_host = parsed_urls.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_urls")
+    )
+    delays = parse_crawl_delay(robots)
+    j = per_host.join(delays, "host", "left")
+    return j.select(
+        "host",
+        "n_urls",
+        F.col("crawl_delay").cast("int").alias("crawl_delay"),
+        (F.col("n_urls") * F.coalesce(F.col("crawl_delay"), F.lit(1)))
+        .cast("bigint")
+        .alias("est_fetch_seconds"),
     )

@@ -3805,3 +3805,28 @@ FROM with_url u
 LEFT JOIN (SELECT doc_id, len, allow FROM matches WHERE rk = 1) m
   USING (doc_id)
 """
+
+
+# Crawl budget: delay re-derived from host arithmetic (odd g throttles
+# at 1 + g%4 seconds), budget recomputed independently of the engine's
+# join — NULL delay budgets at 1 s/URL.
+ORACLES["robots_crawl_budget"] = _ROBOTS_HOSTS_CTE + r"""
+SELECT h.host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(CASE WHEN h.g % 2 = 1 THEN 1 + h.g % 4 END AS INT)
+         AS crawl_delay,
+       CAST(count(*) * coalesce(
+              CASE WHEN h.g % 2 = 1 THEN 1 + h.g % 4 END, 1) AS BIGINT)
+         AS est_fetch_seconds
+FROM with_url u JOIN hosts h USING (host)
+GROUP BY h.host, h.g
+"""
+
+# Sitemap discovery: one file-scoped URL per host, re-derived from the
+# host string alone.
+ORACLES["robots_sitemaps"] = _ROBOTS_HOSTS_CTE + r"""
+SELECT host,
+       'https://' || host || '/sitemap-' || CAST(g AS VARCHAR) || '.xml'
+         AS sitemap_url
+FROM hosts
+"""

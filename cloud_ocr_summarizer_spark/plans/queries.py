@@ -3542,3 +3542,48 @@ def q_robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["robots_txt_gate"] = q_robots_txt_gate
+
+
+def q_robots_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl scheduling budget (operators/robotstxt.crawl_budget):
+    frontier URL count x the * group's Crawl-delay (group-scoped parse
+    — a delay in another agent's group must not throttle us; NULL
+    delay = no throttle, budgeted at 1 s/URL).  The DuckDB twin
+    re-derives the delay from host arithmetic and recomputes the
+    budget independently."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        crawl_budget,
+        derive_robots_txt_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    return crawl_budget(
+        parsed, derive_robots_txt_from_documents(docs, parsed_urls=parsed)
+    )
+
+
+BATCH_8["robots_crawl_budget"] = q_robots_crawl_budget
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (operators/robotstxt.parse_sitemaps): the
+    Sitemap field is FILE-scoped — synthesized at the top of the file
+    for even hosts and after the * group for odd ones, so a parser
+    that only read one group would miss half.  Twin re-derives every
+    URL from the host string."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        derive_robots_txt_from_documents,
+        parse_sitemaps,
+    )
+
+    return parse_sitemaps(
+        derive_robots_txt_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_8["robots_sitemaps"] = q_robots_sitemaps

@@ -203,3 +203,106 @@ def test_gate_plan_is_single_corpus_shuffle(spark):
     # output column; codegen subexpression elimination dedups at run
     # time), never an Aggregate or Window over the url side
     assert "array_max" in plan
+
+
+def test_crawl_delay_is_group_scoped(spark):
+    """A Crawl-delay in another agent's group must NOT throttle us; a
+    missing delay is NULL (no throttle), and the * group's own delay
+    is read case-insensitively."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        parse_crawl_delay,
+    )
+
+    rows = [
+        ("a", "User-agent: slowbot\nCrawl-delay: 9\nUser-agent: *\n"
+              "crawl-DELAY: 3\nDisallow: /x/"),
+        ("b", "User-agent: *\nDisallow: /x/\nUser-agent: slowbot\n"
+              "Crawl-delay: 9"),
+        ("c", "User-agent: otherbot\nDisallow: /"),  # no * group at all
+    ]
+    got = {
+        r.host: r.crawl_delay
+        for r in parse_crawl_delay(
+            spark.createDataFrame(rows, "host string, robots_txt string")
+        ).collect()
+    }
+    assert got == {"a": 3, "b": None, "c": None}
+
+
+def test_sitemaps_are_file_scoped_and_repeatable(spark):
+    """Sitemap lines match anywhere in the file (before the groups,
+    inside one, after them) and every occurrence is emitted."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        parse_sitemaps,
+    )
+
+    txt = (
+        "Sitemap: https://h/s1.xml\n"
+        "User-agent: *\n"
+        "Disallow: /x/\n"
+        "sitemap: https://h/s2.xml\n"
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "Sitemap: https://h/s3.xml"
+    )
+    got = sorted(
+        r.sitemap_url
+        for r in parse_sitemaps(_robots(spark, [("h", txt)])).collect()
+    )
+    assert got == [
+        "https://h/s1.xml", "https://h/s2.xml", "https://h/s3.xml",
+    ]
+    assert parse_sitemaps(_robots(spark, [("h", "User-agent: *\n")])).count() == 0
+
+
+def test_crawl_budget_arithmetic(spark):
+    from cloud_ocr_summarizer_spark.operators.robotstxt import crawl_budget
+
+    urls = _urls(
+        spark,
+        [(1, "u1", "slow", "/a"), (2, "u2", "slow", "/b"),
+         (3, "u3", "fast", "/c"), (4, "u4", "norobots", "/d")],
+    )
+    robots = _robots(
+        spark,
+        [("slow", "User-agent: *\nCrawl-delay: 4\nDisallow: /tmp/"),
+         ("fast", "User-agent: *\nDisallow: /tmp/")],
+    )
+    got = {
+        r.host: (r.n_urls, r.crawl_delay, r.est_fetch_seconds)
+        for r in crawl_budget(urls, robots).collect()
+    }
+    assert got == {
+        "slow": (2, 4, 8),       # 2 URLs x 4 s
+        "fast": (1, None, 1),    # no delay -> 1 s/URL
+        "norobots": (1, None, 1),  # no robots row at all
+    }
+
+
+def test_derived_corpus_budget_matches_host_arithmetic(spark):
+    """On the synthesized corpus: odd-g hosts carry delay 1 + g%4,
+    even-g hosts none — and the delay parse must not be confused by
+    the sitemap/comment/decoy lines around the group."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        crawl_budget,
+        derive_robots_txt_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", "s") for i in range(40)],
+        "doc_id long, lang string, source string",
+    )
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    got = {
+        r.host: r.crawl_delay
+        for r in crawl_budget(
+            parsed, derive_robots_txt_from_documents(docs, parsed_urls=parsed)
+        ).collect()
+    }
+    for host, delay in got.items():
+        g = int(host.split(".example-")[1].split(".")[0])
+        assert delay == (1 + g % 4 if g % 2 == 1 else None), host

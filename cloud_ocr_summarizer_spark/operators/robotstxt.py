@@ -178,6 +178,7 @@ def robots_txt_gate(
     robots: DataFrame,
     *,
     path_col: str = "path",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Longest-match robots resolution per URL row.
 
@@ -192,9 +193,12 @@ def robots_txt_gate(
     fetchable — the REP default.
 
     Output: doc_id, url, fetchable (int), match_len / match_allow (the
-    winning rule, NULL when nothing matched).  One corpus shuffle (the
-    host join, broadcast when small); the longest-match itself adds
-    none.
+    winning rule, NULL when nothing matched).  ``keep`` carries extra
+    ``parsed_urls`` columns through (projection, no re-join — the
+    datagen convention), so composed jobs like the crawl frontier read
+    the host without paying a doc_id join back.  One corpus shuffle
+    (the host join, broadcast when small); the longest-match itself
+    adds none.
     """
     per_host = (
         parse_robots_rules(robots)
@@ -218,6 +222,7 @@ def robots_txt_gate(
     return j.select(
         "doc_id",
         "url",
+        *keep,
         F.when(w.isNull() | (w.allow == 1), F.lit(1))
         .otherwise(F.lit(0))
         .alias("fetchable"),
@@ -288,3 +293,30 @@ def crawl_budget(
         .cast("bigint")
         .alias("est_fetch_seconds"),
     )
+
+
+def crawl_frontier(
+    parsed_urls: DataFrame,
+    robots: DataFrame,
+    *,
+    blocked: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """The composed crawl-planning job: blocklist gate -> robots gate
+    -> per-host budget, one pipeline.
+
+    ``parsed_urls`` is :func:`urls.parse_urls` output (carrying
+    ``domain``, ``host``, ``path``); ``robots`` is (host, robots_txt).
+    Blocklisted registered domains drop first (broadcast anti-join —
+    the cheapest gate runs before any robots work), survivors resolve
+    through the RFC 9309 longest-match (host carried through the gate's
+    ``keep`` projection, no join back), and only fetchable URLs enter
+    the per-host budget.  Shuffle inventory of the WHOLE pipeline: the
+    host equi-join + the final host aggregate — everything else is
+    broadcast or row-local, so the plan is two corpus-sized exchanges
+    at any scale."""
+    from cloud_ocr_summarizer_spark.operators.urls import domain_gate
+
+    kwargs = {} if blocked is None else {"blocked": blocked}
+    kept = domain_gate(parsed_urls, **kwargs)
+    gated = robots_txt_gate(kept, robots, keep=("host",))
+    return crawl_budget(gated.where(F.col("fetchable") == 1), robots)

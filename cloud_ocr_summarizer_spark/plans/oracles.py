@@ -3830,3 +3830,38 @@ SELECT host,
          AS sitemap_url
 FROM hosts
 """
+
+
+# Composed crawl frontier: blocklist -> robots longest-match -> budget,
+# every stage re-implemented independently (the robots resolution as a
+# ranked window, the budget from host arithmetic) over the same
+# synthesis.
+ORACLES["crawl_frontier"] = _ROBOTS_HOSTS_CTE + r"""
+, gated AS (
+  SELECT * FROM with_url
+  WHERE domain NOT IN ('example-2.com', 'example-5.de', 'example-8.cn')
+), matches AS (
+  SELECT u.doc_id, length(r.prefix) AS len, r.allow,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC
+         ) AS rk
+  FROM gated u
+  JOIN rules r
+    ON u.host = r.host AND starts_with(u.path, r.prefix)
+), fetchable AS (
+  SELECT u.host FROM gated u
+  LEFT JOIN (SELECT doc_id, len, allow FROM matches WHERE rk = 1) m
+    USING (doc_id)
+  WHERE m.len IS NULL OR m.allow = 1
+)
+SELECT f.host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(CASE WHEN h.g % 2 = 1 THEN 1 + h.g % 4 END AS INT)
+         AS crawl_delay,
+       CAST(count(*) * coalesce(
+              CASE WHEN h.g % 2 = 1 THEN 1 + h.g % 4 END, 1) AS BIGINT)
+         AS est_fetch_seconds
+FROM fetchable f JOIN hosts h USING (host)
+GROUP BY f.host, h.g
+"""

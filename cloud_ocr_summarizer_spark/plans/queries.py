@@ -3587,3 +3587,32 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["robots_sitemaps"] = q_robots_sitemaps
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-planning pipeline
+    (operators/robotstxt.crawl_frontier): URL parse -> registered-domain
+    blocklist gate -> RFC 9309 robots longest-match gate -> per-host
+    crawl budget, in one job whose only corpus-sized exchanges are the
+    host equi-join and the final host aggregate.  The DuckDB twin
+    composes the SAME stages from the synthesis arithmetic (blocklist
+    filter, independent ranked-window robots resolution, budget
+    recomputation), so the cross-engine check covers the whole
+    composition."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        crawl_frontier,
+        derive_robots_txt_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    return crawl_frontier(
+        parsed, derive_robots_txt_from_documents(docs, parsed_urls=parsed)
+    )
+
+
+BATCH_8["crawl_frontier"] = q_crawl_frontier

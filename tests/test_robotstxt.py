@@ -306,3 +306,61 @@ def test_derived_corpus_budget_matches_host_arithmetic(spark):
     for host, delay in got.items():
         g = int(host.split(".example-")[1].split(".")[0])
         assert delay == (1 + g % 4 if g % 2 == 1 else None), host
+
+
+def test_gate_keep_passes_columns_through(spark):
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        robots_txt_gate,
+    )
+
+    urls = _urls(spark, [(1, "u1", "h", "/a"), (2, "u2", "i", "/b")])
+    robots = _robots(spark, [("h", "User-agent: *\nDisallow: /a")])
+    got = {
+        r.doc_id: (r.host, r.fetchable)
+        for r in robots_txt_gate(urls, robots, keep=("host",)).collect()
+    }
+    assert got == {1: ("h", 0), 2: ("i", 1)}
+
+
+def test_crawl_frontier_matches_python_model(spark):
+    """The composed pipeline (blocklist -> robots gate -> budget) must
+    reproduce an independent pure-Python recomputation of every stage
+    over the derived corpus."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        crawl_frontier,
+        derive_robots_txt_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "en", "s") for i in range(n)],
+        "doc_id long, lang string, source string",
+    )
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    got = {
+        r.host: (r.n_urls, r.crawl_delay, r.est_fetch_seconds)
+        for r in crawl_frontier(
+            parsed, derive_robots_txt_from_documents(docs, parsed_urls=parsed)
+        ).collect()
+    }
+    expected = {}
+    for i in range(n):
+        g = i % 10
+        tld = "co.uk" if i % 11 == 3 else ("com.au" if i % 11 == 7 else "com")
+        host = f"s-en.example-{g}.{tld}"
+        if f"example-{g}.{tld}" in (
+            "example-2.com", "example-5.de", "example-8.cn"
+        ):
+            continue  # blocklist gate
+        if g in (3, 9):
+            continue  # robots gate: blocked unless the Allow overrides
+        expected[host] = expected.get(host, 0) + 1
+    assert got.keys() == expected.keys()
+    for host, n_urls in expected.items():
+        g = int(host.split(".example-")[1].split(".")[0])
+        delay = 1 + g % 4 if g % 2 == 1 else None
+        assert got[host] == (n_urls, delay, n_urls * (delay or 1)), host

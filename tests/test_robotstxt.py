@@ -364,3 +364,34 @@ def test_crawl_frontier_matches_python_model(spark):
         g = int(host.split(".example-")[1].split(".")[0])
         delay = 1 + g % 4 if g % 2 == 1 else None
         assert got[host] == (n_urls, delay, n_urls * (delay or 1)), host
+
+
+def test_crawl_frontier_plan_has_no_docid_exchange(spark):
+    """The composed pipeline never re-keys the corpus by doc_id: host
+    rides the gate's keep= projection, so the only exchanges are
+    host-keyed (the robots equi-join + the budget aggregate, plus the
+    host-count-sized rules prep) and the blocklist broadcast."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        crawl_frontier,
+        derive_robots_txt_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", "s") for i in range(30)],
+        "doc_id long, lang string, source string",
+    )
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    f = crawl_frontier(
+        parsed, derive_robots_txt_from_documents(docs, parsed_urls=parsed)
+    )
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([a-zA-Z_]+)", plan)
+    assert keys and all(k == "host" for k in keys), keys
+    assert plan.count("BroadcastExchange") == 1  # the blocklist gate
+    assert "Window" not in plan

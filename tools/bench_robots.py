@@ -27,6 +27,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        crawl_frontier,
         derive_robots_txt_from_documents,
         parse_robots_rules,
         robots_txt_gate,
@@ -74,14 +75,23 @@ def main() -> int:
         def rules_job(d=docs):
             return parse_robots_rules(derive_robots_txt_from_documents(d))
 
+        def frontier_job(d=docs):
+            parsed = parse_urls(derive_urls_from_documents(d))
+            return crawl_frontier(
+                parsed, derive_robots_txt_from_documents(d, parsed_urls=parsed)
+            )
+
         gate = timed(gate_job)
         rules = timed(rules_job)
+        frontier = timed(frontier_job)
         tiers.append(
             {
                 "n_docs": n,
                 "gate_sec": round(gate, 3),
                 "gate_docs_per_sec": round(n / gate, 1),
                 "rules_sec": round(rules, 3),
+                "frontier_sec": round(frontier, 3),
+                "frontier_docs_per_sec": round(n / frontier, 1),
             }
         )
         print(json.dumps(tiers[-1]), flush=True)
@@ -96,14 +106,17 @@ def main() -> int:
         "local[32], warm best-of-2; gate = URL synthesis+parse, per-host",
         "robots synthesis+parse, RFC 9309 longest-match resolution (one",
         "host equi-join, row-local match); rules = the distinct-host",
-        "parse alone:", "",
-        "| docs | gate | docs/s | rules parse |",
-        "|---|---|---|---|",
+        "parse alone; frontier = the composed blocklist -> robots ->",
+        "per-host budget pipeline (every exchange host-keyed,",
+        "plan-asserted):", "",
+        "| docs | gate | docs/s | rules parse | frontier | docs/s |",
+        "|---|---|---|---|---|---|",
     ]
     for t in tiers:
         lines.append(
             f"| {t['n_docs']:,} | {t['gate_sec']} s "
-            f"| {t['gate_docs_per_sec']:,} | {t['rules_sec']} s |"
+            f"| {t['gate_docs_per_sec']:,} | {t['rules_sec']} s "
+            f"| {t['frontier_sec']} s | {t['frontier_docs_per_sec']:,} |"
         )
     lines.append("")
     replace_section(

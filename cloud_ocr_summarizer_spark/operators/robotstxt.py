@@ -116,15 +116,32 @@ def derive_robots_txt_from_documents(
     return hosts.select("host", txt.alias("robots_txt"))
 
 
-# the User-agent:* group body: starts after the * start-group line
-# (additional consecutive User-agent lines head the same group and are
-# skipped), ends at the NEXT User-agent line or end-of-file — RFC
-# 9309's ABNF group model, shared by every group-scoped parser here
+# One User-agent:* group body: the start-group line is anchored to a
+# LINE start (a comment merely ending in "user-agent: *" must not
+# hijack the group); additional consecutive User-agent lines head the
+# same group and are skipped; the body ends at the NEXT User-agent
+# line or end-of-input — RFC 9309's ABNF group model.  The terminator
+# is a LOOKAHEAD so extract_all can match every * group in the file
+# (the next group's own User-agent line stays unconsumed); \z is the
+# end-of-input anchor ((?m) makes $ a line anchor, which would
+# truncate the body at its first line).
 STAR_GROUP_RE = (
-    r"(?si)user-agent:[ \t]*\*[ \t]*\r?\n"
+    r"(?smi)^[ \t]*user-agent:[ \t]*\*[ \t]*\r?\n"
     r"((?:[ \t]*user-agent:[^\n]*\n)*.*?)"
-    r"(?:\r?\n[ \t]*user-agent:|$)"
+    r"(?=\r?\n[ \t]*user-agent:|\z)"
 )
+
+
+def _star_group_body(txt: Column) -> Column:
+    """ALL ``User-agent: *`` group bodies, merged.
+
+    RFC 9309 §2.2.1: rules from every group matching the same agent
+    COMBINE — a file may declare ``*`` groups in several places and a
+    first-match-only parse silently drops the later ones (fails open).
+    """
+    return F.array_join(
+        F.regexp_extract_all(txt, F.lit(STAR_GROUP_RE), 1), "\n"
+    )
 
 
 def parse_robots_rules(
@@ -152,17 +169,20 @@ def parse_robots_rules(
     no rules simply emit no rows (explode, not explode_outer: an absent
     group means no restrictions, same as an absent file — RFC 9309
     §2.3.1.2)."""
-    sect = F.regexp_extract(F.col(txt_col), STAR_GROUP_RE, 1)
+    sect = _star_group_body(F.col(txt_col))
+    # leading whitespace tolerated: the ABNF is rule = *WS identifier
     lines = F.regexp_extract_all(
-        sect, F.lit(r"(?mi)^(?:dis)?allow:[ \t]*(\S+)"), 0
+        sect, F.lit(r"(?mi)^[ \t]*(?:dis)?allow:[ \t]*(\S+)"), 0
     )
     rules = F.transform(
         lines,
         lambda ln: F.struct(
-            F.regexp_extract(ln, r"(?i)^(?:dis)?allow:[ \t]*(\S+)", 1).alias(
-                "prefix"
-            ),
-            F.when(F.lower(ln).startswith("allow"), F.lit(1))
+            F.regexp_extract(
+                ln, r"(?i)^[ \t]*(?:dis)?allow:[ \t]*(\S+)", 1
+            ).alias("prefix"),
+            # NOT ltrim().startswith(): Spark's ltrim strips spaces
+            # only, so a tab-indented Allow would classify as Disallow
+            F.when(ln.rlike(r"(?i)^[ \t]*allow:"), F.lit(1))
             .otherwise(F.lit(0))
             .alias("allow"),
         ),
@@ -238,13 +258,25 @@ def parse_crawl_delay(
 
     ``Crawl-delay`` is a de-facto extension crawlers honor per GROUP
     (it throttles the agent the group addresses), so the lookup is
-    scoped by the same :data:`STAR_GROUP_RE` as the Allow/Disallow
-    parse — a delay in another agent's group must NOT throttle us.
-    NULL when the group carries no delay (no throttle).  Row-local."""
-    sect = F.regexp_extract(F.col(txt_col), STAR_GROUP_RE, 1)
-    delay = F.nullif(
-        F.regexp_extract(sect, r"(?mi)^crawl-delay:[ \t]*(\d+)", 1),
+    scoped to the merged ``*`` groups (:func:`_star_group_body`) — a
+    delay in another agent's group must NOT throttle us; the first
+    delay among the merged groups wins.  Real files use fractional
+    values ('Crawl-delay: 0.5'); the integer budget rounds UP and
+    clamps to >= 1 s (truncating 0.5 to 0 would hand a THROTTLED host
+    a zero fetch budget — the opposite of what the field says).  NULL
+    when the groups carry no delay (no throttle).  Row-local."""
+    sect = _star_group_body(F.col(txt_col))
+    raw = F.nullif(
+        F.regexp_extract(
+            sect, r"(?mi)^[ \t]*crawl-delay:[ \t]*(\d+(?:\.\d+)?)", 1
+        ),
         F.lit(""),
+    )
+    # NOT greatest(1, ceil(...)): Spark's greatest SKIPS nulls, which
+    # would turn an absent delay into 1 instead of NULL (no throttle)
+    delay = F.when(
+        raw.isNotNull(),
+        F.greatest(F.lit(1).cast("bigint"), F.ceil(raw.try_cast("double"))),
     ).try_cast("int")
     return robots.select(
         F.col(host_col).alias("host"), delay.alias("crawl_delay")
@@ -260,7 +292,7 @@ def parse_sitemaps(
     anywhere in the file, never restricted to a group, any number of
     occurrences.  Hosts without one emit no rows.  Row-local."""
     urls = F.regexp_extract_all(
-        F.col(txt_col), F.lit(r"(?mi)^sitemap:[ \t]*(\S+)"), 1
+        F.col(txt_col), F.lit(r"(?mi)^[ \t]*sitemap:[ \t]*(\S+)"), 1
     )
     return robots.select(
         F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
@@ -288,7 +320,7 @@ def crawl_budget(
     return j.select(
         "host",
         "n_urls",
-        F.col("crawl_delay").cast("int").alias("crawl_delay"),
+        "crawl_delay",
         (F.col("n_urls") * F.coalesce(F.col("crawl_delay"), F.lit(1)))
         .cast("bigint")
         .alias("est_fetch_seconds"),
@@ -316,7 +348,10 @@ def crawl_frontier(
     at any scale."""
     from cloud_ocr_summarizer_spark.operators.urls import domain_gate
 
-    kwargs = {} if blocked is None else {"blocked": blocked}
-    kept = domain_gate(parsed_urls, **kwargs)
+    kept = (
+        domain_gate(parsed_urls)
+        if blocked is None  # urls.BLOCKED_DOMAINS, domain_gate's default
+        else domain_gate(parsed_urls, blocked=blocked)
+    )
     gated = robots_txt_gate(kept, robots, keep=("host",))
     return crawl_budget(gated.where(F.col("fetchable") == 1), robots)

@@ -395,3 +395,91 @@ def test_crawl_frontier_plan_has_no_docid_exchange(spark):
     assert keys and all(k == "host" for k in keys), keys
     assert plan.count("BroadcastExchange") == 1  # the blocklist gate
     assert "Window" not in plan
+
+
+def test_multiple_star_groups_merge(spark):
+    """RFC 9309 §2.2.1: rules from EVERY group matching the agent
+    combine — a first-match-only parse drops the later * group's
+    rules (fails open) and its Crawl-delay."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        parse_crawl_delay,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /a/\n"
+        "User-agent: bot\n"
+        "Disallow: /x/\n"
+        "User-agent: *\n"
+        "Crawl-delay: 5\n"
+        "Disallow: /b/"
+    )
+    robots = _robots(spark, [("h", txt)])
+    rules = {(r.prefix, r.allow) for r in parse_robots_rules(robots).collect()}
+    assert rules == {("/a/", 0), ("/b/", 0)}
+    assert parse_crawl_delay(robots).collect()[0].crawl_delay == 5
+
+
+def test_comment_mentioning_user_agent_star_does_not_hijack(spark):
+    """The start-group line is anchored to a LINE start: a comment that
+    merely ends in 'user-agent: *' must not open the * group (which
+    would attribute the next agent's rules to us)."""
+    txt = (
+        "# default group is user-agent: *\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+        "User-agent: *\n"
+        "Allow: /ok/"
+    )
+    rules = {
+        (r.prefix, r.allow)
+        for r in parse_robots_rules(_robots(spark, [("h", txt)])).collect()
+    }
+    assert rules == {("/ok/", 1)}
+
+
+def test_indented_lines_are_parsed(spark):
+    """RFC 9309's ABNF allows leading whitespace on every line; an
+    indented Disallow silently dropped fails open."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        parse_crawl_delay,
+        parse_sitemaps,
+    )
+
+    txt = (
+        "  Sitemap: https://h/s.xml\n"
+        "User-agent: *\n"
+        "  Disallow: /private/\n"
+        "\tAllow: /private/pub-\n"
+        "\tCrawl-delay: 7"
+    )
+    robots = _robots(spark, [("h", txt)])
+    rules = {(r.prefix, r.allow) for r in parse_robots_rules(robots).collect()}
+    assert rules == {("/private/", 0), ("/private/pub-", 1)}
+    assert parse_crawl_delay(robots).collect()[0].crawl_delay == 7
+    assert [r.sitemap_url for r in parse_sitemaps(robots).collect()] == [
+        "https://h/s.xml"
+    ]
+
+
+def test_fractional_crawl_delay_rounds_up_and_clamps(spark):
+    """'Crawl-delay: 0.5' must budget 1 s/URL, not 0 (integer
+    truncation would hand a THROTTLED host a zero fetch budget);
+    absent delay stays NULL — greatest() must not swallow it."""
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        parse_crawl_delay,
+    )
+
+    rows = [
+        ("half", "User-agent: *\nCrawl-delay: 0.5\nDisallow: /t/"),
+        ("frac", "User-agent: *\nCrawl-delay: 1.9\nDisallow: /t/"),
+        ("whole", "User-agent: *\nCrawl-delay: 3\nDisallow: /t/"),
+        ("none", "User-agent: *\nDisallow: /t/"),
+    ]
+    got = {
+        r.host: r.crawl_delay
+        for r in parse_crawl_delay(
+            spark.createDataFrame(rows, "host string, robots_txt string")
+        ).collect()
+    }
+    assert got == {"half": 1, "frac": 2, "whole": 3, "none": None}

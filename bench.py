@@ -241,6 +241,26 @@ def main() -> int:
     timed("q18_pagerank", lambda: _force(pagerank_over_documents(docs120, n_iter=5)))
     timed("q19_bow_classify", lambda: _force(classify_bow(labeled120)))
     timed("q20_warc_extract", lambda: _force(warc_main_text(docs120)))
+    # q21 (round 5): the composed crawl-planning pipeline — URL parse,
+    # blocklist anti-join, RFC 9309 robots longest-match, per-host
+    # budget; every exchange host-keyed (plan-asserted in tests)
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        crawl_frontier,
+        derive_robots_txt_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    def _frontier():
+        parsed = parse_urls(derive_urls_from_documents(labeled120))
+        return crawl_frontier(
+            parsed,
+            derive_robots_txt_from_documents(labeled120, parsed_urls=parsed),
+        )
+
+    timed("q21_crawl_frontier", lambda: _force(_frontier()))
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)
@@ -260,6 +280,7 @@ def main() -> int:
         "bench_docs_per_query": {
             "derived_corpus_120k": [
                 "q18_pagerank", "q19_bow_classify", "q20_warc_extract",
+                "q21_crawl_frontier",
                 "q1_extract_flagship", "q1b_extract_expression",
                 "q1c_extract_window", "q2_main_content_detailed",
                 "q10_html_main_content", "q11_layout_reading_order",

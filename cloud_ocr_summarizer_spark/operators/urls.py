@@ -82,13 +82,22 @@ def registered_domain_col(host: Column) -> Column:
     the tuple for a broadcast lookup — same semantics, bigger table).
     The suffix comparison is case-insensitive (DNS names are; crawl
     noise like ``FOO.CO.UK`` must not degrade to the bare suffix) while
-    the returned labels keep the host's original casing.
+    the returned labels keep the host's original casing.  A single-label
+    host (``localhost``, intranet names) IS its own registered domain —
+    without the fallback the two-label regexp returns '' and a
+    domain-keyed rollup would merge every such host into one empty
+    group.
     """
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    return F.when(
-        F.lower(last2).isin(*PSL_MULTI_SUFFIXES) & (last3 != F.lit("")), last3
-    ).otherwise(last2)
+    return (
+        F.when(
+            F.lower(last2).isin(*PSL_MULTI_SUFFIXES) & (last3 != F.lit("")),
+            last3,
+        )
+        .when(last2 == F.lit(""), host)
+        .otherwise(last2)
+    )
 
 
 def derive_urls_from_documents(

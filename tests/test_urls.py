@@ -163,3 +163,59 @@ def test_url_dedup_collapses_pairs(spark):
     for m in range(10):
         r = out[f"http://example-{m % 10}.com/p/{m}.html"]
         assert (r.keeper_doc_id, r.n_variants) == (2 * m, 2)
+
+
+def test_registered_domain_single_label_hosts(spark):
+    """A single-label host (localhost, intranet names) is its own
+    registered domain — without the fallback every such host collapses
+    into one '' rollup group."""
+    from cloud_ocr_summarizer_spark.operators.urls import registered_domain_col
+
+    df = spark.createDataFrame(
+        [("localhost",), ("intranet",), ("",)], "host string"
+    )
+    got = [
+        r.d
+        for r in df.select(
+            registered_domain_col(F.col("host")).alias("d")
+        ).collect()
+    ]
+    assert got == ["localhost", "intranet", ""]
+
+
+def test_registered_domain_fuzz_vs_python(spark):
+    """Seeded-random host shapes vs a pure-Python model of the
+    documented semantics (last two labels; three under a multi-label
+    public suffix, case-insensitively; single label = itself)."""
+    import random
+
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        PSL_MULTI_SUFFIXES,
+        registered_domain_col,
+    )
+
+    rng = random.Random(99)
+    labels = ["a", "B", "shop", "www", "x-1", "co", "uk", "com", "au",
+              "gob", "mx", "example"]
+    hosts = []
+    for _ in range(300):
+        n = rng.randrange(1, 6)
+        hosts.append(".".join(rng.choice(labels) for _ in range(n)))
+
+    def model(h):
+        parts = h.split(".")
+        if len(parts) < 2:
+            return h
+        last2 = ".".join(parts[-2:])
+        if last2.lower() in PSL_MULTI_SUFFIXES and len(parts) >= 3:
+            return ".".join(parts[-3:])
+        return last2
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [
+        r.d
+        for r in df.select(
+            "host", registered_domain_col(F.col("host")).alias("d")
+        ).collect()
+    ]
+    assert got == [model(h) for h in hosts]

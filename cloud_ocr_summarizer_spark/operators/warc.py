@@ -71,7 +71,11 @@ def derive_warc_records_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def _header(text: Column, name: str) -> Column:
-    return F.regexp_extract(text, rf"(?m)^{name}: (.*?)\r?$", 1)
+    # field names are case-insensitive (ISO 28500 §5.1 for WARC fields,
+    # RFC 7230 §3.2 for HTTP) and whitespace after the colon is
+    # optional — a case-sensitive match silently drops the field on
+    # crawls that emit 'content-length:' or 'WARC-TARGET-URI:'
+    return F.regexp_extract(text, rf"(?mi)^{name}:[ \t]*(.*?)\r?$", 1)
 
 
 def _after_blank_line(text: Column) -> Column:
@@ -110,7 +114,11 @@ def parse_warc_records(
         _header(F.col("_t"), "Content-Length")
         .try_cast("bigint")
         .alias("content_length"),
-        F.regexp_extract(F.col("_http"), r"^HTTP/1\.1 (\d+)(?=\s|$)", 1)
+        # any HTTP version (1.0 responses are routine in crawls; a
+        # 1.1-only match turned them into NULL-status drops)
+        F.regexp_extract(
+            F.col("_http"), r"^HTTP/\d+(?:\.\d+)? (\d+)(?=\s|$)", 1
+        )
         .try_cast("int")
         .alias("http_status"),
         _after_blank_line(F.col("_http")).alias("html"),

@@ -766,3 +766,84 @@ def harmonic_centrality_kmv(
             ).alias("harmonic_milli"),
         ).localCheckpoint(eager=False)
     return cur.select("doc_id", F.col("est").alias("n_reached_est"), "harmonic_milli")
+
+
+def _half_step(
+    node_ids: DataFrame,
+    edges: DataFrame,
+    scores: DataFrame,
+    *,
+    join_on: str,
+    group_on: str,
+) -> DataFrame:
+    """One HITS half-step: pull ``scores`` across the edges from
+    ``join_on`` to ``group_on``, sum per target, then rescale so the
+    max lands in (500_000, 1_000_000] — integer division by
+    ``max_raw div 10^6 + 1``, so no multiplication ever happens and the
+    raw sums (<= E * 10^6, < 2^63 through 10^12 edges) are the largest
+    values in the job.  Returns every node (absent = 0)."""
+    raw = (
+        edges.join(scores, edges[join_on] == scores.doc_id)
+        .select(F.col(group_on).alias("doc_id"), F.col("score"))
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("raw"))
+    )
+    scale = raw.agg(
+        F.coalesce(F.max("raw"), F.lit(0).cast("bigint")).alias("_mx")
+    ).select((F.expr("_mx div 1000000") + 1).alias("_s"))
+    return (
+        node_ids.join(raw, "doc_id", "left")
+        .crossJoin(F.broadcast(scale))
+        .select(
+            "doc_id",
+            F.expr("coalesce(raw, 0) div _s").alias("score"),
+        )
+    )
+
+
+def hits_scores(
+    nodes: DataFrame, edges: DataFrame, *, n_iter: int = 3
+) -> DataFrame:
+    """Fixed-iteration integer HITS -> (doc_id, auth_micro, hub_micro).
+
+    Kleinberg's hubs-and-authorities recurrence in micro-units: every
+    hub score starts at 10^6; round k sets
+
+      auth_k(v) = (Σ_{(u,v)∈E} hub_{k-1}(u)) div s_a
+      hub_k(u)  = (Σ_{(u,v)∈E} auth_k(v))   div s_h
+
+    where each normalizer ``s = max_raw div 10^6 + 1`` rescales the max
+    back into (500_000, 1_000_000] WITHOUT any multiplication — the
+    usual L2 normalization is float; dividing by a max-derived integer
+    keeps every value BIGINT-exact so the cross-engine hash is
+    byte-stable and the result is partitioning-independent (integer
+    sums are order-free).  Complements PageRank for curation: PageRank
+    ranks endorsement flow, HITS separates directories/link-hubs
+    (high hub) from canonical content (high auth) — the classic pair of
+    crawl-quality priors.
+
+    Scale: one half-step is edges⋈scores (key-partitioned shuffle) +
+    groupBy target (constant-size SUM buffers — no hot-key state, unlike
+    a collect_list) + a node-sized left join + a 1-row broadcast for the
+    normalizer.  Raw sums <= E * 10^6 hold in BIGINT through 10^12
+    edges; each round is cut with localCheckpoint (plan-doubling trap,
+    see pagerank).  DuckDB twin: generated MATERIALIZED-CTE chain
+    (ORACLES["hits_scores"]).
+    """
+    node_ids = nodes.select("doc_id")
+    hubs = node_ids.select(
+        "doc_id", F.lit(INIT_MICRO).cast("bigint").alias("score")
+    )
+    auths = None
+    for _ in range(n_iter):
+        auths = _half_step(
+            node_ids, edges, hubs, join_on="src_doc_id", group_on="dst_doc_id"
+        ).localCheckpoint(eager=False)
+        hubs = _half_step(
+            node_ids, edges, auths, join_on="dst_doc_id", group_on="src_doc_id"
+        ).localCheckpoint(eager=False)
+    return (
+        auths.withColumnRenamed("score", "auth_micro")
+        .join(hubs.withColumnRenamed("score", "hub_micro"), "doc_id")
+        .select("doc_id", "auth_micro", "hub_micro")
+    )

@@ -3865,3 +3865,84 @@ SELECT f.host,
 FROM fetchable f JOIN hosts h USING (host)
 GROUP BY f.host, h.g
 """
+
+
+def _hits_oracle(n_iter: int = 3) -> str:
+    """Generated MATERIALIZED-CTE chain mirroring linkgraph.hits_scores.
+
+    Per round k: a{k}r sums hub scores across edges into each dst (the
+    HUGEINT sum cast back to BIGINT), a{k}s derives the integer
+    normalizer max_raw // 10^6 + 1, a{k} rescales over ALL documents
+    (absent = 0); then the same three CTEs for hubs reading a{k} across
+    the edges' src side.  MATERIALIZED is load-bearing (the chain would
+    otherwise inline exponentially — same trap as the PageRank twin).
+    """
+    parts = [
+        LINK_EDGES_CTE.strip()[4:],  # drop the leading 'WITH' to splice
+        """h0 AS MATERIALIZED (
+  SELECT doc_id, CAST(1000000 AS BIGINT) AS score FROM documents
+)""",
+    ]
+    for k in range(1, n_iter + 1):
+        for side, prev, join_on, group_on in (
+            ("a", f"h{k - 1}", "src_doc_id", "dst_doc_id"),
+            ("h", f"a{k}", "dst_doc_id", "src_doc_id"),
+        ):
+            name = f"{side}{k}"
+            parts.append(f"""{name}r AS MATERIALIZED (
+  SELECT e.{group_on} AS doc_id, CAST(sum(p.score) AS BIGINT) AS raw
+  FROM edges e JOIN {prev} p ON e.{join_on} = p.doc_id
+  GROUP BY e.{group_on}
+)""")
+            parts.append(f"""{name}s AS MATERIALIZED (
+  SELECT CAST(coalesce(max(raw), 0) // 1000000 + 1 AS BIGINT) AS s
+  FROM {name}r
+)""")
+            parts.append(f"""{name} AS MATERIALIZED (
+  SELECT d.doc_id, CAST(coalesce(r.raw, 0) // s.s AS BIGINT) AS score
+  FROM documents d CROSS JOIN {name}s s
+  LEFT JOIN {name}r r ON d.doc_id = r.doc_id
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT a.doc_id, a.score AS auth_micro, h.score AS hub_micro
+FROM a{n_iter} a JOIN h{n_iter} h ON a.doc_id = h.doc_id
+"""
+    )
+
+
+ORACLES["hits_scores"] = _hits_oracle(3)
+
+
+# Sitemap round trips (operators/sitemap.py): both twins re-derive every
+# field from doc_id arithmetic over the URL synthesis — the XML file is
+# never parsed here, so agreement proves comment stripping, entity
+# unescaping, and shard/pos assignment all invert the synthesis.
+ORACLES["sitemap_urls"] = URL_FIELDS_CTE + r"""
+, ranked AS (
+  SELECT host, doc_id, url,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS rn
+  FROM with_url
+)
+SELECT host,
+       CAST(rn // 3 AS INT) AS shard_id,
+       CAST(rn % 3 + 1 AS INT) AS pos,
+       url || CASE WHEN doc_id % 3 = 0 THEN '&src=sm' ELSE '' END AS loc,
+       CASE WHEN doc_id % 2 = 0
+            THEN '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       END AS lastmod,
+       CASE WHEN doc_id % 4 = 1 THEN NULL
+            ELSE CAST((doc_id % 10) * 100 AS INT) END AS priority_milli
+FROM ranked
+"""
+
+ORACLES["sitemap_index"] = URL_FIELDS_CTE + r"""
+, per_host AS (SELECT host, count(*) AS n FROM with_url GROUP BY 1)
+SELECT host, CAST(t.k AS INT) AS shard_id,
+       'https://' || host || '/sitemap-' || CAST(t.k AS VARCHAR) || '.xml'
+         AS shard_loc
+FROM per_host,
+     unnest(generate_series(0, CAST((n - 1) // 3 AS BIGINT))) AS t(k)
+"""

@@ -3616,3 +3616,68 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["crawl_frontier"] = q_crawl_frontier
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer HITS hubs-and-authorities over the corpus
+    link graph (operators/linkgraph.hits_scores, 3 rounds) — the
+    endorsement-direction complement to PageRank: directories/link hubs
+    score high hub_micro, canonical content high auth_micro.  Integer
+    max-derived normalizers replace the float L2 norm so the
+    cross-engine hash is byte-stable; DuckDB twin is a generated chain
+    of MATERIALIZED CTEs (a1..a3 / h1..h3 with per-round normalizer
+    CTEs)."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        extract_outlinks,
+        hits_scores,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    return hits_scores(docs, edges, n_iter=3)
+
+
+BATCH_8["hits_scores"] = q_hits_scores
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap urlset round trip (operators/sitemap.py): shard each
+    host's URLs into sitemap XML files (3-entry shards so every tier
+    exercises multi-shard hosts; production keeps the protocol's 50k
+    cap), then parse the entries back — comment-decoy strip, entity
+    unescaping (&amp;src=sm on query docs), DECIMAL-exact priority
+    milli.  The DuckDB twin re-derives host/shard/pos/loc/lastmod/
+    priority purely from doc_id arithmetic over the URL synthesis — it
+    never sees the XML, so agreement proves the parser inverts the file
+    format exactly."""
+    from cloud_ocr_summarizer_spark.operators.sitemap import (
+        derive_sitemap_xml_from_documents,
+        parse_sitemap_urls,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    shards = derive_sitemap_xml_from_documents(docs, max_urls=3)
+    return parse_sitemap_urls(shards)
+
+
+BATCH_8["sitemap_urls"] = q_sitemap_urls
+
+
+def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemapindex round trip (operators/sitemap.py): build one index
+    file per host pointing at its 3-entry shards, parse the pointers
+    back out.  Twin derives shard counts from per-host URL counts
+    (ceil division in doc_id arithmetic)."""
+    from cloud_ocr_summarizer_spark.operators.sitemap import (
+        derive_sitemap_index,
+        derive_sitemap_xml_from_documents,
+        parse_sitemap_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    shards = derive_sitemap_xml_from_documents(docs, max_urls=3)
+    return parse_sitemap_index(derive_sitemap_index(shards))
+
+
+BATCH_8["sitemap_index"] = q_sitemap_index

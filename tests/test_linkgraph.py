@@ -507,3 +507,73 @@ def test_window_merge_variants_bit_identical(spark):
 
     with pytest.raises(ValueError, match="merge"):
         inbound_anchor_texts(html, merge="nope")
+
+
+def _python_hits(edge_list, n, n_iter=3):
+    hub = {i: 1_000_000 for i in range(n)}
+    auth = {i: 0 for i in range(n)}
+    for _ in range(n_iter):
+        raw = {i: 0 for i in range(n)}
+        for s, d in edge_list:
+            raw[d] += hub[s]
+        sa = max(raw.values(), default=0) // 1_000_000 + 1
+        auth = {i: raw[i] // sa for i in range(n)}
+        raw = {i: 0 for i in range(n)}
+        for s, d in edge_list:
+            raw[s] += auth[d]
+        sh = max(raw.values(), default=0) // 1_000_000 + 1
+        hub = {i: raw[i] // sh for i in range(n)}
+    return auth, hub
+
+
+def test_hits_matches_pure_python(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import hits_scores
+
+    n = 12
+    edges = sorted(_expected_edges(n))
+    auth, hub = _python_hits(edges, n)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(
+        edges, "src_doc_id long, dst_doc_id long"
+    )
+    got = {
+        r.doc_id: (r.auth_micro, r.hub_micro)
+        for r in hits_scores(nodes, edf, n_iter=3).collect()
+    }
+    assert got == {i: (auth[i], hub[i]) for i in range(n)}
+
+
+def test_hits_sink_node_has_zero_hub(spark):
+    """A node with no outlinks cannot be a hub; no inlinks -> no auth."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import hits_scores
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    edf = spark.createDataFrame(
+        [(0, 3), (1, 3), (2, 3)], "src_doc_id long, dst_doc_id long"
+    )
+    rows = {r.doc_id: r for r in hits_scores(nodes, edf).collect()}
+    assert rows[3].hub_micro == 0 and rows[3].auth_micro > 0
+    assert rows[0].auth_micro == 0 and rows[0].hub_micro > 0
+    # the three identical hubs tie exactly (partitioning-independent)
+    assert rows[0].hub_micro == rows[1].hub_micro == rows[2].hub_micro
+
+
+def test_hits_partitioning_invariant(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import hits_scores
+
+    n = 12
+    edges = sorted(_expected_edges(n))
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(edges, "src_doc_id long, dst_doc_id long")
+    a = sorted(
+        map(tuple, hits_scores(nodes, edf).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            hits_scores(
+                nodes.repartition(7), edf.repartition(5, "dst_doc_id")
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -3946,3 +3946,69 @@ SELECT host, CAST(t.k AS INT) AS shard_id,
 FROM per_host,
      unnest(generate_series(0, CAST((n - 1) // 3 AS BIGINT))) AS t(k)
 """
+
+
+# HTML table grids (operators/htmltable.py): the twins re-derive every
+# cell from doc_id arithmetic (tables/rows/cols/empties/header rows all
+# synthesized by formula) — the HTML is never parsed here, so agreement
+# proves comment stripping, thead/tbody handling, nested-span stripping
+# and 0-based grid indexing all invert the synthesis.
+_TABLE_GRID_CTE = r"""
+WITH grids AS (
+  SELECT d.doc_id AS doc_id, tt.t AS t,
+         CASE WHEN (d.doc_id + tt.t) % 2 = 0 THEN 1 ELSE 0 END AS hh,
+         1 + (d.doc_id + tt.t) % 3 AS n_rows,
+         2 + (d.doc_id + tt.t) % 2 AS n_cols
+  FROM documents d, unnest(generate_series(0, d.doc_id % 2)) AS tt(t)
+)
+"""
+
+ORACLES["html_tables"] = _TABLE_GRID_CTE + r"""
+, hdr AS (
+  SELECT doc_id, CAST(t AS INT) AS table_idx, CAST(0 AS INT) AS row_idx,
+         CAST(c.c - 1 AS INT) AS col_idx, TRUE AS is_header,
+         'h-' || CAST(doc_id AS VARCHAR) || '-' || CAST(t AS VARCHAR)
+           || '-' || CAST(c.c AS VARCHAR) AS cell_text
+  FROM grids, unnest(generate_series(1, n_cols)) AS c(c)
+  WHERE hh = 1
+), dat AS (
+  SELECT doc_id, CAST(t AS INT) AS table_idx,
+         CAST(r.r - 1 + hh AS INT) AS row_idx,
+         CAST(c.c - 1 AS INT) AS col_idx, FALSE AS is_header,
+         CASE WHEN (doc_id + r.r + c.c) % 7 = 0 THEN ''
+              ELSE 'c-' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(t AS VARCHAR) || '-' || CAST(r.r AS VARCHAR)
+                   || '-' || CAST(c.c AS VARCHAR) END AS cell_text
+  FROM grids,
+       unnest(generate_series(1, n_rows)) AS r(r),
+       unnest(generate_series(1, n_cols)) AS c(c)
+)
+SELECT * FROM hdr UNION ALL SELECT * FROM dat
+"""
+
+ORACLES["html_table_records"] = _TABLE_GRID_CTE + r"""
+, hdr AS (
+  SELECT doc_id, CAST(t AS INT) AS table_idx, CAST(0 AS INT) AS row_idx,
+         TRUE AS is_header, CAST(n_cols AS INT) AS n_cols,
+         array_to_string(
+           list_transform(generate_series(1, n_cols),
+             c -> 'h-' || CAST(doc_id AS VARCHAR) || '-'
+                  || CAST(t AS VARCHAR) || '-' || CAST(c AS VARCHAR)),
+           ' | ') AS row_text
+  FROM grids WHERE hh = 1
+), dat AS (
+  SELECT doc_id, CAST(t AS INT) AS table_idx,
+         CAST(r.r - 1 + hh AS INT) AS row_idx,
+         FALSE AS is_header, CAST(n_cols AS INT) AS n_cols,
+         array_to_string(
+           list_transform(generate_series(1, n_cols),
+             c -> CASE WHEN (doc_id + r.r + c) % 7 = 0 THEN ''
+                       ELSE 'c-' || CAST(doc_id AS VARCHAR) || '-'
+                            || CAST(t AS VARCHAR) || '-'
+                            || CAST(r.r AS VARCHAR) || '-'
+                            || CAST(c AS VARCHAR) END),
+           ' | ') AS row_text
+  FROM grids, unnest(generate_series(1, n_rows)) AS r(r)
+)
+SELECT * FROM hdr UNION ALL SELECT * FROM dat
+"""

@@ -3681,3 +3681,42 @@ def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["sitemap_index"] = q_sitemap_index
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table-grid extraction round trip (operators/htmltable.py):
+    synthesize per-doc <table> grids (comment-decoy table, thead/tbody
+    wrappers, nested spans, empty cells), recover every cell with its
+    0-based (table, row, col) coordinates via a row-local three-level
+    regexp scan — zero shuffles, zero Python.  The DuckDB twin derives
+    every cell from doc_id arithmetic without parsing HTML."""
+    from cloud_ocr_summarizer_spark.operators.htmltable import (
+        derive_tables_html_from_documents,
+        extract_tables,
+    )
+
+    return extract_tables(
+        derive_tables_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_8["html_tables"] = q_html_tables
+
+
+def q_html_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table ROW records (operators/htmltable.table_records): each table
+    row assembled into a single delimited record row-LOCALLY
+    (transform + array_join inside the row's own string — no
+    collect_list, no aggregation state, map-only plan).  Twin rebuilds
+    each record with list_transform over the same arithmetic."""
+    from cloud_ocr_summarizer_spark.operators.htmltable import (
+        derive_tables_html_from_documents,
+        table_records,
+    )
+
+    return table_records(
+        derive_tables_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_8["html_table_records"] = q_html_table_records

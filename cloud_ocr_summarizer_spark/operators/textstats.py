@@ -686,3 +686,80 @@ def gopher_quality_rules(
         stop_hits.cast("int").alias("n_stop_hits"),
         passes.alias("passes_gopher"),
     )
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    common_cap: int = 1024,
+) -> DataFrame:
+    """Rarity-weighted top-k terms per document (integer tf/df).
+
+    The keyword-extraction signal: per (doc, term) frequency weighted
+    by inverse document frequency, kept integer-exact as
+    ``score_micro = tf * 10^6 div df_docs`` (monotone in the tf·idf
+    ranking direction; no float log crosses the engine boundary), then
+    the top ``k`` terms per doc by (score desc, term asc).
+
+    Scale — the df join is where a naive plan dies: joining the
+    (doc, term) tf table to the df table ON TERM sends every row of a
+    stop-word term ("the" ≈ every doc) to one partition.  Exact
+    frequency-split join instead: the top-``common_cap`` terms by df
+    (deterministic ties) are BROADCAST — they are precisely the hot
+    keys — and only the remaining rare tail (per-term multiplicity
+    bounded above by the cap boundary's df) takes the shuffle join.
+    Both paths use the same exact df values, so the result is identical
+    to the naive join (the DuckDB twin IS the naive join) and
+    independent of the split.  Top-k per doc is a doc-partitioned
+    row_number window — per-key state is doc-sized, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            whitespace_tokens_col(
+                F.lower(F.coalesce(F.col(text_col), F.lit("")))
+            )
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    common = (
+        dfreq.orderBy(F.col("df_docs").desc(), F.col("term").asc())
+        .limit(common_cap)
+        .localCheckpoint(eager=False)
+    )
+    hot = tf.join(F.broadcast(common), "term")
+    cold = tf.join(
+        F.broadcast(common.select("term")), "term", "left_anti"
+    ).join(dfreq, "term")
+    scored = hot.unionByName(cold).select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df_docs").cast("bigint").alias("df_docs"),
+        F.expr("tf * 1000000 div df_docs").cast("bigint").alias(
+            "score_micro"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            F.col("doc_id").alias(id_col),
+            "term_rank",
+            "term",
+            "tf",
+            "df_docs",
+            "score_micro",
+        )
+    )

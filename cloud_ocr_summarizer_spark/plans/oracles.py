@@ -4012,3 +4012,34 @@ ORACLES["html_table_records"] = _TABLE_GRID_CTE + r"""
 )
 SELECT * FROM hdr UNION ALL SELECT * FROM dat
 """
+
+
+# Rarity-weighted top-k terms (operators/textstats.top_terms_per_doc):
+# the twin is the NAIVE tf⋈df join — the Spark side's frequency-split
+# (broadcast hot terms / shuffle rare tail) must be invisible in the
+# values, so agreement proves the split is exact, not approximate.
+ORACLES["top_terms_per_doc"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df_docs AS BIGINT) AS df_docs,
+         CAST((tf.tf * 1000000) // df.df_docs AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (term)
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(rn AS INT) AS term_rank, term, tf, df_docs, score_micro
+FROM ranked WHERE rn <= 5
+"""

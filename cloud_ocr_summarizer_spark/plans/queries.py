@@ -3720,3 +3720,21 @@ def q_html_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["html_table_records"] = q_html_table_records
+
+
+def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted keyword extraction
+    (operators/textstats.top_terms_per_doc): integer tf/df scoring with
+    the exact frequency-split df join — the top-1024 hottest terms by
+    document frequency are broadcast (they are precisely the keys that
+    would skew a term-partitioned join) while the bounded rare tail
+    shuffles.  The DuckDB twin runs the NAIVE join, so the value check
+    proves the split changes nothing."""
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        top_terms_per_doc,
+    )
+
+    return top_terms_per_doc(_read(spark, sf_dir, "documents"), k=5)
+
+
+BATCH_8["top_terms_per_doc"] = q_top_terms_per_doc

@@ -1,3 +1,4 @@
+"""Text-stats operators not covered by the fuzz/golden suites."""
 
 
 def test_top_terms_split_is_exact_and_deterministic(spark):

@@ -261,6 +261,36 @@ def main() -> int:
         )
 
     timed("q21_crawl_frontier", lambda: _force(_frontier()))
+    # q22-q24 (round 5): structured table-grid extraction (map-only,
+    # three-level regexp scan), rarity-weighted keywords (wordcount +
+    # frequency-split df join + per-doc window), and integer HITS (the
+    # second iterative graph family — 2 joins + 2 aggs per round)
+    from cloud_ocr_summarizer_spark.operators.htmltable import (
+        derive_tables_html_from_documents,
+        extract_tables,
+    )
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        extract_outlinks,
+        hits_scores,
+    )
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        top_terms_per_doc,
+    )
+
+    timed(
+        "q22_html_tables",
+        lambda: _force(
+            extract_tables(derive_tables_html_from_documents(docs120))
+        ),
+    )
+    timed("q23_top_terms", lambda: _force(top_terms_per_doc(docs120, k=5)))
+
+    def _hits():
+        edges = extract_outlinks(derive_linkgraph_html_from_documents(docs120))
+        return hits_scores(docs120, edges, n_iter=3)
+
+    timed("q24_hits_scores", lambda: _force(_hits()))
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)
@@ -280,7 +310,8 @@ def main() -> int:
         "bench_docs_per_query": {
             "derived_corpus_120k": [
                 "q18_pagerank", "q19_bow_classify", "q20_warc_extract",
-                "q21_crawl_frontier",
+                "q21_crawl_frontier", "q22_html_tables", "q23_top_terms",
+                "q24_hits_scores",
                 "q1_extract_flagship", "q1b_extract_expression",
                 "q1c_extract_window", "q2_main_content_detailed",
                 "q10_html_main_content", "q11_layout_reading_order",

@@ -847,3 +847,65 @@ def hits_scores(
         .join(hubs.withColumnRenamed("score", "hub_micro"), "doc_id")
         .select("doc_id", "auth_micro", "hub_micro")
     )
+
+
+def link_components(
+    nodes: DataFrame, edges: DataFrame, *, n_iter: int = 4
+) -> DataFrame:
+    """Fixed-iteration weakly-connected components by min-label.
+
+    -> (doc_id, component_id): after ``n_iter`` rounds of
+    ``label'(v) = min(label(v), min over undirected neighbors u of
+    label(u))`` with labels initialized to doc_id.  The crawl-side
+    twin of ``dedup.duplicate_clusters`` (which converges on near-dup
+    pair edges): component structure drives crawl sharding and
+    mirror/site-family detection.  Fixed rounds instead of a
+    convergence loop make the intermediate state a pure function of
+    the input, so the DuckDB chained-CTE twin matches BIT-EXACTLY even
+    on graphs whose diameter exceeds ``n_iter`` (labels are then not
+    yet fully propagated on both sides alike — documented semantics,
+    not an approximation mismatch).
+
+    Scale: the undirected edge set is edges ∪ reverse(edges) distinct
+    (one symmetrization shuffle, done once); each round is a
+    key-partitioned join + a constant-buffer MIN agg + a node-sized
+    left join, cut with localCheckpoint (plan-doubling trap).  Labels
+    only decrease, so values stay in the doc_id domain — no overflow
+    concern at any scale.
+    """
+    und = (
+        edges.select("src_doc_id", "dst_doc_id")
+        .unionByName(
+            edges.select(
+                F.col("dst_doc_id").alias("src_doc_id"),
+                F.col("src_doc_id").alias("dst_doc_id"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    node_ids = nodes.select("doc_id")
+    labels = node_ids.select("doc_id", F.col("doc_id").alias("component_id"))
+    for _ in range(n_iter):
+        neigh_min = (
+            und.join(labels, und.src_doc_id == labels.doc_id)
+            .select(
+                F.col("dst_doc_id").alias("doc_id"),
+                F.col("component_id").alias("nl"),
+            )
+            .groupBy("doc_id")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        labels = (
+            node_ids.join(neigh_min, "doc_id", "left")
+            .join(labels, "doc_id")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nmin"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

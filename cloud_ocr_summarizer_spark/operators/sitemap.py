@@ -237,3 +237,68 @@ def parse_sitemap_index(
         F.col("_i").cast("int").alias("shard_id"),
         xml_unescape(F.col("_loc")).alias("shard_loc"),
     )
+
+
+def derive_crawl_state_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (url, last_crawl) — the synthetic fetch ledger.
+
+    ``last_crawl`` is an ISO date derived from doc_id arithmetic
+    (month 1 + (5·d) % 12, day 1 + (11·d) % 28), chosen coprime to the
+    sitemap lastmod formula so the staleness comparison exercises both
+    outcomes densely.  ISO dates compare correctly as strings — no date
+    type crosses the engine boundary.
+    """
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+    )
+
+    d = F.col("doc_id")
+    last_crawl = F.concat(
+        F.lit("2026-"),
+        F.lpad(((d * 5) % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((d * 11) % 28 + 1).cast("string"), 2, "0"),
+    )
+    return derive_urls_from_documents(docs).select(
+        "url", last_crawl.alias("last_crawl")
+    )
+
+
+def recrawl_schedule(
+    entries: DataFrame, crawl_state: DataFrame
+) -> DataFrame:
+    """Sitemap-driven recrawl planning -> (host, n_urls, n_stale).
+
+    A URL needs refetching when its sitemap ``<lastmod>`` is missing
+    (unknown = must fetch) or later than the ledger's ``last_crawl``
+    (ISO strings compare lexicographically).  Entries and ledger are
+    keyed on (host, path) — the crawl-state normal form; the sitemap
+    ``loc`` may carry tracking params the ledger URL does not, so the
+    raw strings would NOT join.  One (host, path) equi-join + one host
+    aggregate are the only corpus-sized exchanges; an entry with no
+    ledger row counts stale (never fetched).
+    """
+    from cloud_ocr_summarizer_spark.operators.urls import parse_urls
+
+    e = parse_urls(
+        entries.select("loc", "lastmod"), url_col="loc"
+    ).select("host", "path", "lastmod")
+    s = parse_urls(crawl_state, url_col="url").select(
+        F.col("host").alias("s_host"),
+        F.col("path").alias("s_path"),
+        "last_crawl",
+    )
+    joined = e.join(
+        s,
+        (e.host == s.s_host) & (e.path == s.s_path),
+        "left",
+    )
+    stale = (
+        F.col("lastmod").isNull()
+        | F.col("last_crawl").isNull()
+        | (F.col("lastmod") > F.col("last_crawl"))
+    )
+    return joined.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.sum(F.when(stale, 1).otherwise(0)).cast("bigint").alias("n_stale"),
+    )

@@ -4043,3 +4043,62 @@ WITH w AS (
 SELECT doc_id, CAST(rn AS INT) AS term_rank, term, tf, df_docs, score_micro
 FROM ranked WHERE rn <= 5
 """
+
+
+def _components_oracle(n_iter: int = 4) -> str:
+    """Chained-CTE twin of linkgraph.link_components: the symmetrized
+    distinct edge set, then one min-label CTE per round.  Fixed rounds
+    on both sides make the (possibly unconverged) state bit-exact."""
+    parts = [
+        LINK_EDGES_CTE.strip()[4:],  # drop the leading 'WITH' to splice
+        """und AS MATERIALIZED (
+  SELECT src_doc_id, dst_doc_id FROM edges
+  UNION
+  SELECT dst_doc_id AS src_doc_id, src_doc_id AS dst_doc_id FROM edges
+)""",
+        """l0 AS MATERIALIZED (
+  SELECT doc_id, doc_id AS component_id FROM documents
+)""",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""l{k} AS MATERIALIZED (
+  SELECT d.doc_id,
+         least(p.component_id,
+               coalesce(m.nmin, p.component_id)) AS component_id
+  FROM documents d
+  JOIN l{k - 1} p ON d.doc_id = p.doc_id
+  LEFT JOIN (
+    SELECT u.dst_doc_id AS doc_id, min(p2.component_id) AS nmin
+    FROM und u JOIN l{k - 1} p2 ON u.src_doc_id = p2.doc_id
+    GROUP BY u.dst_doc_id) m ON d.doc_id = m.doc_id
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT doc_id, component_id FROM l{n_iter}\n"
+    )
+
+
+ORACLES["link_components"] = _components_oracle(4)
+
+
+# Sitemap-driven recrawl planning (operators/sitemap.recrawl_schedule):
+# the twin computes staleness straight from the two date formulas — no
+# XML, no join — so agreement proves the Spark side's parse +
+# (host, path) ledger join + ISO-string comparison end-to-end.
+ORACLES["recrawl_schedule"] = URL_FIELDS_CTE + r"""
+, dated AS (
+  SELECT host, doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         END AS lastmod,
+         '2026-' || lpad(CAST((doc_id * 5) % 12 + 1 AS VARCHAR), 2, '0')
+           || '-' || lpad(CAST((doc_id * 11) % 28 + 1 AS VARCHAR), 2, '0')
+           AS last_crawl
+  FROM with_url
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN lastmod IS NULL OR lastmod > last_crawl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+FROM dated GROUP BY host
+"""

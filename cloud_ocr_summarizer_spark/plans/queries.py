@@ -3738,3 +3738,52 @@ def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["top_terms_per_doc"] = q_top_terms_per_doc
+
+
+def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the corpus link graph
+    (operators/linkgraph.link_components, 4 fixed min-label rounds) —
+    the crawl-sharding / site-family signal, and the link-graph twin of
+    dedup's duplicate clusters.  Fixed rounds instead of a convergence
+    loop make intermediate state a pure function of the input, so the
+    DuckDB chained-CTE twin matches bit-exactly even where labels have
+    not finished propagating."""
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        derive_linkgraph_html_from_documents,
+        extract_outlinks,
+        link_components,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = extract_outlinks(derive_linkgraph_html_from_documents(docs))
+    return link_components(docs, edges, n_iter=4)
+
+
+BATCH_8["link_components"] = q_link_components
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed recrawl planning (operators/sitemap.recrawl_schedule):
+    parse the sitemap shards, key entries and the synthetic fetch
+    ledger on (host, path) — the sitemap loc carries a tracking param
+    the ledger URL does not, so raw-string joins would miss every third
+    URL — and count per host how many URLs have a missing or newer
+    <lastmod> than their last fetch.  The DuckDB twin recomputes
+    staleness from the two date formulas alone (no XML, no join)."""
+    from cloud_ocr_summarizer_spark.operators.sitemap import (
+        derive_crawl_state_from_documents,
+        derive_sitemap_xml_from_documents,
+        parse_sitemap_urls,
+        recrawl_schedule,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    entries = parse_sitemap_urls(
+        derive_sitemap_xml_from_documents(docs, max_urls=3)
+    )
+    return recrawl_schedule(
+        entries, derive_crawl_state_from_documents(docs)
+    )
+
+
+BATCH_8["recrawl_schedule"] = q_recrawl_schedule

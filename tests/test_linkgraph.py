@@ -577,3 +577,53 @@ def test_hits_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def _python_components(edge_list, n, n_iter=4):
+    und = set()
+    for s, d in edge_list:
+        und.add((s, d))
+        und.add((d, s))
+    lab = {i: i for i in range(n)}
+    for _ in range(n_iter):
+        nxt = dict(lab)
+        for s, d in und:
+            nxt[d] = min(nxt[d], lab[s])
+        lab = nxt
+    return lab
+
+
+def test_components_match_pure_python_and_converge_on_chain(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        link_components,
+    )
+
+    n = 10
+    # two chains + an isolate: {0-1-2-3}, {5-6-7}, {4}, {8,9} pair
+    edges = [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7), (9, 8)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(edges, "src_doc_id long, dst_doc_id long")
+    got = {
+        r.doc_id: r.component_id
+        for r in link_components(nodes, edf, n_iter=4).collect()
+    }
+    assert got == _python_components(edges, n, 4)
+    # 4 rounds fully propagate these diameters: canonical min labels
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_components_unconverged_state_is_deterministic(spark):
+    from cloud_ocr_summarizer_spark.operators.linkgraph import (
+        link_components,
+    )
+
+    n = 8
+    chain = [(i, i + 1) for i in range(n - 1)]  # diameter 7 > 2 rounds
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(chain, "src_doc_id long, dst_doc_id long")
+    got = {
+        r.doc_id: r.component_id
+        for r in link_components(nodes, edf, n_iter=2).collect()
+    }
+    assert got == _python_components(chain, n, 2)
+    assert got[7] != 0  # genuinely unconverged, and exactly as modeled

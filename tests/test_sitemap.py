@@ -131,3 +131,35 @@ def test_partitioning_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_recrawl_schedule_join_and_staleness_rules(spark):
+    from cloud_ocr_summarizer_spark.operators.sitemap import (
+        recrawl_schedule,
+    )
+
+    entries = spark.createDataFrame(
+        [
+            # newer lastmod than ledger -> stale
+            ("h.com", 0, 1, "http://h.com/a.html?x=1&src=sm", "2026-06-01", None),
+            # older lastmod -> fresh (tracking param must not break the join)
+            ("h.com", 0, 2, "http://h.com/b.html?ref=1&src=sm", "2026-01-01", None),
+            # missing lastmod -> stale
+            ("h.com", 0, 3, "http://h.com/c.html", None, None),
+            # no ledger row -> stale (never fetched)
+            ("h.com", 0, 4, "http://h.com/new.html", "2026-01-01", None),
+        ],
+        "host string, shard_id int, pos int, loc string, lastmod string,"
+        " priority_milli int",
+    )
+    state = spark.createDataFrame(
+        [
+            ("http://h.com/a.html", "2026-03-01"),
+            ("http://h.com/b.html", "2026-03-01"),
+            ("http://h.com/c.html", "2026-03-01"),
+        ],
+        "url string, last_crawl string",
+    )
+    rows = recrawl_schedule(entries, state).collect()
+    assert len(rows) == 1
+    assert rows[0].n_urls == 4 and rows[0].n_stale == 3

@@ -763,3 +763,133 @@ def top_terms_per_doc(
             "score_micro",
         )
     )
+
+
+def derive_script_noise_col(text_col: Column, doc_id: Column) -> Column:
+    """documents.text + deterministic non-Latin padding.
+
+    The testdata corpus is ASCII; appending ``doc_id % 5`` CJK and
+    ``doc_id % 3`` Cyrillic characters (plus ``doc_id % 4`` digits)
+    gives every script-counting branch real mass while staying a pure
+    function of (text, doc_id) both engines can build."""
+    return F.concat(
+        F.coalesce(text_col, F.lit("")),
+        F.repeat(F.lit("中"), (doc_id % 5).cast("int")),
+        F.repeat(F.lit("й"), (doc_id % 3).cast("int")),
+        F.repeat(F.lit("7"), (doc_id % 4).cast("int")),
+    )
+
+
+def script_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_noise: bool = False,
+) -> DataFrame:
+    """Per-document Unicode-script character profile + dominant script.
+
+    Counts Latin letters, CJK ideographs (U+4E00-U+9FFF), Cyrillic
+    (U+0400-U+04FF) and ASCII digits by the delete-and-diff idiom
+    (``length(s) - length(regexp_replace(s, class, ''))``) — row-local,
+    whole-stage codegen, zero shuffles, the language-ID prior a
+    fastText-style gate consults before any model runs.  The dominant
+    script is the max count with a fixed tie order (latin, cjk,
+    cyrillic, digit; all-zero -> 'other') so the label is deterministic
+    in any engine.  The DuckDB twin counts with ITS OWN regexp engine
+    (RE2 vs Java) over the same text — agreement checks the counting
+    itself, not just the synthesis.
+    """
+    s = (
+        derive_script_noise_col(F.col(text_col), F.col(id_col))
+        if add_noise
+        else F.coalesce(F.col(text_col), F.lit(""))
+    )
+
+    def _count(cls: str) -> Column:
+        return (
+            F.length(s) - F.length(F.regexp_replace(s, cls, ""))
+        ).cast("bigint")
+
+    n_latin = _count("[A-Za-z]")
+    n_cjk = _count("[一-鿿]")
+    n_cyr = _count("[Ѐ-ӿ]")
+    n_digit = _count("[0-9]")
+    best = F.greatest(n_latin, n_cjk, n_cyr, n_digit)
+    main = (
+        F.when(best == 0, F.lit("other"))
+        .when(n_latin == best, F.lit("latin"))
+        .when(n_cjk == best, F.lit("cjk"))
+        .when(n_cyr == best, F.lit("cyrillic"))
+        .otherwise(F.lit("digit"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_latin.alias("n_latin"),
+        n_cjk.alias("n_cjk"),
+        n_cyr.alias("n_cyrillic"),
+        n_digit.alias("n_digit"),
+        main.alias("main_script"),
+    )
+
+
+def compression_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low_permille: int = 300,
+    high_permille: int = 950,
+) -> DataFrame:
+    """zlib compression-ratio quality signal (Dolma/RefinedWeb-style).
+
+    Ratio = compressed/uncompressed bytes in integer permille; a
+    too-compressible document (< ``low_permille``) is hyper-repetitive
+    boilerplate, an incompressible one (> ``high_permille``) is
+    random/binary noise — both are curation drops orthogonal to the
+    word-level Gopher rules.  Output: (doc_id, n_bytes, n_zlib,
+    ratio_permille, flagged).
+
+    Arrow-batched stdlib zlib over ``mapInPandas`` (fixed level 6, the
+    warc.gzip_payloads precedent) — the one computation in this module
+    a JVM expression genuinely cannot do, and the documented non-JVM
+    cost.  Map-only: zero shuffles, per-batch memory bounded by Arrow
+    batch sizing.  No SQL engine can mirror zlib, so the driver records
+    the weaker rows-only check; the pytest pins values against the SAME
+    stdlib the workers use.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, n_bytes bigint, n_zlib bigint, "
+        "ratio_permille int, flagged boolean"
+    )
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf[text_col].fillna("")
+            ]
+            n_bytes = [len(b) for b in raw]
+            n_zlib = [len(zlib.compress(b, 6)) for b in raw]
+            ratio = [
+                (c * 1000) // b if b else 0
+                for c, b in zip(n_zlib, n_bytes)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "n_zlib": n_zlib,
+                    "ratio_permille": ratio,
+                    "flagged": [
+                        b > 0 and (r < low_permille or r > high_permille)
+                        for r, b in zip(ratio, n_bytes)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -4102,3 +4102,42 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
 FROM dated GROUP BY host
 """
+
+
+# Unicode-script profile (operators/textstats.script_profile): the twin
+# counts with DuckDB's RE2 engine over the same noised text — the check
+# is cross-ENGINE on the counting idiom (delete-and-diff), not a
+# synthesis re-derivation.  regexp_replace needs the 'g' flag here
+# (DuckDB replaces first-match-only by default; Spark replaces all).
+ORACLES["script_profile"] = """
+WITH s AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || repeat('中', CAST(doc_id % 5 AS INT))
+           || repeat('й', CAST(doc_id % 3 AS INT))
+           || repeat('7', CAST(doc_id % 4 AS INT)) AS s
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS n_latin,
+         CAST(length(s) - length(regexp_replace(s, '[一-鿿]', '', 'g'))
+              AS BIGINT) AS n_cjk,
+         CAST(length(s) - length(regexp_replace(s, '[Ѐ-ӿ]', '', 'g'))
+              AS BIGINT) AS n_cyrillic,
+         CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit
+  FROM s
+)
+SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_digit,
+       CASE WHEN greatest(n_latin, n_cjk, n_cyrillic, n_digit) = 0
+              THEN 'other'
+            WHEN n_latin = greatest(n_latin, n_cjk, n_cyrillic, n_digit)
+              THEN 'latin'
+            WHEN n_cjk = greatest(n_latin, n_cjk, n_cyrillic, n_digit)
+              THEN 'cjk'
+            WHEN n_cyrillic = greatest(n_latin, n_cjk, n_cyrillic, n_digit)
+              THEN 'cyrillic'
+            ELSE 'digit' END AS main_script
+FROM c
+"""

@@ -3787,3 +3787,43 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["recrawl_schedule"] = q_recrawl_schedule
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character profile
+    (operators/textstats.script_profile): Latin/CJK/Cyrillic/digit
+    counts by the row-local delete-and-diff idiom plus a deterministic
+    dominant-script label — the language-ID prior a fastText-style gate
+    consults before any model runs.  Deterministic CJK/Cyrillic/digit
+    padding (doc_id arithmetic) gives every branch mass on the ASCII
+    testdata; the DuckDB twin counts with its own regexp engine, so the
+    check is cross-engine on the counting itself."""
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        script_profile,
+    )
+
+    return script_profile(
+        _read(spark, sf_dir, "documents"), add_noise=True
+    )
+
+
+BATCH_8["script_profile"] = q_script_profile
+
+
+def q_compression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal
+    (operators/textstats.compression_profile): integer-permille
+    compressed/raw byte ratio + band flags — hyper-repetitive and
+    random-noise drops orthogonal to the word-level rules.  Arrow-
+    batched stdlib zlib (mapInPandas, map-only); no SQL engine mirrors
+    zlib, so this is one of the repo's few rows-only driver checks —
+    tests/test_textstats.py pins values against the same stdlib the
+    workers run."""
+    from cloud_ocr_summarizer_spark.operators.textstats import (
+        compression_profile,
+    )
+
+    return compression_profile(_read(spark, sf_dir, "documents"))
+
+
+BATCH_8["compression_profile"] = q_compression_profile

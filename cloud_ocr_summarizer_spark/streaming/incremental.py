@@ -187,3 +187,49 @@ def start_incremental_curation_gates(
         .outputMode("append")
         .start()
     )
+
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("sitemap_xml", T.StringType()),
+    ]
+)
+
+
+def start_incremental_sitemap_ingest(
+    spark: SparkSession,
+    *,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """AvailableNow streaming twin of sitemap urlset ingestion.
+
+    Sites republish sitemap shards continuously; each drain parses only
+    newly-landed shard files into URL entries.  The parse
+    (operators/sitemap.parse_sitemap_urls) is a stateless row-local
+    transform, so — unlike the composed extract-web job, which needs
+    foreachBatch for its 1:1 join — this runs as a PLAIN streaming
+    transformation: source offsets + the parquet sink commit log give
+    exactly-once with no state store, no watermark, no foreachBatch.
+    """
+    from cloud_ocr_summarizer_spark.operators.sitemap import (
+        parse_sitemap_urls,
+    )
+
+    stream = (
+        spark.readStream.schema(SITEMAP_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    return (
+        parse_sitemap_urls(stream)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )

@@ -590,3 +590,55 @@ def test_available_now_incremental_warc_ingest(spark, tmp_path):
     committed = SnapshotSink(out).read_committed(spark)
     assert committed.count() == kept_all
     assert committed.select("doc_id").distinct().count() == kept_all
+
+
+def test_available_now_incremental_sitemap_ingest(spark, tmp_path):
+    """Sitemap shards under AvailableNow: each drain parses only the
+    newly-landed shard files (stateless map — no foreachBatch, no
+    state store, exactly-once via source offsets + sink commit log);
+    a drain with nothing new appends nothing."""
+    from cloud_ocr_summarizer_spark.operators.sitemap import (
+        derive_sitemap_xml_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.streaming.incremental import (
+        start_incremental_sitemap_ingest,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def shards(lo, hi):
+        return derive_sitemap_xml_from_documents(
+            docs.filter(f"doc_id >= {lo} and doc_id < {hi}"), max_urls=3
+        ).select("host", "shard_id", "sitemap_xml")
+
+    shards(0, 60).write.mode("append").parquet(inp)
+    q = start_incremental_sitemap_ingest(
+        spark, input_dir=inp, output_dir=out, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 60  # one entry per doc, across shards
+    assert set(got.columns) == {
+        "host", "shard_id", "pos", "loc", "lastmod", "priority_milli"
+    }
+
+    # wave 2: only the new shard files are parsed on the next drain
+    shards(60, 100).write.mode("append").parquet(inp)
+    q2 = start_incremental_sitemap_ingest(
+        spark, input_dir=inp, output_dir=out, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 100
+
+    # no-op drain: nothing new landed, nothing is appended
+    q3 = start_incremental_sitemap_ingest(
+        spark, input_dir=inp, output_dir=out, checkpoint_dir=ckpt
+    )
+    q3.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert got.select("loc").distinct().count() == 100

@@ -43,7 +43,8 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 HOT_EVERY = 10  # ~10% of all edges redirected onto doc 0
 CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
 
-JOBS = ("pagerank", "anchor", "harmonic", "anchor_salts1", "harmonic_salts1")
+JOBS = ("pagerank", "anchor", "harmonic", "hits", "components",
+        "anchor_salts1", "harmonic_salts1")
 
 
 def _html_path(corpus: str) -> str:
@@ -78,7 +79,9 @@ def worker(corpus: str, job: str) -> None:
     from cloud_ocr_summarizer_spark.operators.linkgraph import (
         extract_outlinks,
         harmonic_centrality_kmv,
+        hits_scores,
         inbound_anchor_texts,
+        link_components,
         pagerank,
     )
     from cloud_ocr_summarizer_spark.session import get_spark
@@ -91,7 +94,8 @@ def worker(corpus: str, job: str) -> None:
     # checkpoint blocks resident, during THEIR timed runs (the same
     # in-session pollution trap documented below for the first cut)
     edges = None
-    if job in ("pagerank", "harmonic", "harmonic_salts1"):
+    if job in ("pagerank", "harmonic", "harmonic_salts1", "hits",
+               "components"):
         edges = extract_outlinks(html).localCheckpoint()  # parse once, eager
 
     make = {
@@ -102,6 +106,8 @@ def worker(corpus: str, job: str) -> None:
         "harmonic_salts1": lambda: harmonic_centrality_kmv(
             docs, edges, n_iter=3, n_salts=1
         ),
+        "hits": lambda: hits_scores(docs, edges, n_iter=3),
+        "components": lambda: link_components(docs, edges, n_iter=4),
     }[job]
 
     def run() -> float:
@@ -126,7 +132,7 @@ def main() -> int:
     prepare()
     out: dict = {"n_docs": N_DOCS, "hot_dst_every": HOT_EVERY,
                  "isolation": "fresh process per (corpus, job) cell"}
-    cells = [("uniform", j) for j in JOBS[:3]] + [("hot", j) for j in JOBS]
+    cells = [("uniform", j) for j in JOBS[:5]] + [("hot", j) for j in JOBS]
     for corpus, job in cells:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "worker", corpus, job],
@@ -142,7 +148,7 @@ def main() -> int:
             out["hot"]["hot_inbound_edges"] = cell["hot_inbound_edges"]
         print(f"{corpus} {job}: {cell}", flush=True)
 
-    for q in ("pagerank", "anchor", "harmonic"):
+    for q in ("pagerank", "anchor", "harmonic", "hits", "components"):
         out[f"hot_over_uniform_{q}"] = round(
             out["hot"][f"{q}_sec"] / out["uniform"][f"{q}_sec"], 3
         )
@@ -168,11 +174,19 @@ def main() -> int:
         f"| {out['hot_over_uniform_anchor']} | {h['anchor_salts1_sec']} s |",
         f"| harmonic (3 it) | {u['harmonic_sec']} s | {h['harmonic_sec']} s "
         f"| {out['hot_over_uniform_harmonic']} | {h['harmonic_salts1_sec']} s |",
+        f"| HITS (3 it) | {u['hits_sec']} s | {h['hits_sec']} s "
+        f"| {out['hot_over_uniform_hits']} | — |",
+        f"| components (4 it) | {u['components_sec']} s | {h['components_sec']} s "
+        f"| {out['hot_over_uniform_components']} | — |",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a",
-              encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "## Hot-destination graph skew A/B (round 5)",
+        "\n".join(lines).lstrip("\n"),
+    )
     return 0
 
 

@@ -302,3 +302,51 @@ def recrawl_schedule(
         F.count(F.lit(1)).cast("bigint").alias("n_urls"),
         F.sum(F.when(stale, 1).otherwise(0)).cast("bigint").alias("n_stale"),
     )
+
+
+def derive_corrupted_sitemap_shards(
+    docs: DataFrame, *, max_urls: int = SITEMAP_MAX_URLS
+) -> DataFrame:
+    """Sitemap shards with a deterministic corruption class: shards
+    where ``(length(host) + shard_id) % 3 == 0`` lose the LAST entry's
+    closing ``</url>`` tag (a truncated-upload shape), so that block no
+    longer parses.  The predicate is a pure function of (host,
+    shard_id) — re-derivable in SQL without touching XML."""
+    shards = derive_sitemap_xml_from_documents(docs, max_urls=max_urls)
+    corrupt = (F.length("host") + F.col("shard_id")) % 3 == 0
+    # drop the final closing tag before </urlset> (DOTALL-anchored)
+    broken = F.regexp_replace(
+        F.col("sitemap_xml"), r"(?s)</url>(\s*</urlset>\s*)$", r"$1"
+    )
+    return shards.select(
+        "host",
+        "shard_id",
+        F.when(corrupt, broken).otherwise(F.col("sitemap_xml")).alias(
+            "sitemap_xml"
+        ),
+    )
+
+
+def sitemap_parse_audit(
+    sitemaps: DataFrame, *, xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Per-shard parse observability -> (…, n_locs, n_parsed, n_dropped).
+
+    ``n_locs`` counts ``<loc>`` tags after comment stripping (every
+    well-formed entry carries exactly one); ``n_parsed`` counts blocks
+    the entry regex actually recovers.  A malformed tail therefore
+    surfaces as ``n_dropped > 0`` instead of vanishing — the same
+    policy as ``warc.warc_malformed_audit``.  Row-local, zero shuffle.
+    """
+    clean = F.regexp_replace(F.col(xml_col), r"(?s)<!--.*?-->", "")
+    n_locs = F.size(F.regexp_extract_all(clean, F.lit("<loc>"), 0))
+    n_parsed = F.size(
+        F.regexp_extract_all(clean, F.lit(r"(?s)<url>(.*?)</url>"), 1)
+    )
+    passthrough = [c for c in sitemaps.columns if c != xml_col]
+    return sitemaps.select(
+        *passthrough,
+        n_locs.cast("int").alias("n_locs"),
+        n_parsed.cast("int").alias("n_parsed"),
+        (n_locs - n_parsed).cast("int").alias("n_dropped"),
+    )

@@ -4141,3 +4141,28 @@ SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_digit,
             ELSE 'digit' END AS main_script
 FROM c
 """
+
+
+# Malformed-sitemap audit (operators/sitemap.sitemap_parse_audit over
+# derive_corrupted_sitemap_shards): the corruption predicate is pure
+# (host, shard_id) arithmetic, so the twin re-derives per-shard entry
+# counts from the URL synthesis and subtracts the predicate — the Spark
+# side must measure the SAME numbers from the corrupted XML alone.
+ORACLES["sitemap_malformed_audit"] = URL_FIELDS_CTE + r"""
+, ranked AS (
+  SELECT host,
+         CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+              // 3 AS INT) AS shard_id
+  FROM with_url
+), shards AS (
+  SELECT host, shard_id, count(*) AS n
+  FROM ranked GROUP BY host, shard_id
+)
+SELECT host, shard_id,
+       CAST(n AS INT) AS n_locs,
+       CAST(n - CASE WHEN (length(host) + shard_id) % 3 = 0
+                     THEN 1 ELSE 0 END AS INT) AS n_parsed,
+       CAST(CASE WHEN (length(host) + shard_id) % 3 = 0
+                 THEN 1 ELSE 0 END AS INT) AS n_dropped
+FROM shards
+"""

@@ -3827,3 +3827,26 @@ def q_compression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["compression_profile"] = q_compression_profile
+
+
+def q_sitemap_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-sitemap observability
+    (operators/sitemap.sitemap_parse_audit): shards with a truncated
+    last entry (deterministic corruption class) report n_dropped > 0 by
+    comparing <loc> tags against blocks the parser recovers — dropped
+    records are counted, never silently vanished (the
+    warc_malformed_audit policy).  Twin re-derives every count from the
+    corruption predicate's (host, shard_id) arithmetic."""
+    from cloud_ocr_summarizer_spark.operators.sitemap import (
+        derive_corrupted_sitemap_shards,
+        sitemap_parse_audit,
+    )
+
+    return sitemap_parse_audit(
+        derive_corrupted_sitemap_shards(
+            _read(spark, sf_dir, "documents"), max_urls=3
+        )
+    )
+
+
+BATCH_8["sitemap_malformed_audit"] = q_sitemap_malformed_audit

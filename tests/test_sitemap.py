@@ -163,3 +163,52 @@ def test_recrawl_schedule_join_and_staleness_rules(spark):
     rows = recrawl_schedule(entries, state).collect()
     assert len(rows) == 1
     assert rows[0].n_urls == 4 and rows[0].n_stale == 3
+
+
+def test_malformed_tail_is_counted_not_silent(spark):
+    from cloud_ocr_summarizer_spark.operators.sitemap import (
+        parse_sitemap_urls,
+        sitemap_parse_audit,
+    )
+
+    xml_ok = (
+        "<urlset><!-- decoy <loc> in comment -->"
+        "<url><loc>http://h/a</loc></url>"
+        "<url><loc>http://h/b</loc></url></urlset>"
+    )
+    xml_broken = (
+        "<urlset><url><loc>http://h/a</loc></url>"
+        "<url><loc>http://h/trunc</loc>\n  </urlset>"
+    )
+    sm = spark.createDataFrame(
+        [("ok", 0, xml_ok), ("bad", 0, xml_broken)],
+        "host string, shard_id int, sitemap_xml string",
+    )
+    audit = {r.host: r for r in sitemap_parse_audit(sm).collect()}
+    assert (audit["ok"].n_locs, audit["ok"].n_parsed, audit["ok"].n_dropped) == (2, 2, 0)
+    assert (audit["bad"].n_locs, audit["bad"].n_parsed, audit["bad"].n_dropped) == (2, 1, 1)
+    parsed = parse_sitemap_urls(sm.filter("host = 'bad'")).collect()
+    assert [r.loc for r in parsed] == ["http://h/a"]
+
+
+def test_corruption_predicate_drops_exactly_one_tail_entry(spark):
+    from cloud_ocr_summarizer_spark.operators.sitemap import (
+        derive_corrupted_sitemap_shards,
+        derive_sitemap_xml_from_documents,
+        parse_sitemap_urls,
+    )
+
+    docs = _docs(spark, 40)
+    clean = parse_sitemap_urls(
+        derive_sitemap_xml_from_documents(docs, max_urls=3)
+    )
+    corrupted = parse_sitemap_urls(
+        derive_corrupted_sitemap_shards(docs, max_urls=3)
+    )
+    n_corrupt_shards = (
+        derive_sitemap_xml_from_documents(docs, max_urls=3)
+        .filter("(length(host) + shard_id) % 3 = 0")
+        .count()
+    )
+    assert n_corrupt_shards > 0
+    assert clean.count() - corrupted.count() == n_corrupt_shards

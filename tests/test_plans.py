@@ -251,3 +251,58 @@ def test_outlink_extraction_shuffle_budget(spark, Q):
     assert p.count("Exchange hashpartitioning") <= 2  # distinct partials
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in p
+
+
+def test_table_extraction_is_map_only(spark, Q):
+    """Both table queries (cells and row records) must stay pure map
+    stages over the synthesized HTML — zero Exchange, zero Join."""
+    for q in (Q.q_html_tables, Q.q_html_table_records):
+        p = _plan(q(spark, SF))
+        assert "Exchange" not in p and "Join" not in p, q.__name__
+
+
+def test_sitemap_parse_stage_is_rowlocal(spark, Q):
+    """The sitemap round trip's only exchanges are the synthesis window
+    + the bounded shard groupBy; the parse itself adds none.  The
+    malformed audit reads already-built shards the same way."""
+    for q, cap in ((Q.q_sitemap_urls, 3), (Q.q_sitemap_malformed_audit, 3)):
+        p = _plan(q(spark, SF))
+        # window sort + shard hash agg: <= 2 shuffle boundaries total
+        assert p.count("Exchange") <= 2, (q.__name__, p.count("Exchange"))
+        assert "Join" not in p, q.__name__
+
+
+def test_hits_half_step_shuffles_are_key_partitioned(spark):
+    """One HITS half-step (the composed job checkpoints each round, so
+    the final plan shows only the last join): the edge⋈scores pull and
+    the node-sized left join are key-partitioned — the ONLY broadcast
+    is the 1-row normalizer scalar (a BroadcastNestedLoopJoin by
+    construction; nothing corpus-sized ever broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from cloud_ocr_summarizer_spark.operators import linkgraph as lg
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(SF + "/documents.parquet")
+        nodes = docs.select("doc_id")
+        # plain edges (not the HTML derive, whose own 1-row synthesis
+        # broadcast would appear in the lineage and muddy the count)
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2)], "src_doc_id long, dst_doc_id long"
+        )
+        scores = nodes.select(
+            "doc_id", F.lit(1000000).cast("bigint").alias("score")
+        )
+        p = _plan(
+            lg._half_step(
+                nodes, edges, scores,
+                join_on="src_doc_id", group_on="dst_doc_id",
+            )
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert p.count("BroadcastNestedLoopJoin") == 1, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    # exactly one broadcast: the 1-row scalar
+    assert p.count("BroadcastExchange") == 1, p.count("BroadcastExchange")

@@ -53,7 +53,13 @@ def test_every_query_has_oracle_or_is_known_rows_only():
     # dedup_minhash_lsh / dedup_simhash: banding-order-dependent pair
     # choice (their *_checked twins are value-checked); lineage_metrics:
     # wall-times not SQL-expressible.
-    rows_only_by_design = {"dedup_minhash_lsh", "dedup_simhash", "lineage_metrics"}
+    rows_only_by_design = {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "lineage_metrics",
+        # zlib has no SQL twin; values pinned in tests/test_textstats.py
+        "compression_profile",
+    }
     queries = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     missing = queries - oracles

@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "BATCH_6",
         "BATCH_7",
         "BATCH_8",
+        "BATCH_9",
     ):
         out.update(getattr(_queries, batch, {}))
     out.setdefault("events_daily", _queries.q_events_daily)

@@ -1,0 +1,177 @@
+"""HTTP redirect-chain resolution over a crawl ledger.
+
+A crawler's fetch ledger records one ``Location`` edge per redirecting
+URL (``src_url``, ``http_status`` in {301, 302, 307, 308}, ``dst_url``).
+Frontier planning needs every chain collapsed to its terminal URL —
+bounded hops, loop detection, nothing silently dropped.  This is the
+redirect half of URL canonicalization (``urls.canonicalize_url_col``
+normalizes the string form; this module follows the server-declared
+moves).
+
+Reference tie-in: the reference pipeline (vision_processor.py:146-326)
+consumes already-fetched objects; redirect resolution belongs to the
+crawl/curation surface the north rule adds around it, same tier as the
+robots.txt gate and the sitemap/WARC parsers.
+
+Scale design:
+  - Resolution is ``max_hops + 1`` equi-joins (state.cur -> edges.src),
+    each a key-partitioned shuffle.  The probe side carries one row per
+    origin URL with O(max_hops) state (the bounded ``visited`` array) —
+    never chain-corpus-sized.
+  - The build side (``edges``) has UNIQUE join keys by contract (one
+    ``Location`` per URL), so a hot canonical target — millions of
+    sources 301-ing into one URL — fans in on the VALUE side only; no
+    join key ever multiplies.  The power-law fan-in that hot-keys
+    anchor aggregation is a non-event here.
+  - ``edges`` is iteration-invariant, so the ``pagerank_bucketed``
+    trick (linkgraph.py: write the fan side once, bucketed+sorted on
+    the join key) applies verbatim when ``max_hops`` is large; at the
+    default 4 hops the plain loop shuffles the state side only after
+    AQE reuses the first edge exchange.
+  - No ``collect``; loops/truncations surface as ``status`` values and
+    are COUNTED by :func:`redirect_audit`, never silently dropped
+    (the ``warc_malformed_audit`` policy).
+
+Synthesis (datagen convention — every field re-derivable from doc_id
+arithmetic, so the DuckDB twin derives the RESOLVED RESULT in closed
+form without ever running the algorithm):
+  residue r = doc_id % 8 picks the chain shape —
+  r=0, r=7: terminal (no edge); r=1/2/3: chains of 1/2/3 hops down to
+  the r=0 terminal (statuses 301/302/301); r=4: self-loop (308);
+  r=5: edge to doc_id+1 (307) whose r=6 edge points back — a 2-cycle
+  (unless doc_id is the corpus max, where the dangling target makes it
+  a 1-hop terminal); r=6: edge to doc_id-1 (301), the other entry into
+  the same 2-cycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.column import Column
+
+REDIRECT_MAX_HOPS = 4
+
+_STATUS_OK = "ok"
+_STATUS_LOOP = "loop"
+_STATUS_TRUNCATED = "truncated"
+
+
+def _rurl(doc_id: Column) -> Column:
+    """Ledger URL for a doc id — pure doc_id arithmetic (twin-derivable)."""
+    return F.concat(
+        F.lit("http://r"),
+        (doc_id % 10).cast("string"),
+        F.lit(".example.net/p/"),
+        doc_id.cast("string"),
+    )
+
+
+def derive_redirects_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (src_url, http_status, dst_url) redirect ledger.
+
+    One edge per doc whose residue class redirects (see module
+    docstring).  Map-only: no joins, no shuffles — dst URLs are
+    computed from arithmetic, not looked up.
+    """
+    d = F.col("doc_id")
+    r = d % 8
+    dst_id = (
+        F.when(r.isin(1, 2, 3, 6), d - 1)
+        .when(r == 4, d)
+        .when(r == 5, d + 1)
+    )
+    status = (
+        F.when(r.isin(1, 3, 6), F.lit(301))
+        .when(r == 2, F.lit(302))
+        .when(r == 4, F.lit(308))
+        .when(r == 5, F.lit(307))
+    )
+    return docs.where(r.isin(1, 2, 3, 4, 5, 6)).select(
+        _rurl(d).alias("src_url"),
+        status.alias("http_status"),
+        _rurl(dst_id).alias("dst_url"),
+    )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    urls: DataFrame | None = None,
+    *,
+    max_hops: int = REDIRECT_MAX_HOPS,
+) -> DataFrame:
+    """Collapse every chain to (url, final_url, n_hops, status).
+
+    ``edges`` must hold ONE outgoing edge per ``src_url`` (a URL serves
+    one ``Location``); ``urls`` defaults to the distinct redirect
+    sources.  ``n_hops`` counts edges followed, INCLUDING the edge that
+    revealed a loop; ``status`` is ``'ok'`` (reached a URL with no
+    outgoing edge), ``'loop'`` (next URL already on the bounded
+    ``visited`` path — ``final_url`` is the loop entry), or
+    ``'truncated'`` (an edge still exists after ``max_hops``).
+
+    Plan shape: ``max_hops`` advance joins plus one probe join, all on
+    the unique-key edge side; per-row state is O(max_hops).
+    """
+    e = edges.select(
+        F.col("src_url").alias("_src"), F.col("dst_url").alias("_dst")
+    )
+    if urls is None:
+        state = e.select(F.col("_src").alias("url")).distinct()
+    else:
+        state = urls.select(F.col("url").cast("string").alias("url"))
+    state = state.select(
+        "url",
+        F.col("url").alias("final_url"),
+        F.lit(0).alias("n_hops"),
+        F.array(F.col("url")).alias("visited"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    for _ in range(max_hops):
+        j = state.join(e, state["final_url"] == e["_src"], "left")
+        open_row = F.col("status").isNull()
+        advanced = open_row & F.col("_dst").isNotNull()
+        looped = advanced & F.array_contains(F.col("visited"), F.col("_dst"))
+        state = j.select(
+            "url",
+            F.when(advanced, F.col("_dst"))
+            .otherwise(F.col("final_url"))
+            .alias("final_url"),
+            F.when(advanced, F.col("n_hops") + 1)
+            .otherwise(F.col("n_hops"))
+            .alias("n_hops"),
+            F.when(
+                advanced & ~looped,
+                F.array_append(F.col("visited"), F.col("_dst")),
+            )
+            .otherwise(F.col("visited"))
+            .alias("visited"),
+            F.when(looped, F.lit(_STATUS_LOOP))
+            .when(open_row & F.col("_dst").isNull(), F.lit(_STATUS_OK))
+            .otherwise(F.col("status"))
+            .alias("status"),
+        )
+    probe = state.join(e, state["final_url"] == e["_src"], "left")
+    return probe.select(
+        "url",
+        "final_url",
+        F.col("n_hops").cast("int").alias("n_hops"),
+        F.coalesce(
+            F.col("status"),
+            F.when(F.col("_dst").isNotNull(), F.lit(_STATUS_TRUNCATED)).otherwise(
+                F.lit(_STATUS_OK)
+            ),
+        ).alias("status"),
+    )
+
+
+def redirect_audit(resolved: DataFrame) -> DataFrame:
+    """(status, n_hops) -> chain count + distinct terminals.
+
+    The observability row for the family: loops and truncations are
+    COUNTED, never dropped — the cap/malformed-audit policy shared with
+    ``warc_malformed_audit`` and the dedup drop audits.
+    """
+    return resolved.groupBy("status", "n_hops").agg(
+        F.count("*").alias("n_chains"),
+        F.countDistinct("final_url").alias("n_final_urls"),
+    )

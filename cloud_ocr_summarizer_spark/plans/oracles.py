@@ -4166,3 +4166,116 @@ SELECT host, shard_id,
                  THEN 1 ELSE 0 END AS INT) AS n_dropped
 FROM shards
 """
+
+
+# Redirect chains (operators/redirects.py): the twins derive the
+# RESOLVED result in closed form from the synthesis residues (doc_id %
+# 8 picks the chain shape) — the iterative-join algorithm is never run
+# here, so agreement proves resolve_redirects implements the chain
+# semantics (1-3 hop chains, self-loop, 2-cycle, corpus-max dangling
+# edge) exactly.
+def _ru(expr: str) -> str:
+    """Ledger-URL SQL for a doc-id expression (mirrors redirects._rurl)."""
+    return (
+        "'http://r' || CAST((" + expr + ") % 10 AS VARCHAR)"
+        " || '.example.net/p/' || CAST((" + expr + ") AS VARCHAR)"
+    )
+
+
+_REDIRECT_SEEDS_CTE = r"""
+WITH nn AS MATERIALIZED (SELECT max(doc_id) AS mx FROM documents),
+seeds AS (
+  SELECT doc_id AS d, doc_id % 8 AS r FROM documents
+  WHERE doc_id % 8 BETWEEN 1 AND 6
+)
+"""
+
+ORACLES["redirect_edges"] = _REDIRECT_SEEDS_CTE + f"""
+SELECT {_ru("d")} AS src_url,
+       CAST(CASE WHEN r IN (1, 3, 6) THEN 301 WHEN r = 2 THEN 302
+                 WHEN r = 4 THEN 308 ELSE 307 END AS INT) AS http_status,
+       {_ru("CASE WHEN r IN (1, 2, 3, 6) THEN d - 1 WHEN r = 4 THEN d ELSE d + 1 END")}
+         AS dst_url
+FROM seeds
+"""
+
+_REDIRECT_RESOLVED_SQL = _REDIRECT_SEEDS_CTE + f"""
+, resolved AS (
+  SELECT {_ru("d")} AS url,
+         CASE WHEN r = 1 THEN {_ru("d - 1")}
+              WHEN r = 2 THEN {_ru("d - 2")}
+              WHEN r = 3 THEN {_ru("d - 3")}
+              WHEN r = 5 AND d = nn.mx THEN {_ru("d + 1")}
+              ELSE {_ru("d")} END AS final_url,
+         CAST(CASE WHEN r IN (1, 4) THEN 1
+                   WHEN r = 5 AND d = nn.mx THEN 1
+                   WHEN r IN (2, 5, 6) THEN 2
+                   ELSE 3 END AS INT) AS n_hops,
+         CASE WHEN r IN (1, 2, 3) THEN 'ok'
+              WHEN r = 5 AND d = nn.mx THEN 'ok'
+              ELSE 'loop' END AS status
+  FROM seeds, nn
+)
+"""
+
+ORACLES["redirect_resolve"] = (
+    _REDIRECT_RESOLVED_SQL + "SELECT url, final_url, n_hops, status FROM resolved"
+)
+
+ORACLES["redirect_audit"] = _REDIRECT_RESOLVED_SQL + """
+SELECT status, n_hops, CAST(count(*) AS BIGINT) AS n_chains,
+       CAST(count(DISTINCT final_url) AS BIGINT) AS n_final_urls
+FROM resolved GROUP BY status, n_hops
+"""
+
+
+# C4 line cleaning (operators/linesclean.py): the twins derive every
+# line's verdict in closed form from its kind residue (k = (doc_id + i)
+# % 6) — the classifier is never run here, so agreement proves the
+# Spark rules (blocklist, brace, terminal punctuation, word minimum,
+# lorem-ipsum page drop) invert the synthesis exactly.
+_C4_LINES_CTE = r"""
+WITH pages AS (
+  SELECT doc_id AS d, doc_id % 4 + 3 AS n_body,
+         doc_id % 13 = 0 AS lorem
+  FROM documents
+), lns AS (
+  SELECT d, n_body, lorem, i.i AS i, (d + i.i) % 6 AS k
+  FROM pages, unnest(generate_series(0, n_body - 1)) AS i(i)
+), per_doc AS (
+  SELECT d,
+         CAST(any_value(n_body) + CASE WHEN any_value(lorem) THEN 1 ELSE 0 END
+              AS INT) AS n_lines,
+         CAST(count(*) FILTER (k = 0) AS INT) AS n_kept,
+         CAST(count(*) FILTER (k IN (2, 5))
+              + CASE WHEN any_value(lorem) THEN 1 ELSE 0 END AS INT)
+           AS n_blockword,
+         CAST(count(*) FILTER (k = 3) AS INT) AS n_brace,
+         CAST(count(*) FILTER (k = 4) AS INT) AS n_no_terminal,
+         CAST(count(*) FILTER (k = 1) AS INT) AS n_few_words,
+         coalesce(string_agg(
+           CASE WHEN k = 0 THEN 'Sentence ' || CAST(d AS VARCHAR) || '-'
+                || CAST(i AS VARCHAR) || ' keeps enough clean words here.'
+           END, chr(10) ORDER BY i), '') AS clean_text,
+         (NOT any_value(lorem)) AND count(*) FILTER (k = 0) >= 1 AS doc_kept
+  FROM lns GROUP BY d
+)
+"""
+
+ORACLES["c4_line_filter"] = _C4_LINES_CTE + """
+SELECT d AS doc_id, clean_text, n_lines, n_kept, n_blockword, n_brace,
+       n_no_terminal, n_few_words, doc_kept
+FROM per_doc
+"""
+
+ORACLES["c4_line_audit"] = _C4_LINES_CTE + """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (doc_kept) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_lines) AS BIGINT) AS lines_in,
+       CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+       CAST(sum(n_blockword) AS BIGINT) AS lines_blockword,
+       CAST(sum(n_brace) AS BIGINT) AS lines_brace,
+       CAST(sum(n_no_terminal) AS BIGINT) AS lines_no_terminal,
+       CAST(sum(n_few_words) AS BIGINT) AS lines_few_words
+FROM per_doc
+"""

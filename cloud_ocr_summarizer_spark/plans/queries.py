@@ -3850,3 +3850,111 @@ def q_sitemap_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_8["sitemap_malformed_audit"] = q_sitemap_malformed_audit
+
+
+# ---------------------------------------------------------------------------
+# BATCH_9: round-5 third-window additions (redirects, C4 lines, feeds,
+# head/meta)
+# ---------------------------------------------------------------------------
+
+BATCH_9: dict[str, object] = {}
+
+
+def q_redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-ledger synthesis round trip (operators/redirects.py):
+    one (src_url, http_status, dst_url) edge per redirecting residue
+    class — chains, a self-loop, and a 2-cycle.  Map-only plan (dst
+    URLs are arithmetic, never looked up); the DuckDB twin re-derives
+    every edge from the same doc_id arithmetic."""
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        derive_redirects_from_documents,
+    )
+
+    return derive_redirects_from_documents(_read(spark, sf_dir, "documents"))
+
+
+BATCH_9["redirect_edges"] = q_redirect_edges
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop redirect-chain resolution
+    (operators/redirects.resolve_redirects): max_hops+1 unique-key
+    equi-joins carry O(max_hops) state per origin URL; loops are
+    detected against the bounded visited path and reported, never
+    dropped.  The DuckDB twin derives (final_url, n_hops, status) in
+    CLOSED FORM from the synthesis residues — it never runs the
+    algorithm, so agreement proves the iterative joins implement the
+    chain semantics exactly (chains 1-3 hops, self-loop, 2-cycle, and
+    the corpus-max dangling edge case)."""
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        derive_redirects_from_documents,
+        resolve_redirects,
+    )
+
+    edges = derive_redirects_from_documents(_read(spark, sf_dir, "documents"))
+    return resolve_redirects(edges)
+
+
+BATCH_9["redirect_resolve"] = q_redirect_resolve
+
+
+def q_redirect_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-resolution observability
+    (operators/redirects.redirect_audit): (status, n_hops) chain counts
+    + distinct terminals — loops/truncations surface as counted rows
+    (the warc_malformed_audit policy).  Twin rolls up the closed-form
+    resolution."""
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        derive_redirects_from_documents,
+        redirect_audit,
+        resolve_redirects,
+    )
+
+    edges = derive_redirects_from_documents(_read(spark, sf_dir, "documents"))
+    return redirect_audit(resolve_redirects(edges))
+
+
+BATCH_9["redirect_audit"] = q_redirect_audit
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/linesclean.c4_line_filter):
+    split -> per-line first-failing-rule classify (blockword > brace >
+    no_terminal > few_words) -> filter -> re-join, one row-local
+    projection, zero shuffles.  The DuckDB twin derives every line's
+    verdict in CLOSED FORM from its kind residue — it never runs the
+    classifier, so agreement proves the regex/blocklist rules implement
+    the synthesis's intent exactly (incl. the lorem-ipsum page drop and
+    zero-kept-line pages)."""
+    from cloud_ocr_summarizer_spark.operators.linesclean import (
+        c4_line_filter,
+        derive_noisy_lines_from_documents,
+    )
+
+    return c4_line_filter(
+        derive_noisy_lines_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_9["c4_line_filter"] = q_c4_line_filter
+
+
+def q_c4_line_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-cleaning mass balance (operators/linesclean.c4_line_audit):
+    one corpus row summing kept/dropped lines per rule plus document
+    verdict totals — dropped text is accounted for, never silently
+    vanished (the warc_malformed_audit policy)."""
+    from cloud_ocr_summarizer_spark.operators.linesclean import (
+        c4_line_audit,
+        c4_line_filter,
+        derive_noisy_lines_from_documents,
+    )
+
+    return c4_line_audit(
+        c4_line_filter(
+            derive_noisy_lines_from_documents(_read(spark, sf_dir, "documents"))
+        )
+    )
+
+
+BATCH_9["c4_line_audit"] = q_c4_line_audit

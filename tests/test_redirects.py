@@ -1,0 +1,104 @@
+"""Redirect-chain resolution: chains, loops, truncation, invariance."""
+
+from pyspark.sql import functions as F
+
+from cloud_ocr_summarizer_spark.operators.redirects import (
+    derive_redirects_from_documents,
+    redirect_audit,
+    resolve_redirects,
+)
+
+
+def _docs(spark, n=24):
+    return spark.createDataFrame(
+        [(i, f"t{i}", f"src{i % 2}", ["en", "de"][i % 2]) for i in range(n)],
+        "doc_id long, text string, source string, lang string",
+    )
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        [(s, 301, d) for s, d in rows],
+        "src_url string, http_status int, dst_url string",
+    )
+
+
+def test_chain_shapes_resolve(spark):
+    res = {
+        r.url: r
+        for r in resolve_redirects(
+            derive_redirects_from_documents(_docs(spark))
+        ).collect()
+    }
+    u = lambda d: f"http://r{d % 10}.example.net/p/{d}"
+    # r=1/2/3 chains end at the r=0 terminal with exact hop counts
+    assert (res[u(9)].final_url, res[u(9)].n_hops, res[u(9)].status) == (u(8), 1, "ok")
+    assert (res[u(10)].final_url, res[u(10)].n_hops, res[u(10)].status) == (u(8), 2, "ok")
+    assert (res[u(11)].final_url, res[u(11)].n_hops, res[u(11)].status) == (u(8), 3, "ok")
+    # r=4 self-loop: the closing edge is counted
+    assert (res[u(12)].final_url, res[u(12)].n_hops, res[u(12)].status) == (u(12), 1, "loop")
+    # r=5/6 two-cycle: both entries detect the loop at hop 2
+    assert (res[u(13)].final_url, res[u(13)].n_hops, res[u(13)].status) == (u(13), 2, "loop")
+    assert (res[u(14)].final_url, res[u(14)].n_hops, res[u(14)].status) == (u(14), 2, "loop")
+
+
+def test_corpus_max_dangling_edge_is_terminal(spark):
+    # n=22 -> max doc_id 21, r=5: its edge points at the nonexistent
+    # doc 22, which has no outgoing edge -> 1-hop ok, not a loop
+    res = {
+        r.url: r
+        for r in resolve_redirects(
+            derive_redirects_from_documents(_docs(spark, 22))
+        ).collect()
+    }
+    row = res["http://r1.example.net/p/21"]
+    assert (row.final_url, row.n_hops, row.status) == (
+        "http://r2.example.net/p/22",
+        1,
+        "ok",
+    )
+
+
+def test_truncation_is_reported_not_dropped(spark):
+    edges = _edges(spark, [(f"u{i}", f"u{i + 1}") for i in range(6)])
+    res = {r.url: r for r in resolve_redirects(edges, max_hops=3).collect()}
+    assert res["u0"].status == "truncated" and res["u0"].n_hops == 3
+    assert res["u0"].final_url == "u3"
+    assert res["u3"].status == "ok" and res["u3"].final_url == "u6"
+
+
+def test_explicit_seed_without_edge_resolves_in_place(spark):
+    edges = _edges(spark, [("a", "b")])
+    seeds = spark.createDataFrame([("a",), ("z",)], "url string")
+    res = {r.url: r for r in resolve_redirects(edges, seeds).collect()}
+    assert (res["z"].final_url, res["z"].n_hops, res["z"].status) == ("z", 0, "ok")
+    assert (res["a"].final_url, res["a"].n_hops, res["a"].status) == ("b", 1, "ok")
+
+
+def test_partitioning_invariance(spark):
+    docs = _docs(spark, 40)
+    base = sorted(
+        map(tuple, resolve_redirects(derive_redirects_from_documents(docs)).collect())
+    )
+    skewed = sorted(
+        map(
+            tuple,
+            resolve_redirects(
+                derive_redirects_from_documents(docs.repartition(17, "lang"))
+            ).collect(),
+        )
+    )
+    assert base == skewed
+
+
+def test_audit_counts_every_chain(spark):
+    docs = _docs(spark, 24)
+    resolved = resolve_redirects(derive_redirects_from_documents(docs))
+    audit = redirect_audit(resolved)
+    assert audit.agg(F.sum("n_chains")).first()[0] == resolved.count()
+    by_status = {
+        (r.status, r.n_hops): r.n_chains for r in audit.collect()
+    }
+    # 24 docs: residues 1,2,3 -> 3 ok rows each hop count; 4 -> loop@1; 5,6 -> loop@2
+    assert by_status[("loop", 1)] == 3
+    assert by_status[("loop", 2)] == 6

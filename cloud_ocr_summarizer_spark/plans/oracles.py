@@ -4279,3 +4279,44 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_few_words) AS BIGINT) AS lines_few_words
 FROM per_doc
 """
+
+
+# RSS/Atom feeds (operators/feeds.py): the twins re-derive every entry
+# field from doc_id arithmetic over the URL synthesis — the XML is
+# never parsed here, so agreement proves comment stripping, CDATA
+# unwrap vs entity unescape, the RSS-element vs Atom-attribute link
+# read, and both date-dialect normalizations invert the synthesis.
+# Note (doc_id % 10) % 2 == doc_id % 2: the host-group parity that
+# picks the format is visible directly on each member doc.
+_FEED_ENTRIES_CTE = URL_FIELDS_CTE + r"""
+, ranked AS (
+  SELECT host, doc_id, url,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM with_url
+), ent AS (
+  SELECT host,
+         CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+         CAST(rn AS INT) AS pos,
+         'Title ' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN ' & more' ELSE '' END AS title,
+         url AS link,
+         'guid-' || CAST(doc_id AS VARCHAR) AS guid,
+         '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+           || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS pub_date
+  FROM ranked WHERE rn <= 4
+)
+"""
+
+ORACLES["feed_entries"] = _FEED_ENTRIES_CTE + """
+SELECT host, kind, pos, title, link, guid, pub_date FROM ent
+"""
+
+ORACLES["feed_latest_per_host"] = _FEED_ENTRIES_CTE + """
+, best AS (
+  SELECT host, kind, title, link, guid, pub_date,
+         row_number() OVER (
+           PARTITION BY host ORDER BY pub_date DESC, guid ASC) AS rk
+  FROM ent
+)
+SELECT host, kind, title, link, guid, pub_date FROM best WHERE rk = 1
+"""

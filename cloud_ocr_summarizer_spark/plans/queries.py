@@ -3958,3 +3958,46 @@ def q_c4_line_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_9["c4_line_audit"] = q_c4_line_audit
+
+
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed round trip (operators/feeds.py): synthesize one
+    feed per host (RSS for even host groups, Atom for odd; newest-4
+    window caps the assembly buffer), parse back to normalized entry
+    rows — comment-decoy strip, CDATA vs entity titles, element-text vs
+    href-attribute links, RFC-822 vs ISO dates.  The DuckDB twin
+    re-derives every field from doc_id arithmetic over the URL
+    synthesis — it never sees XML, so agreement proves the parser
+    inverts both formats exactly."""
+    from cloud_ocr_summarizer_spark.operators.feeds import (
+        derive_feeds_from_documents,
+        parse_feed_entries,
+    )
+
+    return parse_feed_entries(
+        derive_feeds_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_9["feed_entries"] = q_feed_entries
+
+
+def q_feed_latest_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest feed entry per host (operators/feeds.latest_entry_per_host):
+    ranked window (pub_date DESC, guid ASC) over the cap-bounded entry
+    rows — the recrawl planner's freshness primitive.  Twin re-ranks the
+    arithmetic-derived entries independently."""
+    from cloud_ocr_summarizer_spark.operators.feeds import (
+        derive_feeds_from_documents,
+        latest_entry_per_host,
+        parse_feed_entries,
+    )
+
+    return latest_entry_per_host(
+        parse_feed_entries(
+            derive_feeds_from_documents(_read(spark, sf_dir, "documents"))
+        )
+    )
+
+
+BATCH_9["feed_latest_per_host"] = q_feed_latest_per_host

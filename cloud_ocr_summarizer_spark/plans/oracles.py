@@ -4320,3 +4320,44 @@ ORACLES["feed_latest_per_host"] = _FEED_ENTRIES_CTE + """
 )
 SELECT host, kind, title, link, guid, pub_date FROM best WHERE rk = 1
 """
+
+
+# HTML head metadata (operators/headmeta.py): the twins derive every
+# field from doc_id arithmetic (predecessor-URL canonicals via a 1:1
+# self-join on doc_id - 1) — the HTML is never parsed here, so
+# agreement proves head scoping, comment stripping, attribute-order and
+# quote-style tolerance, entity unescaping, and NULL-for-absent all
+# invert the synthesis.
+_HEAD_META_CTE = URL_FIELDS_CTE + r"""
+, prev AS (
+  SELECT u.doc_id, u.url, p.url AS prev_url
+  FROM with_url u LEFT JOIN with_url p ON p.doc_id = u.doc_id - 1
+), meta AS (
+  SELECT doc_id, url,
+         'Page ' || CASE WHEN doc_id % 5 = 0 THEN '& ' ELSE '' END
+           || CAST(doc_id AS VARCHAR) AS title,
+         CASE WHEN doc_id % 4 = 1 THEN NULL
+              ELSE 'Desc ' || CAST(doc_id AS VARCHAR) END AS description,
+         CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE 'OG ' || CAST(doc_id AS VARCHAR) END AS og_title,
+         CASE WHEN doc_id % 3 = 1 THEN NULL
+              WHEN doc_id % 6 = 2 THEN coalesce(prev_url, url)
+              ELSE url END AS canonical_url,
+         CASE WHEN doc_id % 2 = 0 THEN 'utf-8' END AS charset
+  FROM prev
+)
+"""
+
+ORACLES["head_meta"] = _HEAD_META_CTE + """
+SELECT doc_id, url, title, description, og_title, canonical_url, charset
+FROM meta
+"""
+
+ORACLES["canonical_clusters"] = _HEAD_META_CTE + """
+SELECT coalesce(canonical_url, url) AS cluster_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS rep_doc_id,
+       CAST(count(*) FILTER (canonical_url IS NULL OR canonical_url = url)
+            AS BIGINT) AS n_self
+FROM meta GROUP BY 1
+"""

@@ -4001,3 +4001,46 @@ def q_feed_latest_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_9["feed_latest_per_host"] = q_feed_latest_per_host
+
+
+def q_head_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <head> metadata round trip (operators/headmeta.py):
+    title/description/og:title/canonical/charset extracted head-scoped
+    and comment-safe — decoy titles sit in a head comment AND in the
+    body, attribute order and quote style vary, hrefs are entity-
+    escaped.  Row-local parse (zero shuffles); the DuckDB twin derives
+    every field from doc_id arithmetic (predecessor-URL canonicals via
+    a 1:1 self-join) and never parses HTML."""
+    from cloud_ocr_summarizer_spark.operators.headmeta import (
+        derive_head_html_from_documents,
+        extract_head_meta,
+    )
+
+    return extract_head_meta(
+        derive_head_html_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_9["head_meta"] = q_head_meta
+
+
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Server-declared duplicate clustering
+    (operators/headmeta.canonical_clusters): group on
+    coalesce(canonical_url, url) — the exact-dedup single-shuffle shape
+    driven by rel=canonical pointers instead of content hashes.  Twin
+    re-clusters the closed-form metadata independently."""
+    from cloud_ocr_summarizer_spark.operators.headmeta import (
+        canonical_clusters,
+        derive_head_html_from_documents,
+        extract_head_meta,
+    )
+
+    return canonical_clusters(
+        extract_head_meta(
+            derive_head_html_from_documents(_read(spark, sf_dir, "documents"))
+        )
+    )
+
+
+BATCH_9["canonical_clusters"] = q_canonical_clusters

@@ -186,7 +186,7 @@ def _norm_date(inner: Column) -> Column:
     year = F.regexp_extract(inner, r"<pubDate>\w+, (\d{2}) (\w{3}) (\d{4})", 3)
     mm = F.array_position(F.array(*[F.lit(m) for m in _MONTHS]), mon).cast("int")
     rfc = F.concat(year, F.lit("-"), F.lpad(mm.cast("string"), 2, "0"), F.lit("-"), day)
-    return F.when(iso != "", iso).when(mon != "", rfc)
+    return F.when(iso != "", iso).when(mm >= 1, rfc)
 
 
 def parse_feed_entries(feeds: DataFrame) -> DataFrame:
@@ -210,7 +210,9 @@ def parse_feed_entries(feeds: DataFrame) -> DataFrame:
         F.col("kind") == "rss",
         xml_unescape(F.regexp_extract(inner, r"(?s)<link>(.*?)</link>", 1)),
     ).otherwise(
-        xml_unescape(F.regexp_extract(inner, r'<link href="(.*?)"', 1))
+        xml_unescape(
+            F.regexp_extract(inner, r'''<link href=["']([^"']*)["']''', 1)
+        )
     )
     guid = F.coalesce(
         F.nullif(F.regexp_extract(inner, r"<guid>(.*?)</guid>", 1), F.lit("")),

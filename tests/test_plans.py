@@ -306,3 +306,52 @@ def test_hits_half_step_shuffles_are_key_partitioned(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     # exactly one broadcast: the 1-row scalar
     assert p.count("BroadcastExchange") == 1, p.count("BroadcastExchange")
+
+
+def test_c4_line_filter_is_zero_shuffle(spark, Q):
+    """Line cleaning (synthesis + classify + filter + rejoin) must stay
+    ONE map stage — no Exchange, no Join anywhere."""
+    p = _plan(Q.q_c4_line_filter(spark, SF))
+    assert "Exchange" not in p and "Join" not in p
+
+
+def test_head_meta_parse_stage_is_rowlocal(spark, Q):
+    """Head-meta extraction is map-only; the only exchanges in the
+    round trip belong to the synthesis' 1:1 predecessor self-join."""
+    from cloud_ocr_summarizer_spark.operators.headmeta import extract_head_meta
+
+    parse_only = extract_head_meta(
+        spark.createDataFrame(
+            [(0, "u", "<html><head><title>t</title></head></html>")],
+            "doc_id long, url string, html string",
+        )
+    )
+    assert "Exchange" not in _plan(parse_only)
+    p = _plan(Q.q_head_meta(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_redirect_resolution_shuffle_budget(spark, Q):
+    """max_hops+1 unique-key equi-joins: SortMergeJoin/ShuffledHashJoin
+    on url keys only — no BroadcastNestedLoopJoin (a cartesian would
+    mean the join condition degenerated), bounded exchange count."""
+    p = _plan(Q.q_redirect_resolve(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # 5 joins, each side exchanged at most once + the seed distinct
+    assert p.count("Exchange hashpartitioning") <= 12, p.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_feed_parse_stage_is_rowlocal(spark):
+    """Feed parsing over already-materialized files is map-only (the
+    window/groupBy exchanges belong to the synthesis)."""
+    from cloud_ocr_summarizer_spark.operators.feeds import parse_feed_entries
+
+    df = parse_feed_entries(
+        spark.createDataFrame(
+            [("h", "<rss version=\"2.0\"><channel></channel></rss>")],
+            "host string, feed_xml string",
+        )
+    )
+    assert "Exchange" not in _plan(df)

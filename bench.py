@@ -291,6 +291,30 @@ def main() -> int:
         return hits_scores(docs120, edges, n_iter=3)
 
     timed("q24_hits_scores", lambda: _force(_hits()))
+    # q25-q26 (round 5, third window): redirect-chain resolution (the
+    # bounded iterative unique-key join) and C4 line cleaning (pure
+    # map), both over the 120k derived corpus
+    from cloud_ocr_summarizer_spark.operators.linesclean import (
+        c4_line_filter,
+        derive_noisy_lines_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        derive_redirects_from_documents,
+        resolve_redirects,
+    )
+
+    timed(
+        "q25_redirect_resolve",
+        lambda: _force(
+            resolve_redirects(derive_redirects_from_documents(docs120))
+        ),
+    )
+    timed(
+        "q26_c4_lines",
+        lambda: _force(
+            c4_line_filter(derive_noisy_lines_from_documents(docs120))
+        ),
+    )
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_extract_flagship"], 1)
@@ -311,7 +335,7 @@ def main() -> int:
             "derived_corpus_120k": [
                 "q18_pagerank", "q19_bow_classify", "q20_warc_extract",
                 "q21_crawl_frontier", "q22_html_tables", "q23_top_terms",
-                "q24_hits_scores",
+                "q24_hits_scores", "q25_redirect_resolve", "q26_c4_lines",
                 "q1_extract_flagship", "q1b_extract_expression",
                 "q1c_extract_window", "q2_main_content_detailed",
                 "q10_html_main_content", "q11_layout_reading_order",

@@ -175,3 +175,41 @@ def redirect_audit(resolved: DataFrame) -> DataFrame:
         F.count("*").alias("n_chains"),
         F.countDistinct("final_url").alias("n_final_urls"),
     )
+
+
+def dedup_ledger(edges: DataFrame) -> DataFrame:
+    """Enforce the one-Location-per-URL contract DETERMINISTICALLY.
+
+    A malformed ledger (two Location rows for one src — conflicting
+    fetches, duplicated shards) would silently MULTIPLY state rows at
+    every hop of :func:`resolve_redirects`.  This keeps the
+    lexicographically-least (dst_url, http_status) per src — min_by on
+    a struct, so the survivor is a pure function of the input (never
+    partition order).  One edge-shuffle, paid once; Catalyst reuses
+    the aggregated exchange across the resolution's hop joins.
+    """
+    return edges.groupBy("src_url").agg(
+        F.min(F.struct("dst_url", "http_status")).alias("_m")
+    ).select(
+        "src_url",
+        F.col("_m.http_status").alias("http_status"),
+        F.col("_m.dst_url").alias("dst_url"),
+    )
+
+
+def redirect_ledger_audit(edges: DataFrame) -> DataFrame:
+    """One row: ledger size vs distinct sources vs contract violations.
+
+    ``n_multi_src`` counts URLs carrying MORE than one Location row —
+    the rows :func:`dedup_ledger` would collapse.  Read this before
+    resolving: a nonzero count means the fetch pipeline upstream wrote
+    conflicting records (the warc_malformed_audit policy — violations
+    are counted, never silently absorbed)."""
+    per_src = edges.groupBy("src_url").agg(F.count("*").alias("_n"))
+    return per_src.agg(
+        F.sum("_n").cast("bigint").alias("n_edges"),
+        F.count("*").alias("n_src_urls"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi_src"),
+    )

@@ -4361,3 +4361,11 @@ SELECT coalesce(canonical_url, url) AS cluster_url,
             AS BIGINT) AS n_self
 FROM meta GROUP BY 1
 """
+
+
+ORACLES["redirect_ledger_audit"] = _REDIRECT_SEEDS_CTE + """
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_src_urls,
+       CAST(0 AS BIGINT) AS n_multi_src
+FROM seeds
+"""

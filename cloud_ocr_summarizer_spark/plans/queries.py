@@ -4044,3 +4044,23 @@ def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_9["canonical_clusters"] = q_canonical_clusters
+
+
+def q_redirect_ledger_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-ledger contract audit
+    (operators/redirects.redirect_ledger_audit): counts URLs violating
+    the one-Location-per-URL contract that resolve_redirects relies on
+    (violations would multiply state rows at every hop) — counted,
+    never silently absorbed.  Twin recomputes all three counts from the
+    edge arithmetic."""
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        derive_redirects_from_documents,
+        redirect_ledger_audit,
+    )
+
+    return redirect_ledger_audit(
+        derive_redirects_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+BATCH_9["redirect_ledger_audit"] = q_redirect_ledger_audit

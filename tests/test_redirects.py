@@ -102,3 +102,27 @@ def test_audit_counts_every_chain(spark):
     # 24 docs: residues 1,2,3 -> 3 ok rows each hop count; 4 -> loop@1; 5,6 -> loop@2
     assert by_status[("loop", 1)] == 3
     assert by_status[("loop", 2)] == 6
+
+
+def test_dedup_ledger_is_deterministic_and_single_location(spark):
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        dedup_ledger,
+        redirect_ledger_audit,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", 302, "b"), ("a", 301, "b"), ("a", 301, "a2"), ("c", 307, "d")],
+        "src_url string, http_status int, dst_url string",
+    )
+    audit = redirect_ledger_audit(edges).first()
+    assert (audit.n_edges, audit.n_src_urls, audit.n_multi_src) == (4, 2, 1)
+    for n_parts in (1, 7):
+        rows = sorted(
+            map(tuple, dedup_ledger(edges.repartition(n_parts)).collect())
+        )
+        # lexicographically-least (dst_url, http_status): ('a2', 301)
+        assert rows == [("a", 301, "a2"), ("c", 307, "d")]
+    resolved = {
+        r.url: r for r in resolve_redirects(dedup_ledger(edges)).collect()
+    }
+    assert resolved["a"].final_url == "a2" and resolved["a"].n_hops == 1

@@ -172,10 +172,14 @@ def derive_feeds_from_documents(
 
 
 def _title_col(inner: Column) -> Column:
-    """Entry title: CDATA unwrap when wrapped, entity unescape otherwise."""
+    """Entry title: CDATA unwrap when wrapped, entity unescape otherwise;
+    NULL when absent or empty (the headmeta NULL-for-absent policy)."""
     raw = F.regexp_extract(inner, r"(?s)<title>(.*?)</title>", 1)
     cdata = F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1)
-    return F.when(raw.rlike(r"^<!\[CDATA\["), cdata).otherwise(xml_unescape(raw))
+    return F.nullif(
+        F.when(raw.rlike(r"^<!\[CDATA\["), cdata).otherwise(xml_unescape(raw)),
+        F.lit(""),
+    )
 
 
 def _norm_date(inner: Column) -> Column:
@@ -206,13 +210,16 @@ def parse_feed_entries(feeds: DataFrame) -> DataFrame:
         "host", "kind", F.posexplode("entries").alias("pos0", "inner")
     )
     inner = F.col("inner")
-    link = F.when(
-        F.col("kind") == "rss",
-        xml_unescape(F.regexp_extract(inner, r"(?s)<link>(.*?)</link>", 1)),
-    ).otherwise(
-        xml_unescape(
-            F.regexp_extract(inner, r'''<link href=["']([^"']*)["']''', 1)
-        )
+    link = F.nullif(
+        F.when(
+            F.col("kind") == "rss",
+            xml_unescape(F.regexp_extract(inner, r"(?s)<link>(.*?)</link>", 1)),
+        ).otherwise(
+            xml_unescape(
+                F.regexp_extract(inner, r'''<link href=["']([^"']*)["']''', 1)
+            )
+        ),
+        F.lit(""),
     )
     guid = F.coalesce(
         F.nullif(F.regexp_extract(inner, r"<guid>(.*?)</guid>", 1), F.lit("")),

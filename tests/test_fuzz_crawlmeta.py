@@ -106,8 +106,8 @@ def _model_title(inner: str):
     raw = m.group(1) if m else ""
     if re.match(r"^<!\[CDATA\[", raw):
         c = re.match(r"(?s)^<!\[CDATA\[(.*)\]\]>$", raw)
-        return c.group(1) if c else ""
-    return _unescape(raw)
+        return (c.group(1) or None) if c else None
+    return _unescape(raw) or None
 
 
 def _model_date(inner: str):
@@ -128,10 +128,9 @@ def _model_feed(xml: str):
     for i, inner in enumerate(re.findall(pat, clean)):
         if kind == "rss":
             lm = re.search(r"(?s)<link>(.*?)</link>", inner)
-            link = _unescape(lm.group(1)) if lm else ""
         else:
             lm = re.search(r"""<link href=["']([^"']*)["']""", inner)
-            link = _unescape(lm.group(1)) if lm else ""
+        link = (_unescape(lm.group(1)) or None) if lm else None
         gm = re.search(r"<guid>(.*?)</guid>", inner)
         im = re.search(r"<id>(.*?)</id>", inner)
         guid = (gm.group(1) or None) if gm else None

@@ -204,3 +204,22 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def with_synthetic_lang(docs):
+    """Derived-corpus docs + a deterministic lang column.
+
+    The URL synthesis (operators/urls.py) reads a lang column that the
+    derived bench corpus does not carry; every bench that routes through
+    it derives the SAME hash-based assignment here so the corpora can
+    never diverge between tools."""
+    from pyspark.sql import functions as F
+
+    return docs.withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "es", "fr", "zh")]),
+            (F.pmod(F.xxhash64("doc_id", F.lit("lang")), F.lit(5)) + 1)
+            .cast("int"),
+        ),
+    )

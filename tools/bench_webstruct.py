@@ -18,15 +18,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tools.bench_html_layout import build_corpus  # noqa: E402
+from tools.bench_html_layout import build_corpus, with_synthetic_lang  # noqa: E402
 from tools.mdsection import replace_section  # noqa: E402
 
 TIERS = [120_000, 1_000_000]
 
 
 def main() -> int:
-    from pyspark.sql import functions as F
-
     from cloud_ocr_summarizer_spark.operators.htmltable import (
         derive_tables_html_from_documents,
         extract_tables,
@@ -59,16 +57,7 @@ def main() -> int:
     tiers = []
     for n in TIERS:
         docs = spark.read.parquet(build_corpus(spark, n))
-        # the URL synthesis reads a lang column; the derived corpus has
-        # none (same treatment as bench.py's q19/q21)
-        langed = docs.withColumn(
-            "lang",
-            F.element_at(
-                F.array(*[F.lit(x) for x in ("en", "de", "es", "fr", "zh")]),
-                (F.pmod(F.xxhash64("doc_id", F.lit("lang")), F.lit(5)) + 1)
-                .cast("int"),
-            ),
-        )
+        langed = with_synthetic_lang(docs)
         t_tables = timed(
             lambda: extract_tables(derive_tables_html_from_documents(docs))
         )

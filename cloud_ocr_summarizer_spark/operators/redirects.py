@@ -213,3 +213,82 @@ def redirect_ledger_audit(edges: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_multi_src"),
     )
+
+
+def derive_redirects_from_parsed_urls(parsed_urls: DataFrame) -> DataFrame:
+    """parse_urls output -> a redirect ledger in the FRONTIER URL space.
+
+    Same residue scheme as :func:`derive_redirects_from_documents`, but
+    over the canonical URL synthesis (urls.py) so the resolution can
+    join back onto crawl-planning rows.  Neighbor URLs come from 1:1
+    self-joins on doc_id +- 1 (synthesis-only shuffles); a neighbor the
+    corpus does not hold means the crawler never recorded that Location
+    — the edge row is simply absent (NULL-dst rows are filtered, so the
+    corpus-max r=5 doc is neither an edge nor a seed here).
+    """
+    u = parsed_urls.select("doc_id", "url")
+    prev = u.select((F.col("doc_id") + 1).alias("doc_id"), F.col("url").alias("_prev"))
+    nxt = u.select((F.col("doc_id") - 1).alias("doc_id"), F.col("url").alias("_next"))
+    d = F.col("doc_id")
+    r = d % 8
+    dst = (
+        F.when(r.isin(1, 2, 3, 6), F.col("_prev"))
+        .when(r == 4, F.col("url"))
+        .when(r == 5, F.col("_next"))
+    )
+    status = (
+        F.when(r.isin(1, 3, 6), F.lit(301))
+        .when(r == 2, F.lit(302))
+        .when(r == 4, F.lit(308))
+        .when(r == 5, F.lit(307))
+    )
+    return (
+        u.join(prev, "doc_id", "left")
+        .join(nxt, "doc_id", "left")
+        .where(r.isin(1, 2, 3, 4, 5, 6) & dst.isNotNull())
+        .select(
+            F.col("url").alias("src_url"),
+            status.alias("http_status"),
+            dst.alias("dst_url"),
+        )
+    )
+
+
+def frontier_redirect_rollup(
+    parsed_urls: DataFrame, resolved: DataFrame
+) -> DataFrame:
+    """Fold server-declared moves into frontier planning, per host.
+
+    Each frontier URL LEFT-joins the resolution (1:1 — resolved carries
+    one row per redirect source): a miss means the URL serves content
+    where it stands; a 'loop' or 'truncated' chain is dropped from the
+    fetch plan but COUNTED.  Output per host: URLs planned, how many
+    arrived via a redirect rewrite, and how many chains were dropped —
+    the redirect half of the crawl_frontier budget inputs.
+
+    Shuffle inventory: the url equi-join (unique keys both sides) +
+    the host aggregate — the crawl_frontier two-exchange shape.
+    """
+    j = parsed_urls.select("doc_id", "host", "url").join(
+        resolved.select(
+            F.col("url").alias("_ru"),
+            F.col("final_url").alias("_final"),
+            F.col("status").alias("_status"),
+        ),
+        F.col("url") == F.col("_ru"),
+        "left",
+    )
+    ok_redirect = F.col("_status") == "ok"
+    dropped = F.col("_status").isin("loop", "truncated")
+    return j.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.when(ok_redirect, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rewritten"),
+        F.sum(F.when(dropped, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_chains"),
+        F.countDistinct(
+            F.when(~F.coalesce(dropped, F.lit(False)), F.coalesce(F.col("_final"), F.col("url")))
+        ).alias("n_fetch_targets"),
+    )

@@ -4369,3 +4369,41 @@ SELECT CAST(count(*) AS BIGINT) AS n_edges,
        CAST(0 AS BIGINT) AS n_multi_src
 FROM seeds
 """
+
+
+# Frontier-space redirects (operators/redirects.py): the twin derives
+# the resolution in CLOSED FORM from the chain residues over the URL
+# synthesis (neighbor URLs via 1:1 self-joins) and re-rolls the host
+# aggregate independently — the iterative joins are never run in SQL.
+# The corpus-max r=5 doc has no recorded Location (its neighbor does
+# not exist), so it is neither an edge nor a seed.
+ORACLES["frontier_redirect_rollup"] = URL_FIELDS_CTE + r"""
+, nn AS MATERIALIZED (SELECT max(doc_id) AS mx FROM documents),
+resolved AS (
+  SELECT u.url,
+         CASE WHEN u.doc_id % 8 = 1 THEN p1.url
+              WHEN u.doc_id % 8 = 2 THEN p2.url
+              WHEN u.doc_id % 8 = 3 THEN p3.url
+              ELSE u.url END AS final_url,
+         CASE WHEN u.doc_id % 8 IN (1, 2, 3) THEN 'ok'
+              ELSE 'loop' END AS status
+  FROM with_url u
+  CROSS JOIN nn
+  LEFT JOIN with_url p1 ON p1.doc_id = u.doc_id - 1
+  LEFT JOIN with_url p2 ON p2.doc_id = u.doc_id - 2
+  LEFT JOIN with_url p3 ON p3.doc_id = u.doc_id - 3
+  WHERE u.doc_id % 8 BETWEEN 1 AND 6
+    AND NOT (u.doc_id % 8 = 5 AND u.doc_id = nn.mx)
+), rolled AS (
+  SELECT w.host, w.url, r.final_url, r.status
+  FROM with_url w LEFT JOIN resolved r ON w.url = r.url
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(*) FILTER (status = 'ok') AS BIGINT) AS n_rewritten,
+       CAST(count(*) FILTER (status IN ('loop', 'truncated')) AS BIGINT)
+         AS n_dropped_chains,
+       CAST(count(DISTINCT CASE WHEN status IS NULL OR status = 'ok'
+            THEN coalesce(final_url, url) END) AS BIGINT) AS n_fetch_targets
+FROM rolled GROUP BY host
+"""

@@ -4064,3 +4064,32 @@ def q_redirect_ledger_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_9["redirect_ledger_audit"] = q_redirect_ledger_audit
+
+
+def q_frontier_redirect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirects folded into frontier planning
+    (operators/redirects.frontier_redirect_rollup): the ledger is
+    re-synthesized in the FRONTIER URL space (urls.py synthesis, 1:1
+    neighbor self-joins), resolved, and LEFT-joined back onto every
+    frontier URL — per host: URLs planned, redirect rewrites, dropped
+    loop/truncated chains, distinct fetch targets.  Twin derives the
+    resolution in closed form from the residues (p1/p2/p3 neighbor
+    joins) and re-rolls the host aggregate independently."""
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        derive_redirects_from_parsed_urls,
+        frontier_redirect_rollup,
+        resolve_redirects,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    parsed = parse_urls(
+        derive_urls_from_documents(_read(spark, sf_dir, "documents"))
+    )
+    resolved = resolve_redirects(derive_redirects_from_parsed_urls(parsed))
+    return frontier_redirect_rollup(parsed, resolved)
+
+
+BATCH_9["frontier_redirect_rollup"] = q_frontier_redirect_rollup

@@ -126,3 +126,47 @@ def test_dedup_ledger_is_deterministic_and_single_location(spark):
         r.url: r for r in resolve_redirects(dedup_ledger(edges)).collect()
     }
     assert resolved["a"].final_url == "a2" and resolved["a"].n_hops == 1
+
+
+def test_frontier_rollup_counts_balance(spark):
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        derive_redirects_from_parsed_urls,
+        frontier_redirect_rollup,
+        resolve_redirects,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    docs = _docs(spark, 40)
+    parsed = parse_urls(derive_urls_from_documents(docs))
+    resolved = resolve_redirects(derive_redirects_from_parsed_urls(parsed))
+    # frontier-space semantics: chains resolve ok, self-loop + 2-cycle drop
+    by_status = {
+        s: n for s, n in resolved.groupBy("status").count().collect()
+    }
+    assert by_status["ok"] == 15  # residues 1,2,3 over 40 docs
+    assert by_status["loop"] == 15  # residues 4,5,6 (corpus max is r=7)
+    roll = frontier_redirect_rollup(parsed, resolved)
+    tot = roll.agg(
+        F.sum("n_urls"), F.sum("n_rewritten"), F.sum("n_dropped_chains")
+    ).first()
+    assert (tot[0], tot[1], tot[2]) == (40, 15, 15)
+
+
+def test_frontier_ledger_skips_unrecorded_neighbor(spark):
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        derive_redirects_from_parsed_urls,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    # n=22 -> max doc_id 21 has r=5; its +1 neighbor is not in the
+    # corpus, so no Location was recorded: not an edge, not a seed
+    parsed = parse_urls(derive_urls_from_documents(_docs(spark, 22)))
+    edges = derive_redirects_from_parsed_urls(parsed)
+    u21 = parsed.where(F.col("doc_id") == 21).first().url
+    assert edges.where(F.col("src_url") == u21).count() == 0

@@ -233,3 +233,45 @@ def start_incremental_sitemap_ingest(
         .outputMode("append")
         .start()
     )
+
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("feed_xml", T.StringType()),
+    ]
+)
+
+
+def start_incremental_feed_ingest(
+    spark: SparkSession,
+    *,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """AvailableNow streaming twin of RSS/Atom feed ingestion.
+
+    Hosts republish feeds on their own cadence; each drain parses only
+    newly-landed feed files into entry rows.  Like the sitemap twin,
+    the parse (operators/feeds.parse_feed_entries) is a stateless
+    row-local transform, so this is a PLAIN streaming transformation —
+    exactly-once from source offsets + the parquet sink commit log, no
+    state store, no foreachBatch.
+    """
+    from cloud_ocr_summarizer_spark.operators.feeds import parse_feed_entries
+
+    stream = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    return (
+        parse_feed_entries(stream)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )

@@ -642,3 +642,54 @@ def test_available_now_incremental_sitemap_ingest(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 100
     assert got.select("loc").distinct().count() == 100
+
+
+def test_available_now_incremental_feed_ingest(spark, tmp_path):
+    """Feed files under AvailableNow: each drain parses only the
+    newly-landed feeds (stateless map, exactly-once via source offsets
+    + sink commit log); batch and streaming parses agree row-for-row."""
+    from cloud_ocr_summarizer_spark.operators.feeds import (
+        derive_feeds_from_documents,
+        parse_feed_entries,
+    )
+    from cloud_ocr_summarizer_spark.streaming.incremental import (
+        start_incremental_feed_ingest,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def feeds(lo, hi):
+        return derive_feeds_from_documents(
+            docs.filter(f"doc_id >= {lo} and doc_id < {hi}")
+        ).select("host", "feed_xml")
+
+    feeds(0, 60).write.mode("append").parquet(inp)
+    q = start_incremental_feed_ingest(
+        spark, input_dir=inp, output_dir=out, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    wave1 = spark.read.parquet(out)
+    batch1 = parse_feed_entries(feeds(0, 60))
+    assert sorted(map(tuple, wave1.collect())) == sorted(
+        map(tuple, batch1.collect())
+    )
+
+    # wave 2: only the new feed files are parsed on the next drain
+    feeds(60, 100).write.mode("append").parquet(inp)
+    q2 = start_incremental_feed_ingest(
+        spark, input_dir=inp, output_dir=out, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    n_both = spark.read.parquet(out).count()
+    assert n_both == batch1.count() + parse_feed_entries(feeds(60, 100)).count()
+
+    # no-op drain appends nothing
+    q3 = start_incremental_feed_ingest(
+        spark, input_dir=inp, output_dir=out, checkpoint_dir=ckpt
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_both

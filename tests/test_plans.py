@@ -355,3 +355,20 @@ def test_feed_parse_stage_is_rowlocal(spark):
         )
     )
     assert "Exchange" not in _plan(df)
+
+
+def test_redirect_edge_exchange_reused_across_hops(spark, Q):
+    """When edges outgrow broadcast (the web-scale regime), the
+    iteration-invariant edge shuffle is computed ONCE and AQE reuses it
+    at every later hop — the property the resolve_redirects docstring
+    promises.  Runtime assertion: the final adaptive plan carries
+    ReusedExchange nodes for the 4 later hops."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q.q_redirect_resolve(spark, SF)
+        df.collect()
+        p = _plan(df)
+        assert p.count("ReusedExchange") >= 4, p.count("ReusedExchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -372,3 +372,14 @@ def test_redirect_edge_exchange_reused_across_hops(spark, Q):
         assert p.count("ReusedExchange") >= 4, p.count("ReusedExchange")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_frontier_redirect_rollup_shuffle_budget(spark, Q):
+    """Resolution joins + the url join-back + the host aggregate (plus
+    synthesis self-joins) stay key-partitioned inside a bounded
+    exchange budget — no cartesian degeneration anywhere."""
+    p = _plan(Q.q_frontier_redirect_rollup(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 16, p.count(
+        "Exchange hashpartitioning"
+    )

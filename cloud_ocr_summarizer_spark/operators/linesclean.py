@@ -82,6 +82,7 @@ def c4_line_filter(
     text_col: str = "text",
     min_words: int = C4_MIN_WORDS,
     min_kept_lines: int = 1,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document line cleaning with per-rule drop counts.
 
@@ -106,6 +107,7 @@ def c4_line_filter(
     has_lorem = F.lower(text).contains("lorem ipsum")
     return docs.select(
         "doc_id",
+        *[F.col(c) for c in keep if c in docs.columns],
         F.array_join(kept, "\n").alias("clean_text"),
         F.size(lines).cast("int").alias("n_lines"),
         n_kept.alias("n_kept"),

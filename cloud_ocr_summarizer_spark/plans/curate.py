@@ -112,12 +112,16 @@ def curate_documents_full(
     contamination_n: int = 8,
     mix_fractions: dict[str, float] | None = None,
     pack_budget: int | None = 2048,
+    line_clean: bool = False,
     persisted: list | None = None,
     **curate_kwargs,
 ) -> DataFrame:
     """The full pretraining-data pipeline around ``curate_documents``:
 
-      dedup/gates/split (core)
+      C4 line cleaning (``line_clean=True``, the C4 stage order:
+        boilerplate lines strip BEFORE dedup so they can't fuse
+        near-duplicates; row-local, adds no exchange)
+      -> dedup/gates/split (core)
       -> drop docs sharing an ``contamination_n``-gram with ``benchmark``
       -> redact PII in the surviving text
       -> per-source mixing rates (``mix_fractions``, None = keep all)
@@ -149,6 +153,23 @@ def curate_documents_full(
         hash_sample,
         pack_sequences,
     )
+
+    if line_clean:
+        # C4 line cleaning runs FIRST (the C4 order): boilerplate lines
+        # are stripped before dedup so nav/cookie fragments can't fuse
+        # near-duplicate documents, and lorem-ipsum pages drop outright.
+        # Row-local stage — adds no exchange ahead of the dedup cascade.
+        from cloud_ocr_summarizer_spark.operators.linesclean import (
+            c4_line_filter,
+        )
+
+        passthrough = tuple(c for c in docs.columns if c not in ("doc_id", "text"))
+        cleaned = c4_line_filter(docs, keep=passthrough)
+        docs = cleaned.where(F.col("doc_kept")).select(
+            "doc_id",
+            *passthrough,
+            F.col("clean_text").alias("text"),
+        )
 
     kept = curate_documents(docs, **curate_kwargs).persist()
     if persisted is not None:

@@ -185,3 +185,38 @@ def test_curation_cap_audit_matches_pipeline_position(spark):
         curation_cap_audit(docs, max_bucket_size=8, after_exact_dedup=False)
     )
     assert raw["dropped_groups"] >= 8  # the operator-level view does fire
+
+
+def test_curate_full_line_clean_stage(spark):
+    """line_clean=True is exactly 'C4-clean first, then the pipeline':
+    parity with a manual pre-clean, and a lorem-ipsum page never
+    reaches dedup."""
+    from cloud_ocr_summarizer_spark.operators.linesclean import c4_line_filter
+    from cloud_ocr_summarizer_spark.plans.curate import curate_documents_full
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    noisy = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nEnable javascript to view this page.\n"),
+            F.when(
+                F.col("doc_id") == 3, F.lit("Lorem ipsum dolor sit amet.\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ),
+    )
+
+    auto = curate_documents_full(
+        noisy, pack_budget=None, min_quality=0, line_clean=True
+    )
+    passthrough = tuple(c for c in noisy.columns if c not in ("doc_id", "text"))
+    manual_docs = (
+        c4_line_filter(noisy, keep=passthrough)
+        .where(F.col("doc_kept"))
+        .select("doc_id", *passthrough, F.col("clean_text").alias("text"))
+    )
+    manual = curate_documents_full(manual_docs, pack_budget=None, min_quality=0)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, manual.collect()))
+    assert auto.where(F.col("doc_id") == 3).count() == 0
+    assert auto.where(F.col("text").contains("javascript")).count() == 0

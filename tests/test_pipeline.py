@@ -318,3 +318,52 @@ def test_iceberg_sink_gate_and_surface(spark, tmp_path):
     docs = interleaved_docs(spark, 10, seed=3)
     res = run_flagship(spark, docs, output_root=str(tmp_path), sink=sink)
     assert res.docs_written == 10
+
+
+def test_run_crawl_plan_job_end_to_end(spark, tmp_path):
+    """jobs/run_crawl_plan.py: the spark-submit crawl-planning entry
+    runs URL parse -> redirect fold-in -> blocklist -> robots -> budget
+    in a child process (its own vanilla session) and lands all three
+    output tables."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from cloud_ocr_summarizer_spark.operators.redirects import (
+        derive_redirects_from_parsed_urls,
+    )
+    from cloud_ocr_summarizer_spark.operators.robotstxt import (
+        derive_robots_txt_from_documents,
+    )
+    from cloud_ocr_summarizer_spark.operators.urls import (
+        derive_urls_from_documents,
+        parse_urls,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    urls_p = str(tmp_path / "urls")
+    robots_p = str(tmp_path / "robots")
+    edges_p = str(tmp_path / "edges")
+    out = str(tmp_path / "plan_out")
+    raw_urls = derive_urls_from_documents(docs)
+    raw_urls.write.parquet(urls_p)
+    parsed = parse_urls(raw_urls)
+    derive_robots_txt_from_documents(docs, parsed_urls=parsed).write.parquet(robots_p)
+    derive_redirects_from_parsed_urls(parsed).write.parquet(edges_p)
+
+    job = Path(__file__).parent.parent / "jobs" / "run_crawl_plan.py"
+    proc = subprocess.run(
+        [_sys.executable, str(job), "--urls", urls_p, "--robots", robots_p,
+         "--redirects", edges_p, "--output", out],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "frontier_hosts=" in proc.stdout
+
+    frontier = spark.read.parquet(f"{out}/frontier")
+    assert frontier.count() > 0
+    assert {"host", "n_urls", "est_fetch_seconds"} <= set(frontier.columns)
+    roll = spark.read.parquet(f"{out}/redirects")
+    assert roll.agg(F.sum("n_dropped_chains")).first()[0] > 0
+    audit = spark.read.parquet(f"{out}/ledger_audit").first()
+    assert audit.n_multi_src == 0 and audit.n_src_urls > 0

@@ -107,7 +107,7 @@ def c4_line_filter(
     has_lorem = F.lower(text).contains("lorem ipsum")
     return docs.select(
         "doc_id",
-        *[F.col(c) for c in keep if c in docs.columns],
+        *[F.col(c) for c in keep],
         F.array_join(kept, "\n").alias("clean_text"),
         F.size(lines).cast("int").alias("n_lines"),
         n_kept.alias("n_kept"),

@@ -66,6 +66,27 @@ def _rurl(doc_id: Column) -> Column:
     )
 
 
+def _chain_dst_status(
+    r: Column, prev: Column, self_: Column, nxt: Column
+) -> tuple[Column, Column]:
+    """The ONE residue scheme (see module docstring), parameterized by
+    the prev/self/next destination expressions — shared by the
+    document-space and frontier-space ledger synthesizers so the two
+    can never desynchronize from their closed-form oracles."""
+    dst = (
+        F.when(r.isin(1, 2, 3, 6), prev)
+        .when(r == 4, self_)
+        .when(r == 5, nxt)
+    )
+    status = (
+        F.when(r.isin(1, 3, 6), F.lit(301))
+        .when(r == 2, F.lit(302))
+        .when(r == 4, F.lit(308))
+        .when(r == 5, F.lit(307))
+    )
+    return dst, status
+
+
 def derive_redirects_from_documents(docs: DataFrame) -> DataFrame:
     """documents -> (src_url, http_status, dst_url) redirect ledger.
 
@@ -75,17 +96,7 @@ def derive_redirects_from_documents(docs: DataFrame) -> DataFrame:
     """
     d = F.col("doc_id")
     r = d % 8
-    dst_id = (
-        F.when(r.isin(1, 2, 3, 6), d - 1)
-        .when(r == 4, d)
-        .when(r == 5, d + 1)
-    )
-    status = (
-        F.when(r.isin(1, 3, 6), F.lit(301))
-        .when(r == 2, F.lit(302))
-        .when(r == 4, F.lit(308))
-        .when(r == 5, F.lit(307))
-    )
+    dst_id, status = _chain_dst_status(r, d - 1, d, d + 1)
     return docs.where(r.isin(1, 2, 3, 4, 5, 6)).select(
         _rurl(d).alias("src_url"),
         status.alias("http_status"),
@@ -124,14 +135,20 @@ def resolve_redirects(
         F.col("url").alias("final_url"),
         F.lit(0).alias("n_hops"),
         F.array(F.col("url")).alias("visited"),
-        F.lit(None).cast("string").alias("status"),
     )
+    out_cols = ["url", "final_url", F.col("n_hops").cast("int").alias("n_hops")]
+    done_parts = []
     for _ in range(max_hops):
+        # EARLY EXIT: only still-open chains enter the next hop join.
+        # Finished rows (terminal reached, loop closed) leave the loop
+        # here, so a hot canonical target — where every chain collapses
+        # onto ONE url after its first hop — is joined on the shared
+        # key for exactly one detection hop, never dragged through the
+        # remaining hops as single-partition dead weight.
         j = state.join(e, state["final_url"] == e["_src"], "left")
-        open_row = F.col("status").isNull()
-        advanced = open_row & F.col("_dst").isNotNull()
+        advanced = F.col("_dst").isNotNull()
         looped = advanced & F.array_contains(F.col("visited"), F.col("_dst"))
-        state = j.select(
+        step = j.select(
             "url",
             F.when(advanced, F.col("_dst"))
             .otherwise(F.col("final_url"))
@@ -146,22 +163,25 @@ def resolve_redirects(
             .otherwise(F.col("visited"))
             .alias("visited"),
             F.when(looped, F.lit(_STATUS_LOOP))
-            .when(open_row & F.col("_dst").isNull(), F.lit(_STATUS_OK))
-            .otherwise(F.col("status"))
+            .when(~advanced, F.lit(_STATUS_OK))
             .alias("status"),
         )
-    probe = state.join(e, state["final_url"] == e["_src"], "left")
-    return probe.select(
-        "url",
-        "final_url",
-        F.col("n_hops").cast("int").alias("n_hops"),
-        F.coalesce(
-            F.col("status"),
-            F.when(F.col("_dst").isNotNull(), F.lit(_STATUS_TRUNCATED)).otherwise(
-                F.lit(_STATUS_OK)
-            ),
-        ).alias("status"),
+        done_parts.append(
+            step.where(F.col("status").isNotNull()).select(
+                *out_cols, "status"
+            )
+        )
+        state = step.where(F.col("status").isNull()).drop("status")
+    probe = state.join(e, state["final_url"] == e["_src"], "left").select(
+        *out_cols,
+        F.when(F.col("_dst").isNotNull(), F.lit(_STATUS_TRUNCATED))
+        .otherwise(F.lit(_STATUS_OK))
+        .alias("status"),
     )
+    result = probe
+    for part in done_parts:
+        result = result.unionByName(part)
+    return result
 
 
 def redirect_audit(resolved: DataFrame) -> DataFrame:
@@ -231,16 +251,8 @@ def derive_redirects_from_parsed_urls(parsed_urls: DataFrame) -> DataFrame:
     nxt = u.select((F.col("doc_id") - 1).alias("doc_id"), F.col("url").alias("_next"))
     d = F.col("doc_id")
     r = d % 8
-    dst = (
-        F.when(r.isin(1, 2, 3, 6), F.col("_prev"))
-        .when(r == 4, F.col("url"))
-        .when(r == 5, F.col("_next"))
-    )
-    status = (
-        F.when(r.isin(1, 3, 6), F.lit(301))
-        .when(r == 2, F.lit(302))
-        .when(r == 4, F.lit(308))
-        .when(r == 5, F.lit(307))
+    dst, status = _chain_dst_status(
+        r, F.col("_prev"), F.col("url"), F.col("_next")
     )
     return (
         u.join(prev, "doc_id", "left")

@@ -219,13 +219,33 @@ def start_incremental_sitemap_ingest(
         parse_sitemap_urls,
     )
 
+    return _start_stateless_parse_ingest(
+        spark, SITEMAP_SCHEMA, parse_sitemap_urls,
+        input_dir=input_dir, output_dir=output_dir,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def _start_stateless_parse_ingest(
+    spark: SparkSession,
+    schema,
+    parse_fn,
+    *,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Shared AvailableNow wiring for the stateless file-parse twins
+    (sitemap, feeds): source offsets + the parquet sink commit log give
+    exactly-once; a stateless map needs no state store, no watermark,
+    no foreachBatch.  One place to tune trigger/sink options."""
     stream = (
-        spark.readStream.schema(SITEMAP_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
     )
     return (
-        parse_sitemap_urls(stream)
+        parse_fn(stream)
         .writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
@@ -261,17 +281,8 @@ def start_incremental_feed_ingest(
     """
     from cloud_ocr_summarizer_spark.operators.feeds import parse_feed_entries
 
-    stream = (
-        spark.readStream.schema(FEED_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_dir)
-    )
-    return (
-        parse_feed_entries(stream)
-        .writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _start_stateless_parse_ingest(
+        spark, FEED_SCHEMA, parse_feed_entries,
+        input_dir=input_dir, output_dir=output_dir,
+        checkpoint_dir=checkpoint_dir,
     )

@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from tools.bench_html_layout import build_corpus  # noqa: E402
+from tools.mdsection import replace_section  # noqa: E402
 
 N_DOCS = 1_000_000
 
@@ -85,12 +86,13 @@ def main() -> int:
         json.dump(out, f)
     print(json.dumps(out))
 
+    header = "## N->4N scaling: bounded-iterative-join regime (redirects)"
     lines = [
-        "", "## N->4N scaling: bounded-iterative-join regime (redirects)",
+        header,
         "",
         "Redirect-chain resolution (max_hops+1 unique-key equi-joins,",
-        "O(max_hops) row state) over the 1M-doc derived corpus,",
-        "separate JVMs, warm best-of-2:", "",
+        "O(max_hops) row state, early-exit of finished chains) over the",
+        "1M-doc derived corpus, separate JVMs, warm best-of-2:", "",
         "| cluster size | wall | docs/s |", "|---|---|---|",
         f"| local[2] | {small['sec']} s | {small['docs_per_sec']:,} |",
         f"| local[8] | {big['sec']} s | {big['docs_per_sec']:,} |",
@@ -99,9 +101,9 @@ def main() -> int:
         "Same shared-substrate caveat as the other shuffle pairs.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a",
-              encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"), header, "\n".join(lines)
+    )
     return 0
 
 

@@ -2,12 +2,15 @@
 """Hot-destination skew tier for redirect resolution.
 
 Claim under test (operators/redirects.py docstring): a hot canonical
-target — here HALF the 1M-doc corpus 301-ing into ONE URL — fans in on
-the VALUE side only, because the join key at every hop is the chain's
-CURRENT url and the edge side has unique keys; no key ever multiplies,
-so the hot wall must track the uniform wall.  This is the redirect
-twin of BENCH/graph_skew.json (where per-key AGGREGATION is the thing
-that needs salting).
+target fans in on the VALUE side only, because the join key at every
+hop is the chain's CURRENT url and the edge side has unique keys; no
+key ever multiplies, so the hot wall must track the uniform wall.
+CONTROLLED pair: both arms are the SAME 500k one-hop edges — only the
+destination distribution differs (distinct out-of-universe terminals
+vs ONE shared URL), so the ratio isolates the skew effect (an earlier
+draft compared different edge counts and chain shapes; its 0.78x was
+confounded by input size).  This is the redirect twin of
+BENCH/graph_skew.json (where per-key AGGREGATION needs salting).
 
 Writes BENCH/redirect_skew.json + a BASELINE.md section
 (replace-in-place).
@@ -34,7 +37,6 @@ def main() -> int:
 
     from cloud_ocr_summarizer_spark.operators.redirects import (
         _rurl,
-        derive_redirects_from_documents,
         resolve_redirects,
     )
     from cloud_ocr_summarizer_spark.session import get_spark
@@ -42,9 +44,18 @@ def main() -> int:
     spark = get_spark(app_name="bench-redirect-skew", cores=32)
     docs = spark.read.parquet(build_corpus(spark, N_DOCS))
 
-    uniform = derive_redirects_from_documents(docs)
+    # controlled comparison: SAME 500k sources, SAME all-1-hop chain
+    # shape — only the destination distribution differs (distinct
+    # out-of-universe terminals vs one shared terminal), so any wall
+    # delta is the skew effect alone
     d = F.col("doc_id")
-    hot = docs.where(d % 2 == 1).select(
+    srcs = docs.where(d % 2 == 1)
+    uniform = srcs.select(
+        _rurl(d).alias("src_url"),
+        F.lit(301).alias("http_status"),
+        _rurl(d + N_DOCS).alias("dst_url"),
+    )
+    hot = srcs.select(
         _rurl(d).alias("src_url"),
         F.lit(301).alias("http_status"),
         _rurl(F.lit(0)).alias("dst_url"),
@@ -68,7 +79,8 @@ def main() -> int:
         "uniform_sec": round(t_uniform, 3),
         "hot_sec": round(t_hot, 3),
         "hot_over_uniform": round(t_hot / t_uniform, 3),
-        "hot_shape": "500k sources -> ONE destination URL (50% of corpus)",
+        "hot_shape": "500k 1-hop edges -> ONE dst vs 500k 1-hop edges"
+        " -> distinct dsts (same edge count, same chain shape)",
     }
     with open(
         os.path.join(REPO, "BENCH", "redirect_skew.json"), "w", encoding="utf-8"
@@ -79,13 +91,15 @@ def main() -> int:
     header = "## Hot-destination skew: redirect resolution"
     lines = [
         header, "",
-        "1M docs, local[32], warm best-of-2.  Hot ledger: half the",
-        "corpus 301s into ONE URL.  The join key per hop is the chain's",
-        "current url (unique on the edge side), so the hot destination",
-        "fans in on the value side only — no key multiplies:", "",
+        "1M docs, local[32], warm best-of-2.  CONTROLLED pair: both",
+        "arms are the same 500k one-hop edges; only the destination",
+        "distribution differs (distinct terminals vs ONE shared URL).",
+        "The join key per hop is the chain's current url (unique on",
+        "the edge side), so the hot destination fans in on the value",
+        "side only — no key multiplies:", "",
         "| ledger | wall | hot/uniform |", "|---|---|---|",
-        f"| uniform chains | {out['uniform_sec']} s | — |",
-        f"| 500k -> 1 URL | {out['hot_sec']} s | {out['hot_over_uniform']} |",
+        f"| 500k -> distinct dsts | {out['uniform_sec']} s | — |",
+        f"| 500k -> ONE dst | {out['hot_sec']} s | {out['hot_over_uniform']} |",
         "",
     ]
     replace_section(

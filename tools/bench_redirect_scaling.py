@@ -49,7 +49,7 @@ def run():
     return time.monotonic() - t0
 
 run()  # warm-up
-best = min(run() for _ in range(2))
+best = min(run() for _ in range(3))
 print(json.dumps({{"cores": cores, "sec": round(best, 3),
                    "docs_per_sec": round(n_docs / best, 1)}}))
 """
@@ -92,7 +92,7 @@ def main() -> int:
         "",
         "Redirect-chain resolution (max_hops+1 unique-key equi-joins,",
         "O(max_hops) row state, early-exit of finished chains) over the",
-        "1M-doc derived corpus, separate JVMs, warm best-of-2:", "",
+        "1M-doc derived corpus, separate JVMs, warm best-of-3:", "",
         "| cluster size | wall | docs/s |", "|---|---|---|",
         f"| local[2] | {small['sec']} s | {small['docs_per_sec']:,} |",
         f"| local[8] | {big['sec']} s | {big['docs_per_sec']:,} |",

@@ -3,7 +3,10 @@ asserted so a future change can't silently regress them.
 
 These inspect the optimized plan string — cheap (no execution) and
 stable across AQE because the asserted properties (exchange counts,
-join strategies, scan pruning) appear in the initial plan.
+join strategies, scan pruning) appear in the initial plan.  The one
+exception is shared-lineage unions, where the static tree duplicates
+prefix exchanges per branch: those budgets read the executed final
+plan via _final_plan instead.
 """
 
 import pytest
@@ -14,6 +17,21 @@ SF = "/root/testdata/sf0.001"
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _final_plan(df) -> str:
+    """Execute, then return only the FINAL adaptive section of the plan.
+
+    For a DAG whose branches share lineage (e.g. the per-hop exit union
+    in resolve_redirects), the static string duplicates every prefix
+    exchange once per branch; only after execution does the plan show
+    which of those AQE collapsed into ReusedExchange nodes.  Budget
+    assertions about *materialized* shuffles must read this section —
+    the initial-plan count is an artifact of tree printing, not work.
+    """
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.partition("== Initial Plan ==")[0]
 
 
 @pytest.fixture(scope="module")
@@ -377,9 +395,19 @@ def test_redirect_edge_exchange_reused_across_hops(spark, Q):
 def test_frontier_redirect_rollup_shuffle_budget(spark, Q):
     """Resolution joins + the url join-back + the host aggregate (plus
     synthesis self-joins) stay key-partitioned inside a bounded
-    exchange budget — no cartesian degeneration anywhere."""
-    p = _plan(Q.q_frontier_redirect_rollup(spark, SF))
+    exchange budget — no cartesian degeneration anywhere.
+
+    Budgeted on the EXECUTED final plan: the early-exit union prints
+    every branch's prefix exchanges in the static tree (34 of them),
+    but AQE materializes the shared-lineage shuffles once — measured
+    9 materialized + 20 reused.  The reuse floor pins that collapse so
+    a refactor that breaks subplan canonicalization (turning reused
+    prefixes into real recomputation) fails loudly here.
+    """
+    df = Q.q_frontier_redirect_rollup(spark, SF)
+    p = _final_plan(df)
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning") <= 16, p.count(
         "Exchange hashpartitioning"
     )
+    assert p.count("ReusedExchange") >= 4, p.count("ReusedExchange")

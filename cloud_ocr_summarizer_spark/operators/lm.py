@@ -20,8 +20,11 @@ Two surfaces, split by what can cross the engine boundary exactly:
 Scale shape: the count tables are ONE corpus-sized aggregation each
 (map-side partial, keyed by word / word-pair — vocabulary-sized
 outputs, not corpus-sized); scoring is one explode + one equi-join
-keyed by bigram + one per-doc aggregation.  No pairwise work, no
-driver-side state.
+keyed by bigram + one per-doc aggregation.  The every-doc contract is
+carried by an OUTER explode (zero-pair docs keep one NULL pair row
+through the aggregate), not by a join back to the input — the old
+base-join shape cost a third corpus scan plus a corpus-sized
+SortMergeJoin per consumer.  No pairwise work, no driver-side state.
 """
 
 from __future__ import annotations
@@ -58,10 +61,16 @@ def _check_exact_reconstruction(min_pair_count: int) -> None:
         )
 
 
-def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+def _doc_bigrams(
+    docs: DataFrame, *, id_col: str, text_col: str, outer: bool = False
+) -> DataFrame:
     """(id, w1, w2) — one row per adjacent lowercase token pair within a
     document (document boundaries are sequence boundaries; no sentinel
-    tokens)."""
+    tokens).  With ``outer=True`` a document with fewer than 2 tokens
+    keeps one all-NULL pair row, so per-doc aggregations downstream
+    cover EVERY document without a corpus-sized join back to the input
+    (the every-doc contract used to cost a SortMergeJoin + one extra
+    corpus scan per consumer)."""
     # token array let-bound: element_at inside the lambda must index the
     # BOUND array, not the split expression (re-tokenize per pair = O(n^2))
     def pairs_of(words: Column) -> Column:
@@ -77,7 +86,8 @@ def _doc_bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
     pairs = let_col(whitespace_tokens_col(F.lower(F.col(text_col))), pairs_of)
-    return docs.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+    exploded = F.explode_outer(pairs) if outer else F.explode(pairs)
+    return docs.select(F.col(id_col), exploded.alias("_p")).select(
         id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
 
@@ -157,8 +167,8 @@ def lm_rarity_profile(
                        uses (mashup/noise/spam signal)
       sum_pair_count   total corpus support of the doc's pairs (BIGINT)
 
-    Every document surfaces (left join), including empty ones with
-    zeros.  Integer end to end — DuckDB-value-checkable.
+    Every document surfaces (outer pair stream), including empty ones
+    with zeros.  Integer end to end — DuckDB-value-checkable.
 
     The pair table is pruned at LM_MIN_PAIR_COUNT=2, so a doc pair
     missing from it has exact corpus count 1 (the doc itself carries
@@ -169,21 +179,27 @@ def lm_rarity_profile(
     _, bigrams = bigram_count_tables(
         docs, id_col=id_col, text_col=text_col, min_pair_count=min_pair_count
     )
-    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    # outer pair stream: a <2-token doc keeps one NULL pair row, so the
+    # per-doc aggregate below covers every document and the old
+    # base.join(per_doc, "left") — a corpus-sized SortMergeJoin plus a
+    # third corpus scan, there only to zero-fill those docs — is gone
+    # (values bit-identical; NULL join keys simply never match bigrams)
+    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col, outer=True)
+    has_pair = F.col("w1").isNotNull()
     scored = doc_bi.join(bigrams, ["w1", "w2"], "left").withColumn(
-        "_c2", F.coalesce(F.col("c2"), F.lit(min_pair_count - 1))
+        "_c2",
+        F.when(has_pair, F.coalesce(F.col("c2"), F.lit(min_pair_count - 1))),
     )
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(has_pair, 1).otherwise(0)).alias("n_bigrams"),
         F.sum(F.when(F.col("_c2") <= RARE_COUNT_MAX, 1).otherwise(0)).alias(
             "_n_rare"
         ),
         F.sum("_c2").alias("sum_pair_count"),
     )
-    base = docs.select(F.col(id_col))
-    return base.join(per_doc, id_col, "left").select(
+    return per_doc.select(
         F.col(id_col),
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias("n_bigrams"),
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
         F.coalesce(
             F.when(
                 F.col("n_bigrams") > 0,
@@ -223,29 +239,36 @@ def bigram_perplexity(
         docs, id_col=id_col, text_col=text_col, min_pair_count=min_pair_count
     )
     vocab = unigrams.agg(F.count(F.lit(1)).alias("_v"))
-    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    # outer pair stream + left unigram join: zero-pair docs ride the
+    # aggregate as one NULL row instead of being re-joined from a third
+    # corpus scan (same SortMergeJoin removal as lm_rarity_profile; the
+    # unigram join was inner before, which was equivalent only because
+    # every non-NULL w1 is in the table it was trained from)
+    doc_bi = _doc_bigrams(docs, id_col=id_col, text_col=text_col, outer=True)
+    has_pair = F.col("w1").isNotNull()
     # left join + coalesce(c2, 1): pairs pruned by the min-count floor
     # have exact corpus count 1 on the training corpus (see
     # bigram_count_tables) — values identical to the unpruned table
     scored = (
         doc_bi.join(bigrams, ["w1", "w2"], "left")
-        .join(unigrams, "w1")
+        .join(unigrams, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
-            F.log(
-                (F.coalesce(F.col("c2"), F.lit(min_pair_count - 1)) + 1)
-                / (F.col("c1") + F.col("_v"))
+            has_pair.alias("_has"),
+            F.when(
+                has_pair,
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(min_pair_count - 1)) + 1)
+                    / (F.col("c1") + F.col("_v"))
+                ),
             ).alias("_lp"),
         )
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.exp(-F.sum("_lp") / F.count(F.lit(1))).alias("perplexity"),
-    )
-    base = docs.select(F.col(id_col))
-    return base.join(per_doc, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias("n_bigrams"),
-        F.col("perplexity"),
+    n = F.sum(F.when(F.col("_has"), 1).otherwise(0))
+    return scored.groupBy(id_col).agg(
+        n.cast("int").alias("n_bigrams"),
+        # guard INSIDE the aggregate: ANSI division by a zero pair count
+        # must never evaluate (zero-pair docs report NULL perplexity)
+        F.when(n > 0, F.exp(-F.sum("_lp") / n)).alias("perplexity"),
     )

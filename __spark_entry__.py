@@ -42,6 +42,14 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
 
     try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect sessions have no sparkContext; there the classic
+        # cwd/PYTHONPATH route is the only option — don't break the
+        # contract for the row-local queries that need no worker import.
+        spark._cos_pkg_shipped = True  # type: ignore[attr-defined]
+        return
+    try:
         global _PKG_ZIP
         if _PKG_ZIP is None:
             # fresh private dir per process: never reuses a stale or
@@ -51,12 +59,20 @@ def _ship_package(spark: SparkSession) -> None:
             _PKG_ZIP = shutil.make_archive(
                 base, "zip", root_dir=_REPO_ROOT, base_dir="cloud_ocr_summarizer_spark"
             )
-        spark.sparkContext.addPyFile(_PKG_ZIP)
-    except Exception:
-        # Spark Connect sessions have no sparkContext; there the classic
-        # cwd/PYTHONPATH route is the only option — don't break the
-        # contract for the row-local queries that need no worker import.
-        pass
+        sc.addPyFile(_PKG_ZIP)
+    except Exception as exc:
+        # A real shipping failure (full/unwritable TMPDIR, addPyFile
+        # refusal) stays audible — a later worker ModuleNotFoundError
+        # needs this warning to point at the cause.
+        import warnings
+
+        warnings.warn(
+            "could not ship cloud_ocr_summarizer_spark to workers "
+            f"({type(exc).__name__}: {exc}); pandas/Arrow UDF stages "
+            "will require the package on worker PYTHONPATH",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark._cos_pkg_shipped = True  # type: ignore[attr-defined]
 
 

@@ -834,7 +834,10 @@ def hits_scores(
     hubs = node_ids.select(
         "doc_id", F.lit(INIT_MICRO).cast("bigint").alias("score")
     )
-    auths = None
+    # n_iter=0 would leave auths unbound below (AttributeError, an
+    # unrelated-looking crash); the zero-iteration HITS baseline is the
+    # init vector, same graceful degradation as pagerank's _iterate_ranks
+    auths = hubs
     for _ in range(n_iter):
         auths = _half_step(
             node_ids, edges, hubs, join_on="src_doc_id", group_on="dst_doc_id"

@@ -80,6 +80,14 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
 
     try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect sessions have no sparkContext; there the classic
+        # cwd/PYTHONPATH route is the only option — row-local plans
+        # still work without the worker import.  Quiet by design.
+        spark._cos_pkg_shipped = True  # type: ignore[attr-defined]
+        return
+    try:
         global _PKG_ZIP
         if _PKG_ZIP is None:
             pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -92,12 +100,22 @@ def _ship_package(spark: SparkSession) -> None:
                 root_dir=os.path.dirname(pkg_dir),
                 base_dir=os.path.basename(pkg_dir),
             )
-        spark.sparkContext.addPyFile(_PKG_ZIP)
-    except Exception:
-        # Spark Connect sessions have no sparkContext; there the classic
-        # cwd/PYTHONPATH route is the only option — row-local plans
-        # still work without the worker import.
-        pass
+        sc.addPyFile(_PKG_ZIP)
+    except Exception as exc:
+        # A real shipping failure (full or unwritable TMPDIR, addPyFile
+        # refusal) must stay AUDIBLE: the session is still marked
+        # shipped (retrying per call would spam a broken host), but a
+        # later worker-side ModuleNotFoundError needs this warning to
+        # point at the real cause.
+        import warnings
+
+        warnings.warn(
+            "could not ship cloud_ocr_summarizer_spark to workers "
+            f"({type(exc).__name__}: {exc}); pandas/Arrow UDF stages "
+            "will require the package on worker PYTHONPATH",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark._cos_pkg_shipped = True  # type: ignore[attr-defined]
 
 

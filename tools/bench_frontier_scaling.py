@@ -31,7 +31,6 @@ N_DOCS = 1_000_000
 CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
-from pyspark.sql import functions as F
 from cloud_ocr_summarizer_spark.session import get_spark
 from cloud_ocr_summarizer_spark.operators.robotstxt import (
     crawl_frontier,
@@ -41,18 +40,11 @@ from cloud_ocr_summarizer_spark.operators.urls import (
     derive_urls_from_documents,
     parse_urls,
 )
+from tools.bench_html_layout import with_synthetic_lang
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); path = sys.argv[3]
 spark = get_spark(app_name=f"frontier-scaling-{{cores}}", cores=cores)
-docs = spark.read.parquet(path).withColumn(
-    "lang",
-    F.element_at(
-        F.array(F.lit("en"), F.lit("de"), F.lit("es"),
-                F.lit("fr"), F.lit("zh")),
-        (F.pmod(F.xxhash64("doc_id", F.lit("lang")), F.lit(5)) + 1)
-        .cast("int"),
-    ),
-)
+docs = with_synthetic_lang(spark.read.parquet(path))
 
 def run():
     t0 = time.monotonic()
@@ -101,7 +93,7 @@ def main() -> int:
     print(json.dumps(out))
 
     lines = [
-        "", "## N->4N scaling: join+aggregate regime (crawl frontier)",
+        "## N->4N scaling: join+aggregate regime (crawl frontier)",
         "",
         "Composed crawl-planning pipeline (URL parse, blocklist",
         "anti-join, robots host equi-join, per-host aggregate) over the",
@@ -114,9 +106,13 @@ def main() -> int:
         "Same shared-substrate caveat as the other shuffle pairs.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a",
-              encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "## N->4N scaling: join+aggregate regime (crawl frontier)",
+        "\n".join(lines),
+    )
     return 0
 
 

@@ -24,7 +24,7 @@ TIERS = [120_000, 1_000_000]
 
 
 def main() -> int:
-    from pyspark.sql import functions as F
+    from tools.bench_html_layout import with_synthetic_lang
 
     from cloud_ocr_summarizer_spark.operators.robotstxt import (
         crawl_frontier,
@@ -52,18 +52,11 @@ def main() -> int:
     tiers = []
     for n in TIERS:
         # the shared bench corpus carries (doc_id, text, source); the
-        # URL deriver additionally reads lang — attach a deterministic
-        # one so every tld/host branch of the synthesis is exercised
-        docs = spark.read.parquet(build_corpus(spark, n)).withColumn(
-            "lang",
-            F.element_at(
-                F.array(
-                    F.lit("en"), F.lit("de"), F.lit("es"),
-                    F.lit("fr"), F.lit("zh"),
-                ),
-                (F.pmod(F.xxhash64("doc_id", F.lit("lang")), F.lit(5)) + 1)
-                .cast("int"),
-            ),
+        # URL deriver additionally reads lang — the shared helper keeps
+        # the assignment identical across every tool that routes
+        # through the URL synthesis
+        docs = with_synthetic_lang(
+            spark.read.parquet(build_corpus(spark, n))
         )
 
         def gate_job(d=docs):

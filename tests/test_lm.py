@@ -26,6 +26,7 @@ def test_lm_rarity_hand_computed(spark):
         (3, "zq xv qp"),                # every transition corpus-unique
         (4, ""),
         (5, None),
+        (6, "solo"),                    # 1 token: zero pairs, must zero-fill
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in lm_rarity_profile(df).collect()}
@@ -34,7 +35,9 @@ def test_lm_rarity_hand_computed(spark):
     assert got[1]["rare_bigram_bp"] == 6000
     assert got[2]["rare_bigram_bp"] == 0      # both its pairs occur twice
     assert got[3]["rare_bigram_bp"] == 10000  # gibberish: all unique
-    for i in (4, 5):
+    # empty / NULL / single-token docs all surface via the outer pair
+    # stream (the every-doc contract that used to need a join-back)
+    for i in (4, 5, 6):
         assert got[i] == {
             "doc_id": i, "n_bigrams": 0, "rare_bigram_bp": 0, "sum_pair_count": 0
         }
@@ -54,6 +57,8 @@ def test_bigram_perplexity_matches_python_model(spark):
     for i in range(40):
         texts.append((i, " ".join(rng.choices(vocab, k=rng.randrange(2, 15)))))
     texts.append((100, "zq xv qp lm"))  # unique transitions
+    texts.append((101, ""))             # zero pairs -> NULL perplexity
+    texts.append((102, "solo"))         # one token -> NULL perplexity
     df = spark.createDataFrame(texts, "doc_id long, text string")
 
     uni, bi = _py_tables(t for _, t in texts)

@@ -21,7 +21,12 @@ sys.path.insert(0, REPO)
 
 from tools.bench_html_layout import build_corpus  # noqa: E402
 
-TIERS = [120_000, 1_000_000, 4_000_000]
+TIERS = [
+    int(x)
+    for x in os.environ.get(
+        "SPARK_GRAFT_TIERS", "120000,1000000,4000000"
+    ).split(",")
+]
 
 
 def main() -> int:
@@ -32,19 +37,24 @@ def main() -> int:
 
     spark = get_spark(app_name="bench-classified-web", cores=32)
 
-    def timed(make_df) -> float:
+    def timed(make_df, reps: int) -> float:
         def run() -> float:
             t0 = time.monotonic()
             make_df().write.format("noop").mode("overwrite").save()
             return time.monotonic() - t0
 
         run()  # warm-up
-        return min(run() for _ in range(3))
+        return min(run() for _ in range(reps))
 
     tiers = []
     for n in TIERS:
         docs = spark.read.parquet(build_corpus(spark, n))
-        sec = timed(lambda: extract_web_documents_classified_fused(docs))
+        # 10^7 runs minutes per rep; best-of-2 there (JVM warm-up is <5%
+        # at that size — the bench_curation_full precedent)
+        sec = timed(
+            lambda: extract_web_documents_classified_fused(docs),
+            3 if n <= 4_000_000 else 2,
+        )
         row = {
             "n_docs": n,
             "sec": round(sec, 3),
@@ -58,19 +68,23 @@ def main() -> int:
         json.dump({"tiers": tiers}, f)
 
     lines = [
-        "", "## Complete north-rule job (extract_web_classified_fused) at tiers",
+        "## Complete north-rule job (extract_web_classified_fused) at tiers",
         "",
         "Span extraction + kind tagging + layout fold + BOTH Readability",
         "heuristics (link density AND text density) in one zero-Exchange",
-        "pass, local[32], seed=42, best-of-3 warm:", "",
+        "pass, local[32], seed=42, best-of-3 warm (best-of-2 at 10^7):", "",
         "| docs | wall | docs/s |", "|---|---|---|",
     ]
     for r in tiers:
         lines.append(f"| {r['n_docs']:,} | {r['sec']} s | {r['docs_per_sec']:,} |")
     lines.append("")
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a",
-              encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "## Complete north-rule job (extract_web_classified_fused) at tiers",
+        "\n".join(lines),
+    )
     return 0
 
 

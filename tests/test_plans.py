@@ -411,3 +411,14 @@ def test_frontier_redirect_rollup_shuffle_budget(spark, Q):
         "Exchange hashpartitioning"
     )
     assert p.count("ReusedExchange") >= 4, p.count("ReusedExchange")
+
+
+def test_lm_rarity_has_no_join_back(spark, Q):
+    """The every-doc contract rides the OUTER pair explode: 2 corpus
+    scans (count-table build + scoring), broadcast bigram join, zero
+    SortMergeJoin — the old zero-fill join-back cost a third scan and
+    a corpus-sized SMJ (round-5 removal, docs/PLANS.md)."""
+    p = _plan(Q.q_lm_rarity(spark, SF))
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Scan parquet") <= 2, p.count("Scan parquet")
+    assert p.count("Exchange hashpartitioning") <= 2, p

@@ -20,7 +20,12 @@ sys.path.insert(0, REPO)
 from tools.bench_html_layout import build_corpus, with_synthetic_lang  # noqa: E402
 from tools.mdsection import replace_section  # noqa: E402
 
-TIERS = [120_000, 1_000_000]
+TIERS = [
+    int(x)
+    for x in os.environ.get(
+        "SPARK_GRAFT_TIERS", "120000,1000000"
+    ).split(",")
+]
 
 
 def main() -> int:

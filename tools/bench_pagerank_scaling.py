@@ -86,7 +86,7 @@ def main() -> int:
     print(json.dumps(out))
 
     lines = [
-        "", "## N->4N scaling: iterative-shuffle regime (PageRank)",
+        "## N->4N scaling: iterative-shuffle regime (PageRank)",
         "",
         "5-iteration integer PageRank over the 1M-doc derived corpus,",
         "separate JVMs, warm best-of-2 (same protocol as the other",
@@ -101,9 +101,13 @@ def main() -> int:
         "so this lower-bounds what disjoint executors would show.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a",
-              encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "## N->4N scaling: iterative-shuffle regime (PageRank)",
+        "\n".join(lines),
+    )
     return 0
 
 

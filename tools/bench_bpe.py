@@ -95,7 +95,7 @@ def main() -> int:
         json.dump({"tiers": tiers, "n_merges": 6}, f)
 
     lines = [
-        "", "## BPE merge learning at tiers (6 merges)", "",
+        "## BPE merge learning at tiers (6 merges)", "",
         "train_bpe_merges: one corpus wordcount, then vocab-sized merge",
         "rounds; local[32], seed=42, best-of-2 warm:", "",
         "| docs | distinct words | sec | docs/s |",
@@ -103,8 +103,13 @@ def main() -> int:
     ]
     for t in tiers:
         lines.append("| {n_docs} | {n_vocab} | {sec} | {docs_per_sec} |".format(**t))
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        '## BPE merge learning at tiers (6 merges)',
+        "\n".join(lines) + "\n",
+    )
     return 0
 
 

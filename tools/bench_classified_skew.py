@@ -133,7 +133,7 @@ def main() -> int:
     print(json.dumps(out))
 
     lines = [
-        "", "## Skew A/B: composed classified job under a media-heavy cluster",
+        "## Skew A/B: composed classified job under a media-heavy cluster",
         "",
         f"{N_LIGHT:,} ordinary docs + {N_MEGA} mega-docs of {MEGA_WORDS:,} words",
         "each, the mega docs colocated in ONE parquet file (worst layout).",
@@ -149,8 +149,13 @@ def main() -> int:
         "so the floor for B is max(one mega doc, per-task light share).",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a", encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        '## Skew A/B: composed classified job under a media-heavy cluster',
+        "\n".join(lines),
+    )
     return 0
 
 

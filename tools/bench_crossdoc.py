@@ -155,7 +155,7 @@ def main() -> int:
         json.dump({"tiers": tiers, "scaling": scaling}, f)
 
     lines = [
-        "", "## Cross-document passage dedup at tiers", "",
+        "## Cross-document passage dedup at tiers", "",
         "dedup_cross_doc_passages on the seeded corpus with ~25% of docs",
         "replaced by a neighbor's text (the gate does real work);",
         "local[32], seed=42, best-of-3 warm:", "",
@@ -176,8 +176,13 @@ def main() -> int:
             low["docs_per_sec"], high["docs_per_sec"], eff
         ),
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        '## Cross-document passage dedup at tiers',
+        "\n".join(lines) + "\n",
+    )
     return 0
 
 

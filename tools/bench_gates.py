@@ -74,7 +74,7 @@ def main() -> int:
         json.dump({"tiers": tiers}, f)
 
     lines = [
-        "", "## Word-level curation gates at tiers", "",
+        "## Word-level curation gates at tiers", "",
         "Gopher rules, intra-doc dedup (doubled text), integer-milli FK",
         "readability, and the per-source cap window, local[32], seed=42,",
         "best-of-3 warm:", "",
@@ -90,8 +90,13 @@ def main() -> int:
             f"{r['cap_docs_per_sec']:,} |"
         )
     lines.append("")
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a", encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        '## Word-level curation gates at tiers',
+        "\n".join(lines),
+    )
     return 0
 
 

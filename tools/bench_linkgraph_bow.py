@@ -82,7 +82,7 @@ def main() -> int:
         json.dump(out, f)
 
     lines = [
-        "", "## Tiered: link-graph PageRank + BoW classifier (round 4)",
+        "## Tiered: link-graph PageRank + BoW classifier (round 4)",
         "",
         "local[32], warm best-of-2, shared derived corpus; PageRank runs",
         "5 integer-micro iterations over the synthesized ~2x-corpus edge",
@@ -98,9 +98,13 @@ def main() -> int:
             f"| {t['bow_docs_per_sec']:,} |"
         )
     lines.append("")
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a",
-              encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        '## Tiered: link-graph PageRank + BoW classifier (round 4)',
+        "\n".join(lines),
+    )
     return 0
 
 

@@ -87,7 +87,7 @@ def main() -> int:
     print(json.dumps(out))
 
     lines = [
-        "", "## A/B: bucketed-fan PageRank (iteration shuffle removal)",
+        "## A/B: bucketed-fan PageRank (iteration shuffle removal)",
         "",
         "5 iterations over the 1M-doc corpus edges; the bucketed variant",
         "writes the fan table once (32 buckets on src_doc_id, write",
@@ -103,9 +103,13 @@ def main() -> int:
         "transfers to a real cluster where the avoided shuffle is network.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a",
-              encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        '## A/B: bucketed-fan PageRank (iteration shuffle removal)',
+        "\n".join(lines),
+    )
     return 0
 
 

@@ -129,7 +129,7 @@ def main() -> int:
         json.dump(result, f)
 
     lines = [
-        "", "## PDF parse + text-density: tiers and N->4N scaling", "",
+        "## PDF parse + text-density: tiers and N->4N scaling", "",
         "PDF content-stream parse (Arrow token state machine), composed",
         "pdf_main_text (parse + groupBy + broadcast join), and text-density",
         "block classification, local[32], seed=42, best-of-3 warm:", "",
@@ -151,9 +151,13 @@ def main() -> int:
         f"efficiency {eff} (third Python-worker-bound pair for the "
         "two-cluster-size rule).", "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a",
-              encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        '## PDF parse + text-density: tiers and N->4N scaling',
+        "\n".join(lines),
+    )
     return 0
 
 

@@ -79,7 +79,7 @@ def main() -> int:
         json.dump({"tiers": tiers}, f)
 
     lines = [
-        "", "## Repetition gate: aggregated vs row-local", "",
+        "## Repetition gate: aggregated vs row-local", "",
         "repetition_profile (explode + 2 shuffled aggs) vs the zero-",
         "shuffle repetition_flagged_col used by the streaming gates,",
         "both reduced to (doc_id, flagged); local[32], seed=42,",
@@ -92,8 +92,13 @@ def main() -> int:
             "| {n_docs} | {aggregated_sec} | {aggregated_docs_per_sec} "
             "| {rowlocal_sec} | {rowlocal_docs_per_sec} | {rowlocal_speedup}x |".format(**t)
         )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        '## Repetition gate: aggregated vs row-local',
+        "\n".join(lines) + "\n",
+    )
     return 0
 
 

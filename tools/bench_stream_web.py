@@ -115,7 +115,7 @@ def main() -> int:
 
     ok = result["parity_ok"] and result["exactly_once_ok"]
     lines = [
-        "", "## Streaming twin of the classified job at 120k docs",
+        "## Streaming twin of the classified job at 120k docs",
         "",
         "AvailableNow drain of the composed classified pipeline via",
         "foreachBatch + snapshot anti-join (start_incremental_extract_web),",
@@ -130,8 +130,13 @@ def main() -> int:
         f"| parity + exactly-once | {'PASS' if ok else 'FAIL'} |",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a", encoding="utf-8") as f:
-        f.write("\n".join(lines))
+    from tools.mdsection import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        '## Streaming twin of the classified job at 120k docs',
+        "\n".join(lines),
+    )
     return 0 if ok else 1
 
 
